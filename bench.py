@@ -1,0 +1,77 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line with per-query wall times.
+
+Each query is fully executed via the no-op sink (format("noop")), which
+materializes every operator without collect()-ing results to the driver
+— the honest way to time a distributed plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_streaming_with_debezium_spark.registry import load_all  # noqa: E402
+from spark_streaming_with_debezium_spark.session import get_spark  # noqa: E402
+
+#: Headline set: breadth across CDC, relational, window, streaming-equiv,
+#: dedup, similarity, text. Pairwise-heavy demos (ngram jaccard,
+#: label-blocked cosine) are correctness queries, not headline benches.
+HEADLINE = (
+    "q1_pricing_summary",
+    "cdc_state_rollup",
+    "join_inner_equi",
+    "join_broadcast_dims",
+    "join_asof",
+    "window_rank_topk_per_group",
+    "window_running_frames",
+    "stream_tumbling_window",
+    "stream_session_window",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality",
+    "text_token_counts",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = load_all()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = queries[name]
+        df = q.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm (JIT+cache)
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

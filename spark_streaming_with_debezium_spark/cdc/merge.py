@@ -1,0 +1,210 @@
+"""Join-based MERGE (upsert/delete) on plain DataFrames — SURVEY §2.3 J5.
+
+Reproduces the Delta merge of the reference
+(`StreamingJobExecutor.scala:47-61`):
+
+    MERGE INTO target t USING source s ON s.<key> = t.<key>
+    WHEN MATCHED AND s.deleted THEN DELETE
+    WHEN MATCHED THEN UPDATE SET * (data cols)
+    WHEN NOT MATCHED [AND NOT s.deleted] THEN INSERT *
+
+without requiring delta-spark: one full-outer join + ``coalesce``
+projection. Catalyst plans it as a single shuffle on the key (or a
+broadcast join when the change batch is small — the common CDC case,
+hinted via ``broadcast_changes``).
+
+Scale notes (100 TB state):
+- The expensive part is rewriting state. ``apply_changes`` is the pure
+  dataframe→dataframe kernel; ``merge_into_parquet`` adds the storage
+  strategy: state is hash-bucketed into ``n_buckets`` by key, only
+  buckets actually containing changed keys are rewritten (computed by
+  projecting bucket ids from the change batch), the rest are untouched
+  files. That bounds each micro-batch's I/O to O(touched buckets), not
+  O(state) — the same file-skipping idea Delta's merge gets from its
+  log, on plain parquet.
+- Reference defect §2.11-6 (unmatched DELETE inserts an empty row) is
+  fixed: inserts are filtered to non-deleted rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def apply_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    data_cols: Sequence[str] | None = None,
+    deleted_col: str = "deleted",
+    broadcast_changes: bool = False,
+) -> DataFrame:
+    """Apply a compacted change batch to a target state DataFrame.
+
+    ``changes`` must hold at most one row per key (run
+    :func:`compact_latest` first) with columns ``key_cols`` +
+    ``data_cols`` + ``deleted_col``. Returns the new state with the
+    target's schema.
+
+    Semantics per key:
+      matched & deleted      -> row dropped
+      matched & not deleted  -> after-image replaces target row
+      unmatched & not deleted-> after-image inserted
+      unmatched & deleted    -> no-op (defect §2.11-6 fixed)
+      target-only            -> kept as-is
+    """
+    key_cols = list(key_cols)
+    if data_cols is None:
+        data_cols = [c for c in target.columns if c not in key_cols]
+    src = changes.select(
+        *key_cols, *[c for c in data_cols], F.col(deleted_col).alias("_deleted")
+    )
+    if broadcast_changes:
+        src = F.broadcast(src)
+
+    t = target.alias("t")
+    s = src.alias("s")
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols]
+    joined = t.join(s, cond, "full_outer")
+
+    matched = F.col("s._deleted").isNotNull()  # source row exists for this key
+    # Keep: target-only rows, and source rows that are not deletes.
+    keep = (~matched) | (~F.col("s._deleted"))
+
+    out_cols = [
+        F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k) for k in key_cols
+    ]
+    for c in target.columns:
+        if c in key_cols:
+            continue
+        if c in data_cols:
+            # When the source row exists (non-delete), its image wins even
+            # if the new value is NULL — hence when(), not coalesce().
+            out_cols.append(
+                F.when(matched & ~F.col("s._deleted"), F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+            )
+        else:
+            out_cols.append(F.col(f"t.{c}").alias(c))
+    return joined.filter(keep).select(*out_cols)
+
+
+def bucket_of(df: DataFrame, key_cols: Sequence[str], n_buckets: int) -> DataFrame:
+    """Add a deterministic ``_bucket`` column = hash(key) mod n_buckets."""
+    h = F.xxhash64(*[F.col(k) for k in key_cols])
+    return df.withColumn("_bucket", F.pmod(h, F.lit(n_buckets)).cast("int"))
+
+
+class ParquetStateTable:
+    """Keyed mutable state on plain parquet, hash-bucketed by key.
+
+    The engine's stand-in for the reference's Delta table
+    (`StreamingJobExecutor.scala:18`): ``merge`` rewrites only the
+    buckets that contain changed keys (partition-overwrite), so
+    per-batch I/O is proportional to touched buckets. At 100 TB with
+    n_buckets=8192 and a typical CDC batch touching a few thousand
+    keys, a merge rewrites well under 1% of the table.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: Sequence[str],
+        n_buckets: int = 64,
+    ):
+        self.spark = spark
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.n_buckets = n_buckets
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    @property
+    def _schema_file(self) -> str:
+        return os.path.join(self.path, "_table_schema.json")
+
+    def _stored_schema(self) -> T.StructType | None:
+        if os.path.exists(self._schema_file):
+            with open(self._schema_file) as f:
+                return T.StructType.fromJson(json.load(f))
+        return None
+
+    def _read_bucketed(self) -> DataFrame:
+        # An empty state (fresh table, or all rows deleted) has no parquet
+        # files to infer from — fall back to the schema sidecar.
+        schema = self._stored_schema()
+        has_data = self.exists() and any(
+            e.startswith("_bucket=") for e in os.listdir(self.path)
+        )
+        if has_data:
+            df = self.spark.read.parquet(self.path)
+            if "_bucket" not in df.columns:  # pragma: no cover
+                df = bucket_of(df, self.key_cols, self.n_buckets)
+            return df
+        if schema is None:
+            raise FileNotFoundError(
+                f"state table {self.path} not initialized (no data, no schema)"
+            )
+        empty_schema = T.StructType(
+            list(schema.fields) + [T.StructField("_bucket", T.IntegerType())]
+        )
+        return self.spark.createDataFrame([], empty_schema)
+
+    def read(self) -> DataFrame:
+        return self._read_bucketed().drop("_bucket")
+
+    def init(self, snapshot: DataFrame) -> None:
+        """Bootstrap from a snapshot (the reference's initial-load job,
+        `StreamingJobInitialExecutor.scala:44-51`, minus its per-batch
+        append quirks: one partitioned write)."""
+        bucket_of(snapshot, self.key_cols, self.n_buckets).write.mode(
+            "overwrite"
+        ).partitionBy("_bucket").parquet(self.path)
+        with open(self._schema_file, "w") as f:
+            json.dump(snapshot.schema.jsonValue(), f)
+
+    def merge(self, changes: DataFrame, data_cols: Sequence[str] | None = None) -> None:
+        """Merge a compacted change batch, rewriting only touched buckets."""
+        changes = bucket_of(changes, self.key_cols, self.n_buckets).cache()
+        try:
+            touched = [r._bucket for r in changes.select("_bucket").distinct().collect()]
+            if not touched:
+                return
+            # Partition pruning: only touched buckets are scanned.
+            state = self._read_bucketed().filter(F.col("_bucket").isin(touched))
+            merged = apply_changes(
+                state.drop("_bucket"),
+                changes.drop("_bucket"),
+                self.key_cols,
+                data_cols=data_cols,
+                broadcast_changes=True,
+            )
+            merged = bucket_of(merged, self.key_cols, self.n_buckets)
+            # Write to a temp dir first, then swap touched bucket dirs in;
+            # dynamic partition overwrite would do this natively on a real
+            # cluster (spark.sql.sources.partitionOverwriteMode=dynamic).
+            tmp = tempfile.mkdtemp(prefix="merge_", dir=os.path.dirname(self.path))
+            try:
+                merged.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
+                for b in touched:
+                    src = os.path.join(tmp, f"_bucket={b}")
+                    dst = os.path.join(self.path, f"_bucket={b}")
+                    if os.path.exists(dst):
+                        shutil.rmtree(dst)
+                    if os.path.exists(src):
+                        shutil.move(src, dst)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+        finally:
+            changes.unpersist()

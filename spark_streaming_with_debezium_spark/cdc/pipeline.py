@@ -1,0 +1,133 @@
+"""CDC jobs: batch replay + Structured Streaming wrappers (SURVEY §2.9).
+
+Two entry points mirroring the reference's two jobs:
+
+- :func:`initial_load` — the snapshot/bootstrap path
+  (`StreamingJobInitialExecutor.scala:15-51`): append-materialize
+  snapshot (op='r') events.
+- :func:`run_cdc_stream` — the continuous path
+  (`StreamingJobExecutor.scala:16-61`): readStream → parse → per-batch
+  compact+merge via ``foreachBatch``, with a real checkpoint location
+  (the reference ignores its checkpoint constructor arg and hardcodes
+  one path for both jobs — defect §2.11-5).
+
+The per-batch function is pure (parse → compact → merge), so the SAME
+code path serves batch replay in tests and streaming in production —
+exactly how foreachBatch is meant to be used.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_streaming_with_debezium_spark.cdc.compact import compact_latest
+from spark_streaming_with_debezium_spark.cdc.envelope import TableSpec, parse_envelope
+from spark_streaming_with_debezium_spark.cdc.merge import ParquetStateTable
+
+
+def kafka_reader(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    fail_on_data_loss: bool = False,
+):
+    """Kafka streaming source, mirroring `StreamingJobExecutor.scala:35-44`
+    (subscribe one topic, startingOffsets default latest,
+    failOnDataLoss=false). Requires the spark-sql-kafka package on the
+    classpath; not exercised in the offline test environment."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+        .load()
+    )
+
+
+def project_kafka(df: DataFrame) -> DataFrame:
+    """CAST(key AS STRING), CAST(value AS STRING), topic + ordering cols
+    (`StreamingJobExecutor.scala:22-23`, plus partition/offset which the
+    reference drops — needed for correct in-batch LWW ordering)."""
+    cols = [
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        F.col("topic"),
+    ]
+    for c in ("partition", "offset", "timestamp"):
+        if c in df.columns:
+            cols.append(F.col(c))
+    return df.select(*cols)
+
+
+def batch_apply(
+    raw_batch: DataFrame,
+    spec: TableSpec,
+    state: ParquetStateTable,
+    seq_cols: Sequence[str] = ("partition", "offset"),
+) -> None:
+    """The foreachBatch body: parse → LWW-compact → merge.
+
+    Replaces `StreamingJobExecutor.upsertToDelta`
+    (`StreamingJobExecutor.scala:47-61`) + the driver-side formatter —
+    one distributed plan, no driver hop, dedup-safe.
+    """
+    seq_cols = tuple(c for c in seq_cols if c in raw_batch.columns)
+    changes = parse_envelope(raw_batch, spec, seq_cols=seq_cols)
+    order = seq_cols if seq_cols else ("ts_ms",)
+    latest = compact_latest(changes, spec.key_cols, order_cols=order)
+    state.merge(latest, data_cols=[c for c in spec.data_cols if c not in spec.key_cols])
+
+
+def initial_load(
+    raw: DataFrame,
+    spec: TableSpec,
+    state: ParquetStateTable,
+    seq_cols: Sequence[str] = ("partition", "offset"),
+) -> None:
+    """Bootstrap state from snapshot events (op='r').
+
+    The reference appends every batch blindly
+    (`StreamingJobInitialExecutor.scala:44-51`); we filter to snapshot
+    reads and LWW-compact so re-delivered snapshots stay idempotent.
+    """
+    seq_cols = tuple(c for c in seq_cols if c in raw.columns)
+    changes = parse_envelope(raw, spec, seq_cols=seq_cols).filter(~F.col("deleted"))
+    latest = compact_latest(
+        changes, spec.key_cols, order_cols=seq_cols if seq_cols else ("ts_ms",)
+    )
+    snapshot = latest.select(*spec.data_cols)
+    state.init(snapshot)
+
+
+def run_cdc_stream(
+    raw_stream: DataFrame,
+    spec: TableSpec,
+    state: ParquetStateTable,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuous CDC upsert: writeStream.foreachBatch(batch_apply).
+
+    ``available_now=True`` drains all available input then stops —
+    deterministic for tests and the right trigger for backfills; set
+    False for a continuously running query (default micro-batch
+    trigger, as the reference uses).
+    """
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        batch_apply(project_kafka(batch_df) if "topic" in batch_df.columns else batch_df,
+                    spec, state)
+
+    writer = (
+        raw_stream.writeStream.foreachBatch(_fn)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

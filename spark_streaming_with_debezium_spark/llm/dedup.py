@@ -1,0 +1,316 @@
+"""Deduplication operators for training-data pipelines (north star).
+
+Four tiers, all pure DataFrame plans (no Python in the row path):
+
+- exact          : hash-groupBy on normalized content (oracle: md5)
+- n-gram Jaccard : exact set similarity with blocking (oracle: DuckDB
+                   list functions)
+- MinHash + LSH  : shingle → k minhashes → band-bucket join → verified
+                   candidates (no oracle — banding is Spark-hash
+                   specific; verified property-wise in tests)
+- SimHash        : 64-bit signature via per-bit token votes, banded
+                   hamming blocking (no oracle)
+
+Scale design: every pairwise step is *blocked* (LSH bucket, band key,
+length band) so nothing is O(n²) on the corpus — the candidate set is
+O(n · bucket_size). At 100 TB, bucket skew (e.g. boilerplate shingles)
+is the risk: the band-bucket join keys include the band id, and
+oversized buckets should be dropped (`max_bucket` guard) — a standard
+near-dup heuristic (identical giant clusters don't need pairwise
+verification; they're caught by exact dedup first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_streaming_with_debezium_spark.registry import query
+from spark_streaming_with_debezium_spark.sources.tables import load_table
+
+#: Normalization used by exact dedup: casefold + collapse whitespace.
+_NORM_SPARK = lambda c: F.regexp_replace(F.lower(F.trim(c)), "\\s+", " ")  # noqa: E731
+_NORM_SQL = "regexp_replace(lower(trim({c})), '\\s+', ' ', 'g')"
+
+
+@query(
+    "dedup_exact_groups",
+    oracle=f"""
+    SELECT content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc
+    FROM (SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS content_hash
+          FROM documents) t
+    GROUP BY content_hash
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5(normalized text) groups with >1 member.
+    One shuffle on a 128-bit hash — the cheapest, first-pass dedup at
+    any scale (hash keys are uniform, so no skew)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(_NORM_SPARK(F.col("text"))).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "dedup_exact_keep_canonical",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars, ROW_NUMBER() OVER (
+        PARTITION BY md5({_NORM_SQL.format(c='text')}) ORDER BY doc_id) AS rn
+      FROM documents) t
+    WHERE rn = 1
+    """,
+)
+def dedup_exact_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, surviving set: keep the lowest doc_id per content
+    hash (deterministic canonical choice — never dropDuplicates, which
+    keeps an arbitrary row)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(_NORM_SPARK(F.col("text")))).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def _word_set(c: Column) -> Column:
+    return F.array_distinct(F.split(F.lower(F.trim(c)), "\\s+"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, lang, n_chars,
+             list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS words
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+             / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))),
+             6) AS jaccard
+    FROM ws a JOIN ws b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 30
+    WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+           / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words)))
+          >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard near-dup with (lang, length-band) blocking.
+
+    The blocking keys make the join an equi join on lang with a band
+    filter — candidate pairs are O(n · band width), not O(n²). At
+    100 TB this same shape runs with tighter blocks (lang + length
+    decile + LSH prefilter from dedup_minhash_lsh).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.select("doc_id", "lang", "n_chars", _word_set(F.col("text")).alias("words"))
+    a, b = ws.alias("a"), ws.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 30),
+    )
+    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
+    union = F.size(F.col("a.words")) + F.size(F.col("b.words")) - inter
+    jac = inter.cast("double") / union
+    return joined.filter(jac >= 0.6).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(jac, 6).alias("jaccard"),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_len: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Word-shingle MinHash signatures, computed with built-in functions.
+
+    shingles = sliding word 3-grams; minhash_i = min over shingles of
+    xxhash64(i || shingle). All array-valued higher-order expressions —
+    one narrow projection, no shuffle, no UDF.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+    n_sh = F.greatest(F.size(words) - (shingle_len - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(0), n_sh - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_len)),
+    )
+    # Explode once, aggregate k mins in one pass: computing k
+    # array_min(transform(...)) columns instead would re-evaluate the
+    # shingle array k times per row (measured 25× slower). The groupBy
+    # gets map-side partial mins, so the shuffle is k longs per doc.
+    ex = docs.select(F.col(id_col), F.explode(shingles).alias("sh"))
+    mins = [
+        F.min(F.xxhash64(F.lit(str(i)), F.col("sh"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = ex.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs from shared buckets.
+
+    Pairs are generated by a self-join on (band, bucket_hash) — a pure
+    shuffle join on uniform hash keys. ``max_bucket`` drops
+    pathologically hot buckets (boilerplate), bounding worst-case
+    fan-out at scale.
+    """
+    # Persist: the bucket-count join and the a×b self-join would otherwise
+    # recompute the full signature lineage 3×. The banded table is tiny
+    # (bands × docs rows of 3 fixed-width cols) even at corpus scale.
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket").persist()
+    counts = banded.groupBy("band", "bucket").count()
+    small = banded.join(
+        counts.filter(F.col("count") <= max_bucket), ["band", "bucket"]
+    )
+    a, b = small.alias("a"), small.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query("dedup_minhash_lsh", oracle=None)  # banding uses Spark xxhash64 => rows-only
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8 bands × 4) near-dup candidates, verified by
+    exact word-set Jaccard ≥ 0.5. Deterministic (fixed hash seeds) but
+    not SQL-expressible — correctness asserted property-wise in tests
+    (candidates ⊇ high-jaccard pairs from the exact query)."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    pairs = lsh_candidate_pairs(sigs)
+    ws = d.select("doc_id", _word_set(F.col("text")).alias("words"))
+    j = (
+        pairs.join(ws.withColumnRenamed("doc_id", "doc_a").alias("wa"), "doc_a")
+        .join(
+            ws.select(
+                F.col("doc_id").alias("doc_b"), F.col("words").alias("words_b")
+            ).alias("wb"),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("words"), F.col("words_b")))
+    union = F.size("words") + F.size("words_b") - inter
+    jac = inter.cast("double") / union
+    return j.filter(jac >= 0.5).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document.
+
+    explode tokens → per-bit ±1 votes aggregated with SUM(sign) — a
+    single groupBy on the doc id (the shuffle is by doc, so perfectly
+    parallel). Bits materialized from the votes' signs.
+    """
+    tokens = F.explode(F.split(F.lower(F.trim(F.col(text_col))), "\\s+")).alias("tok")
+    tok = docs.select(F.col(id_col), tokens).withColumn(
+        "h", F.xxhash64("tok")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        bit = F.shiftleft(F.lit(1).cast("long"), b)  # b=63 wraps to sign bit
+        sim = sim + F.when(F.col(f"v{b}") > 0, bit).otherwise(F.lit(0).cast("long"))
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+@query("dedup_simhash", oracle=None)  # Spark-hash specific => rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 4×16-bit band blocking, candidates kept when
+    hamming distance ≤ 6. Distributed: banding join, popcount verify."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = simhash64(d)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= 6)

@@ -1,0 +1,118 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Design (north star): media travels as an opaque ``binary`` column next
+to a typed metadata struct; decode / feature-extraction runs as
+Arrow-batched ``mapInPandas`` so bytes never round-trip through Python
+row objects. The decode itself is STUBBED (no image/audio libs in this
+environment): :func:`decode_media` raises ``NotImplementedError``
+unless the deterministic fake decoder is requested — the Spark-side
+plumbing (schema, batch shape, partitioning) is real and tested.
+
+Synthetic payloads: utf-8 bytes of ``documents.text`` stand in for
+media bytes, which keeps the byte-level queries oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_streaming_with_debezium_spark.registry import query
+from spark_streaming_with_debezium_spark.sources.tables import load_table
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, payload binary, "
+    "meta struct<mime: string, n_bytes: bigint, source: string>"
+)
+
+
+def with_media_columns(docs: DataFrame) -> DataFrame:
+    """Attach the opaque payload + typed metadata struct."""
+    payload = F.encode("text", "utf-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length(payload).cast("bigint").alias("n_bytes"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode/feature-extract media payloads via mapInPandas.
+
+    ``fake=False`` is the production signature and raises
+    ``NotImplementedError`` (image/audio codecs are not available in
+    this environment). ``fake=True`` runs a deterministic stand-in
+    'decoder' (per-payload byte histogram → 4 'features') exercising
+    the real batch path: Arrow transfer, per-partition batching,
+    binary-in / struct-out schema.
+    """
+    out_schema = (
+        "doc_id bigint, n_bytes bigint, "
+        "f0 bigint, f1 bigint, f2 bigint, f3 bigint"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "media decode requires image/audio codecs not present "
+                    "in this environment; pass fake=True for the "
+                    "deterministic stand-in decoder"
+                )
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                # deterministic FAKE features: byte-value histogram mod 4
+                hist = [0, 0, 0, 0]
+                for byte in b:
+                    hist[byte % 4] += 1
+                rows.append((doc_id, len(b), *hist))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "f0", "f1", "f2", "f3"]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, out_schema)
+
+
+@query(
+    "multimodal_metadata_stats",
+    oracle="""
+    SELECT meta_source AS source,
+           COUNT(*) AS n_media,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           MAX(n_bytes) AS max_bytes
+    FROM (SELECT source AS meta_source,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+          FROM documents) t
+    GROUP BY meta_source
+    """,
+)
+def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata aggregation over the opaque payload column —
+    storage accounting per source (never touches the bytes; at scale
+    this reads only the meta struct thanks to column pruning)."""
+    d = load_table(spark, sf_dir, "documents")
+    m = with_media_columns(d)
+    return m.groupBy(F.col("meta.source").alias("source")).agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("meta.n_bytes").alias("total_bytes"),
+        F.max("meta.n_bytes").alias("max_bytes"),
+    )
+
+
+@query("multimodal_fake_decode", oracle=None)  # mapInPandas => rows-only
+def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode path with the deterministic fake decoder:
+    binary payload in → feature struct out, Arrow-batched. Values are
+    reproducible (byte histograms), asserted in tests."""
+    d = load_table(spark, sf_dir, "documents")
+    m = with_media_columns(d)
+    return decode_media(m, fake=True)

@@ -1,0 +1,251 @@
+"""Similarity search over embedding columns (north star).
+
+- :func:`cosine` — deterministic double-precision cosine between two
+  ``array<float>`` columns, built from higher-order functions
+  (zip_with + aggregate): JVM-side, codegen'd, no UDF.
+- ``ann_cosine_topk`` — exact brute-force top-k for a query set:
+  broadcast the queries, score every (query, vector) pair, per-query
+  top-k window. The O(n·q) baseline every ANN variant is measured
+  against; at 100 TB it's the correct plan whenever q is small (the
+  query side broadcasts, the corpus never shuffles).
+- ``ann_lsh_topk`` — sign-random-projection LSH: 16-bit signatures
+  from fixed hyperplanes, hamming-band candidate generation, exact
+  re-rank of candidates. The scale path: candidates per query ≈
+  corpus/2^bits × bands, not the whole corpus.
+- ``ann_ivf_topk`` — IVF-style: k-means-ish centroids chosen
+  deterministically (hash-sampled seed vectors), vectors assigned to
+  nearest centroid (one broadcast join), queries probe the nearest
+  ``n_probe`` centroids only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_streaming_with_debezium_spark.registry import query
+from spark_streaming_with_debezium_spark.sources.tables import load_table
+
+N_QUERIES = 8  # vec_id < 8 are the standing query vectors
+TOP_K = 5
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision (deterministic left-to-right)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+_COSINE_SQL = (
+    "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+)
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         scored AS (
+           SELECT q.query_id, e.vec_id,
+                  {_COSINE_SQL.format(a='q.qe', b='e.embedding')} AS cos
+           FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+         ),
+         ranked AS (
+           SELECT query_id, vec_id, cos, ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+           FROM scored
+         )
+    SELECT query_id, vec_id, round(cos, 6) AS cos_sim, rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k (the ANN baseline).
+
+    Queries are broadcast; the corpus is scanned once with no shuffle
+    before the per-query top-k window (which shuffles only q·n score
+    rows — and TakeOrdered-style truncation keeps it tiny).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        )
+    )
+    scored = (
+        e.join(q, F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qe"), F.col("embedding")))
+        .select("query_id", "vec_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos_sim"), "rnk")
+    )
+
+
+@query(
+    "embedding_cosine_neardup",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_COSINE_SQL.format(a='a.embedding', b='b.embedding')} AS cos
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round(cos, 6) AS cos_sim
+    FROM pairs WHERE cos >= 0.90
+    """,
+)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the cluster
+    id doubles as the blocking key — at 100 TB the block comes from
+    IVF assignment instead)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+    )
+    return pairs.filter(F.col("cos") >= 0.90).select(
+        "vec_a", "vec_b", F.round("cos", 6).alias("cos_sim")
+    )
+
+
+def _srp_signature(vec: Column, bits: int = 16, dim: int = 64) -> Column:
+    """Sign-random-projection signature from deterministic pseudo-random
+    hyperplanes: plane(b, i) = sign derived from xxhash64(b, i). Built
+    entirely from higher-order functions — no driver-side plane matrix,
+    so the same expression works on any executor count."""
+    def _signed_term(bb: int):
+        # factory so the lambda passed to zip_with has exactly 2 params
+        return lambda x, i: x.cast("double") * F.when(
+            F.pmod(F.xxhash64(F.lit(str(bb)), i), F.lit(2)) == 0, 1.0
+        ).otherwise(-1.0)
+
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        proj = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), _signed_term(b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+@query("ann_lsh_topk", oracle=None)  # approximate => rows-only; recall tested
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k via sign-random-projection LSH.
+
+    16-bit signatures; candidates = vectors sharing any of four 4-bit
+    bands with the query signature; exact cosine re-rank of candidates.
+    Recall vs ann_cosine_topk is asserted in tests (≥ 0.5 at these
+    parameters on the synthetic clusters).
+    """
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "sig", _srp_signature(F.col("embedding"))
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("sig", b * 4).bitwiseAND(F.lit(0xF)).alias("bucket"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = e.select("vec_id", "embedding", F.explode(bands).alias("bb")).select(
+        "vec_id", "embedding", "bb.band", "bb.bucket"
+    )
+    qs = F.broadcast(
+        banded.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            "band",
+            "bucket",
+        )
+    )
+    cands = (
+        banded.join(qs, ["band", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qe", "vec_id", "embedding")
+        .distinct()
+    )
+    scored = cands.withColumn("cos", cosine(F.col("qe"), F.col("embedding")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos_sim"), "rnk")
+    )
+
+
+@query("ann_ivf_topk", oracle=None)  # approximate => rows-only; recall tested
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-k.
+
+    Deterministic 'centroids' = hash-sampled corpus vectors (every
+    vector whose xxhash64 mod 31 == 0 — ≈ n/31 cells). Index build =
+    one broadcast join assigning each vector to its nearest centroid;
+    search probes the 3 nearest cells per query. At 100 TB the
+    assignment is written bucketed-by-cell so a probe reads only its
+    cells' files (partition pruning).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        e.filter(F.pmod(F.xxhash64("vec_id"), F.lit(31)) == 0).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+        )
+    )
+    # assign every vector to its nearest centroid (max cosine)
+    asg_scored = e.join(cents).withColumn("cs", cosine(F.col("embedding"), F.col("ce")))
+    wa = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cent_id"))
+    assigned = (
+        asg_scored.withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+    # per query: 3 nearest cells
+    qs = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    q_scored = qs.join(cents).withColumn("cs", cosine(F.col("qe"), F.col("ce")))
+    wq = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("cent_id"))
+    probes = (
+        q_scored.withColumn("qrn", F.row_number().over(wq))
+        .filter(F.col("qrn") <= 3)
+        .select("query_id", "qe", "cent_id")
+    )
+    cands = assigned.join(F.broadcast(probes), "cent_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cands.withColumn("cos", cosine(F.col("qe"), F.col("embedding"))).select(
+        "query_id", "vec_id", "cos"
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos_sim"), "rnk")
+    )

@@ -1,0 +1,199 @@
+"""Text analysis for training-data pipelines (north star).
+
+Language-ID (stopword-overlap heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex), and document fingerprinting
+(min-hash over character shingles — a rolling-hash analog).
+
+All pure built-in expressions (regexp/array higher-order functions) —
+per-row, embarrassingly parallel, no shuffle except final aggregates;
+the exact shape that scales linearly to 100 TB. Regexes stick to
+portable character classes so the Java (Spark) and RE2-ish (DuckDB)
+engines agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_streaming_with_debezium_spark.functions.numeric import davg, sql_davg
+from spark_streaming_with_debezium_spark.registry import query
+from spark_streaming_with_debezium_spark.sources.tables import load_table
+
+#: Tiny per-language stopword lists for the n-gram/stopword heuristic.
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ein"),
+}
+
+_BPE_ISH = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"
+
+
+def _words(c: Column) -> Column:
+    return F.split(F.lower(F.trim(c)), "\\s+")
+
+
+@query(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_ISH}')) AS n_bpe_tokens,
+           length(text) AS n_chars_measured
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    (letters runs / single digits / single punctuation — the GPT-2
+    pre-tokenizer shape without unicode categories)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), "\\s+")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_ISH), 0)).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             string_split_regex(lower(trim(text)), '\\s+') AS words
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           len(words) AS n_words,
+           round(CAST(length(text) AS DOUBLE) / len(words), 6) AS avg_word_len,
+           round(CAST(len(list_filter(words,
+                 w -> list_contains(['the','a','and','of','to'], w)))
+             AS DOUBLE) / len(words), 6) AS stopword_ratio,
+           round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+             / length(text), 6) AS punct_ratio,
+           (len(words) BETWEEN 5 AND 1000) AND
+             (CAST(length(text) AS DOUBLE) / len(words)) BETWEEN 3 AND 12
+             AS passes_quality
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: word counts, average word length, stopword
+    ratio, punctuation ratio, and a composite pass/fail gate — the
+    C4/Gopher-style heuristic filter family."""
+    d = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n_words = F.size(words)
+    awl = F.length("text").cast("double") / n_words
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin(*STOPWORDS["en"]))
+    )
+    punct = F.size(F.regexp_extract_all("text", F.lit("[^a-zA-Z0-9 ]"), 0))
+    return d.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        F.round(awl, 6).alias("avg_word_len"),
+        F.round(stop_hits.cast("double") / n_words, 6).alias("stopword_ratio"),
+        F.round(punct.cast("double") / F.length("text"), 6).alias("punct_ratio"),
+        (n_words.between(5, 1000) & awl.between(3, 12)).alias("passes_quality"),
+    )
+
+
+def _lang_score(words: Column, lang: str) -> Column:
+    return F.size(F.filter(words, lambda w: w.isin(*STOPWORDS[lang])))
+
+
+@query(
+    "text_langid",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang AS labeled_lang,
+             string_split_regex(lower(trim(text)), '\\s+') AS words
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, labeled_lang,
+             len(list_filter(words, w -> list_contains(['the','a','and','of','to'], w))) AS s_en,
+             len(list_filter(words, w -> list_contains(['el','la','de','que','y'], w))) AS s_es,
+             len(list_filter(words, w -> list_contains(['der','die','und','das','ein'], w))) AS s_de
+      FROM t
+    )
+    SELECT doc_id, labeled_lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_de THEN 'es'
+                ELSE 'de' END AS detected_lang,
+           s_en, s_es, s_de
+    FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-overlap votes per language,
+    deterministic argmax (en > es > de tie order)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    s_en, s_es, s_de = (
+        _lang_score(words, "en"),
+        _lang_score(words, "es"),
+        _lang_score(words, "de"),
+    )
+    detected = (
+        F.when((s_en >= s_es) & (s_en >= s_de), "en")
+        .when(s_es >= s_de, "es")
+        .otherwise("de")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        detected.alias("detected_lang"),
+        s_en.alias("s_en"),
+        s_es.alias("s_es"),
+        s_de.alias("s_de"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_min(list_transform(
+             range(1, greatest(length(text) - 19, 1) + 1),
+             i -> md5(substr(text, CAST(i AS INT), 20)))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: minimum md5 over all 20-char shingles — a
+    winnowing/rolling-hash analog with an exact SQL oracle. Robust to
+    edits outside the minimizing shingle; per-row only."""
+    d = load_table(spark, sf_dir, "documents")
+    positions = F.sequence(F.lit(1), F.greatest(F.length("text") - 19, F.lit(1)))
+    fp = F.array_min(
+        F.transform(positions, lambda i: F.md5(F.substr(F.col("text"), i, F.lit(20))))
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@query(
+    "text_corpus_stats",
+    oracle=f"""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           {sql_davg('n_chars')} AS avg_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus facet stats: per (lang, source) doc counts + char-length
+    distribution — the dataset-card summary query."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg("n_chars").alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

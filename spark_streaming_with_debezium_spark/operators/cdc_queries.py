@@ -1,0 +1,118 @@
+"""Flagship CDC queries: the reference's end-to-end capability as
+oracle-checkable batch queries (SURVEY §7.1).
+
+``events`` plays the change stream (event_id = Kafka offset, user_id =
+key, event_type = op: 'error' → delete, anything else → upsert of the
+account balance), ``customer`` plays the initial snapshot state — the
+same merge semantics as `StreamingJobExecutor.scala:47-61`, driven by
+the engine's compact+merge kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_streaming_with_debezium_spark.cdc.compact import compact_latest
+from spark_streaming_with_debezium_spark.cdc.merge import apply_changes
+from spark_streaming_with_debezium_spark.functions.numeric import dsum, sql_dsum
+from spark_streaming_with_debezium_spark.registry import query
+from spark_streaming_with_debezium_spark.sources.tables import load_table
+
+# Shared CTE: the merged current state, expressed in ANSI SQL for DuckDB.
+_MERGED_STATE_SQL = """
+    latest AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1
+    ),
+    merged AS (
+      -- matched & not deleted -> update balance; unmatched target -> keep
+      SELECT c.c_custkey, c.c_name, c.c_nationkey,
+             CASE WHEN l.user_id IS NOT NULL THEN l.value
+                  ELSE c.c_acctbal END AS c_acctbal
+      FROM customer c LEFT JOIN latest l ON c.c_custkey = l.user_id
+      WHERE l.user_id IS NULL OR l.event_type <> 'error'
+      UNION ALL
+      -- unmatched source & not deleted -> insert
+      SELECT l.user_id AS c_custkey, 'cdc-insert' AS c_name,
+             NULL AS c_nationkey, l.value AS c_acctbal
+      FROM latest l LEFT JOIN customer c ON c.c_custkey = l.user_id
+      WHERE c.c_custkey IS NULL AND l.event_type <> 'error'
+    )
+"""
+
+
+def _current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged current state via the engine's CDC kernel."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    changes = e.select(
+        F.col("user_id").alias("c_custkey"),
+        F.lit("cdc-insert").alias("c_name"),
+        F.lit(None).cast("int").alias("c_nationkey"),
+        F.col("value").alias("c_acctbal"),
+        (F.col("event_type") == "error").alias("deleted"),
+        F.col("event_id"),
+    )
+    latest = compact_latest(changes, ["c_custkey"], order_cols=["event_id"])
+    target = c.select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    return apply_changes(
+        target,
+        latest.drop("event_id"),
+        key_cols=["c_custkey"],
+        data_cols=["c_acctbal"],  # upserts carry only the balance; name/
+        # nationkey keep target values (null for fresh inserts)
+    )
+
+
+@query(
+    "cdc_current_state",
+    oracle=f"""
+    WITH {_MERGED_STATE_SQL}
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM merged
+    """,
+)
+def cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 composite (W1 compaction + full-outer merge): the post-CDC
+    current-state table itself.
+
+    Note data_cols=[c_acctbal]: matched updates overwrite only the
+    balance, keeping the customer's name/nation — while fresh inserts
+    get the change row's values. The oracle mirrors this with its
+    LEFT JOIN + UNION ALL split.
+    """
+    return _current_state(spark, sf_dir)
+
+
+@query(
+    "cdc_state_rollup",
+    oracle=f"""
+    WITH {_MERGED_STATE_SQL}
+    SELECT r_name,
+           COUNT(*) AS n_customers,
+           {sql_dsum('m.c_acctbal')} AS total_balance
+    FROM merged m
+    JOIN nation ON m.c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def cdc_state_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SURVEY §7.1 flagship: CDC merge → broadcast dim join →
+    aggregate. Exercises scan, projection, filter, W1 window dedup,
+    anti/semi/outer join composition (inside apply_changes), and G1."""
+    state = _current_state(spark, sf_dir)
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        state.join(n, state.c_nationkey == n.n_nationkey)  # inner: drops null-nation inserts
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_balance"),
+        )
+    )

@@ -1,0 +1,278 @@
+"""Join surface: SURVEY §2.3 (J1–J4, J6–J10).
+
+Strategy notes (what Catalyst does with these plans, and why they hold
+at 100 TB):
+- Dimension joins (nation/region/supplier) are explicitly
+  ``F.broadcast`` — no shuffle of the fact side, ever.
+- Fact-fact equi joins shuffle both sides on the key; AQE re-plans to
+  broadcast if a runtime side is small and splits skewed partitions.
+- The theta/band join avoids a pure BNLJ by equi-joining on a
+  bucketized range key first (the classic band-join trick), so the
+  cross product is limited to neighboring buckets.
+- The as-of join is a union+window plan: O(n log n) per key instead of
+  a range BNLJ, and it reuses one shuffle on the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_streaming_with_debezium_spark.functions.numeric import dsum, sql_dsum
+from spark_streaming_with_debezium_spark.registry import query
+from spark_streaming_with_debezium_spark.sources.tables import load_table
+
+
+@query(
+    "join_inner_equi",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: equi inner join orders⋈customer + aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: anti join — customers with no orders (the merge's
+    whenNotMatched detection, `StreamingJobExecutor.scala:58-59`)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 30000)
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: semi join — EXISTS with a pushed predicate on the probe side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 30000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle=f"""
+    SELECT c_custkey,
+           COUNT(o_orderkey) AS n_orders,
+           {sql_dsum('COALESCE(o_totalprice, 0)')} AS total_spent
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/J7: left outer join keeping order-less customers (count=0)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT COALESCE(cn.nationkey, sn.nationkey) AS nationkey,
+           COALESCE(cn.n_cust, 0) AS n_cust,
+           COALESCE(sn.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+          FROM customer GROUP BY 1) cn
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+          FROM supplier GROUP BY 1) sn
+    ON cn.nationkey = sn.nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: full outer join of two aggregates (the merge-emulation shape)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    j = c.alias("c").join(s.alias("s"), F.col("c.nationkey") == F.col("s.nationkey"), "full")
+    return j.select(
+        F.coalesce(F.col("c.nationkey"), F.col("s.nationkey")).alias("nationkey"),
+        F.coalesce(F.col("c.n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("s.n_supp"), F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    WHERE r.r_regionkey <> n.n_regionkey
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: cross join (small dims only — a cross join of facts at scale
+    is a design error; this one is 5×25 rows)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(n)
+        .filter(F.col("r_regionkey") != F.col("n_regionkey"))
+        .select("r_name", "n_name")
+    )
+
+
+@query(
+    "join_broadcast_dims",
+    oracle=f"""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_customers,
+           {sql_dsum('c_acctbal')} AS total_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: star-schema dimension enrichment — both dims broadcast, zero
+    shuffle of the fact side before aggregation (the cities.csv
+    enrichment pattern at warehouse shape)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_balance"),
+        )
+    )
+
+
+@query(
+    "join_range_band",
+    oracle=f"""
+    SELECT p_brand,
+           COUNT(*) AS n_matches,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+     AND l_quantity BETWEEN p_size - 2 AND p_size + 2
+    GROUP BY p_brand
+    """,
+)
+def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: theta/band join — equi key plus a range predicate. The equi
+    component keeps it a hash join (range applied as post-filter), so
+    no BNLJ even at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (li.l_partkey == p.p_partkey)
+        & (li.l_quantity >= p.p_size - 2)
+        & (li.l_quantity <= p.p_size + 2)
+    )
+    return (
+        li.join(p, cond)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_matches"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+    FROM events e
+    ASOF LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: as-of join — for each event, the latest order of that user
+    with o_orderdate <= event ts.
+
+    Spark lacks a native as-of join; this is the union+window plan:
+    tag both sides, union on (key, time), window-carry the most recent
+    order forward, keep event rows. ONE shuffle on the key, O(n log n)
+    per key — versus a range BNLJ's O(n·m). DuckDB oracle uses its
+    native ASOF JOIN.
+    """
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    left = e.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    right = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    # Order: time asc; at equal time the order row sorts first so an
+    # event at exactly o_orderdate matches it (ASOF >= semantics).
+    # Among same-time orders the higher orderkey wins (deterministic,
+    # matches DuckDB's last-in-order tie behavior via max).
+    u = left.unionByName(right)
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t"), F.col("is_event"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.select(
+        "k",
+        "t",
+        "is_event",
+        "event_id",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("o_orderkey"),
+        F.last("o_totalprice", ignorenulls=True).over(w).alias("o_totalprice"),
+    )
+    return carried.filter(F.col("is_event") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("t").alias("ts"),
+        "o_orderkey",
+        "o_totalprice",
+    )

@@ -1,0 +1,44 @@
+"""Physical-plan introspection helpers.
+
+Used by tests (and during development) to assert the plan properties
+that matter at 100 TB: filters pushed to the scan, columns pruned,
+dimension joins broadcast, codegen spans intact. `.explain()` prints;
+these return the plan text so properties can be *asserted*.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def plan_text(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), mode
+    )
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    txt = plan_text(df)
+    return "PushedFilters: [" in txt and "PushedFilters: []" not in txt
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    return plan_text(df).count("BroadcastHashJoin")
+
+
+def sortmerge_join_count(df: DataFrame) -> int:
+    return plan_text(df).count("SortMergeJoin")
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Column names the parquet scan actually reads (pruning check)."""
+    txt = plan_text(df)
+    cols: set[str] = set()
+    for line in txt.splitlines():
+        if "ReadSchema:" in line:
+            schema = line.split("ReadSchema:", 1)[1]
+            for part in schema.replace("struct<", "").split(","):
+                name = part.strip().split(":", 1)[0].strip("<> ")
+                if name:
+                    cols.add(name)
+    return sorted(cols)

@@ -1,0 +1,62 @@
+"""Parquet table catalog for the synthetic star schema (TESTDATA.md).
+
+Scans stay declarative (``spark.read.parquet``) so Catalyst gets
+predicate pushdown, column pruning and partition pruning for free —
+check with ``plans.explain.scan_info``. At 100 TB the same call reads a
+partitioned/bucketed layout; nothing here assumes single-file input.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables that should always be broadcast in joins.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 rejects
+    # unless read as a long; convert ns→µs here so every consumer sees a
+    # TimestampType column. Set the conf per-call so the engine works in
+    # any host session (e.g. the driver's own SparkSession).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    """Register each table as a temp view (for the ``spark.sql`` surface)."""
+    tables = load_tables(spark, sf_dir, names)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

@@ -1,0 +1,140 @@
+"""Streaming operators in batch form (SURVEY §2.9 T5–T8).
+
+Structured Streaming's windowed aggregations are defined on event time,
+so the SAME expressions run identically over a bounded DataFrame — that
+makes them oracle-checkable here, while ``streaming.jobs`` runs the
+identical plans as real streams (readStream + watermark + availableNow)
+in the test suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_streaming_with_debezium_spark.functions.numeric import dsum, sql_dsum
+from spark_streaming_with_debezium_spark.registry import query
+from spark_streaming_with_debezium_spark.sources.tables import load_table
+
+
+@query(
+    "stream_tumbling_window",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: tumbling event-time window — F.window(ts, '1 hour'). The
+    identical expression runs under a watermark in streaming.jobs."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding_window",
+    oracle=f"""
+    WITH slides AS (
+      -- an event at t belongs to the 2 two-hour windows whose starts are
+      -- floor(t, 1h) and floor(t, 1h) - 1h (slide-aligned, Spark semantics)
+      SELECT time_bucket(INTERVAL '1 hour', ts) - s.i * INTERVAL '1 hour'
+               AS window_start,
+             value
+      FROM events, (SELECT unnest(range(0, 2)) AS i) s
+    )
+    SELECT window_start,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS total_value
+    FROM slides
+    GROUP BY 1
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: sliding window (2h length, 1h slide) — each event lands in 2
+    overlapping windows. Oracle replicates rows per slide then buckets.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(F.col("window.start").alias("window_start"), "n", "total_value")
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events, {sql_dsum('value')} AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: session windows (30-min gap) via F.session_window — the
+    oracle reconstructs sessions with the classic lag/gap/cumsum idiom.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("session_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n_first_events
+    FROM (
+      SELECT user_id, event_type, ROW_NUMBER() OVER
+        (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+      FROM events) t
+    WHERE rn = 1
+    GROUP BY user_id, event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: streaming dedup — dropDuplicates on (user_id, event_type);
+    the duplicate-delivery guard the reference TODO'd
+    (`DebeziumDeltaFormatter.scala:17`). Batch dropDuplicates keeps an
+    arbitrary row, so the query aggregates to a count that is
+    row-choice-independent; the oracle mirrors with rn=1.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.dropDuplicates(["user_id", "event_type"])
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_first_events"))
+    )

@@ -1,0 +1,89 @@
+"""Local mirror of the driver's Spark-vs-DuckDB comparison.
+
+Sorts columns by name, canonicalizes values, sorts rows, compares
+exactly — a stricter local version of the driver's order-insensitive
+value hash, so any mismatch the driver would flag fails here first.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+
+import duckdb
+
+from spark_streaming_with_debezium_spark.sources.tables import TABLE_NAMES
+
+
+def run_oracle(sql: str, sf_dir: str) -> list[tuple]:
+    con = duckdb.connect()
+    try:
+        for t in TABLE_NAMES:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+        cur = con.execute(sql)
+        cols = [d[0] for d in cur.description]
+        return cols, cur.fetchall()
+    finally:
+        con.close()
+
+
+def _canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("float", "nan")
+        return ("float", float(v))
+    if isinstance(v, dt.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, dt.date):
+        return ("ts", dt.datetime(v.year, v.month, v.day).isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("list", tuple(_canon(x) for x in v))
+    if isinstance(v, dict):
+        return ("map", tuple(sorted((k, _canon(x)) for k, x in v.items())))
+    if isinstance(v, bytes):
+        return ("bytes", v)
+    if v is None:
+        return ("null",)
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("num", v)
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return ("float", float(v))
+    except ImportError:
+        pass
+    return (type(v).__name__, str(v))
+
+
+def canonical_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+def compare_query(spark, query, sf_dir: str) -> None:
+    """Assert the Spark query matches its DuckDB oracle exactly."""
+    sdf = query.fn(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    o_cols, o_rows = run_oracle(query.oracle, sf_dir)
+    assert sorted(s_cols) == sorted(o_cols), (
+        f"{query.name}: column mismatch spark={sorted(s_cols)} "
+        f"oracle={sorted(o_cols)}"
+    )
+    assert len(s_rows) == len(o_rows), (
+        f"{query.name}: row count spark={len(s_rows)} oracle={len(o_rows)}"
+    )
+    sc = canonical_rows(s_cols, s_rows)
+    oc = canonical_rows(o_cols, o_rows)
+    if sc != oc:
+        diffs = [(a, b) for a, b in zip(sc, oc) if a != b][:5]
+        raise AssertionError(
+            f"{query.name}: value mismatch; first diffs (spark, oracle): {diffs}"
+        )

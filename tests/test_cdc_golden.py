@@ -1,0 +1,230 @@
+"""CDC golden-replay tests — FIXTURES.md §4 scenarios.
+
+Synthesizes Debezium envelopes (the reference's query1–5.sql workloads
++ the StreamingIT scenario) and asserts exact final state after
+parse → compact → merge. Pure batch; the streaming path reuses the
+same foreachBatch body (tested in test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import types as T
+
+from spark_streaming_with_debezium_spark.cdc.envelope import (
+    TableSpec,
+    parse_envelope,
+)
+from spark_streaming_with_debezium_spark.cdc.compact import compact_latest
+from spark_streaming_with_debezium_spark.cdc.merge import (
+    ParquetStateTable,
+    apply_changes,
+)
+
+CUSTOMERS = TableSpec(
+    name="customers",
+    key_cols=("id",),
+    value_schema=T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("first_name", T.StringType()),
+            T.StructField("last_name", T.StringType()),
+            T.StructField("email", T.StringType()),
+        ]
+    ),
+)
+
+RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+    ]
+)
+
+
+def envelope(op, row_id, offset, first="f", last="l", email=None, ts=1000):
+    email = email or f"user{row_id}@example.com"
+    after = (
+        None
+        if op == "d"
+        else {"id": row_id, "first_name": first, "last_name": last, "email": email}
+    )
+    before = {"id": row_id} if op in ("d", "u") else None
+    key = json.dumps({"schema": {}, "payload": {"id": row_id}})
+    value = json.dumps(
+        {
+            "schema": {},
+            "payload": {
+                "before": before,
+                "after": after,
+                "source": {"ts_ms": ts, "db": "inventory", "table": "customers"},
+                "op": op,
+                "ts_ms": ts,
+            },
+        }
+    )
+    return (key, value, "dbserver1.inventory.customers", 0, offset)
+
+
+def tombstone(row_id, offset):
+    key = json.dumps({"schema": {}, "payload": {"id": row_id}})
+    return (key, None, "dbserver1.inventory.customers", 0, offset)
+
+
+def run_replay(spark, tmp_path, snapshot_events, batches):
+    state = ParquetStateTable(
+        spark, str(tmp_path / "state"), key_cols=["id"], n_buckets=4
+    )
+    raw0 = spark.createDataFrame(snapshot_events, RAW_SCHEMA)
+    from spark_streaming_with_debezium_spark.cdc.pipeline import (
+        batch_apply,
+        initial_load,
+    )
+
+    initial_load(raw0, CUSTOMERS, state)
+    for batch in batches:
+        raw = spark.createDataFrame(batch, RAW_SCHEMA)
+        batch_apply(raw, CUSTOMERS, state)
+    return {
+        r["id"]: (r["first_name"], r["last_name"], r["email"])
+        for r in state.read().collect()
+    }
+
+
+SNAPSHOT = [envelope("r", 1, 0, "Sally", "Thomas"), envelope("r", 2, 1, "George", "B")]
+
+
+def test_snapshot_load(spark, tmp_path):
+    final = run_replay(spark, tmp_path, SNAPSHOT, [])
+    assert set(final) == {1, 2}
+    assert final[1] == ("Sally", "Thomas", "user1@example.com")
+
+
+def test_insert_update_delete_roundtrip(spark, tmp_path):
+    # query1.sql: insert → update → delete across batches
+    batches = [
+        [envelope("c", 3, 2, "John", "Doe")],
+        [envelope("u", 3, 3, "John", "Smith")],
+        [envelope("d", 3, 4), tombstone(3, 5)],
+    ]
+    final = run_replay(spark, tmp_path, SNAPSHOT, batches)
+    assert set(final) == {1, 2}
+
+
+def test_same_key_one_batch(spark, tmp_path):
+    # query4.sql stress: c → u → d of one key within a single batch
+    batches = [
+        [
+            envelope("c", 3, 2, "A", "A"),
+            envelope("u", 3, 3, "B", "B"),
+            envelope("d", 3, 4),
+            tombstone(3, 5),
+        ]
+    ]
+    final = run_replay(spark, tmp_path, SNAPSHOT, batches)
+    assert set(final) == {1, 2}
+
+
+def test_same_key_one_batch_ends_update(spark, tmp_path):
+    batches = [
+        [
+            envelope("c", 3, 2, "A", "A"),
+            envelope("u", 3, 3, "B", "B"),
+        ]
+    ]
+    final = run_replay(spark, tmp_path, SNAPSHOT, batches)
+    assert final[3][0] == "B"
+
+
+def test_bulk_insert_and_delete(spark, tmp_path):
+    # query2.sql (3 inserts) then query3.sql (3 deletes)
+    ins = [envelope("c", i, 10 + i, "N", "N") for i in (10, 11, 12)]
+    dels = [envelope("d", i, 20 + i, ts=2000) for i in (10, 11, 12)]
+    final = run_replay(spark, tmp_path, SNAPSHOT, [ins, dels])
+    assert set(final) == {1, 2}
+
+
+def test_range_delete(spark, tmp_path):
+    # query5.sql: delete id > 1010
+    ins = [envelope("c", i, i, "X", "X") for i in range(1009, 1014)]
+    dels = [envelope("d", i, 100 + i, ts=2000) for i in range(1011, 1014)]
+    final = run_replay(spark, tmp_path, SNAPSHOT, [ins, dels])
+    assert set(final) == {1, 2, 1009, 1010}
+
+
+def test_unmatched_delete_is_noop(spark, tmp_path):
+    # reference defect §2.11-6: unmatched delete must NOT insert a row
+    final = run_replay(spark, tmp_path, SNAPSHOT, [[envelope("d", 99, 7)]])
+    assert set(final) == {1, 2}
+
+
+def test_duplicate_delivery_idempotent(spark, tmp_path):
+    # Connect re-delivery (DebeziumDeltaFormatter.scala:17 TODO)
+    ev = envelope("c", 5, 3, "Dup", "User")
+    final = run_replay(spark, tmp_path, SNAPSHOT, [[ev, ev], [ev]])
+    assert final[5] == ("Dup", "User", "user5@example.com")
+    assert set(final) == {1, 2, 5}
+
+
+def test_update_with_null_field_wins(spark, tmp_path):
+    # after-image with an explicit NULL column must overwrite (when(),
+    # not coalesce(), in apply_changes)
+    ev = envelope("u", 1, 9, "Sally", "Thomas")
+    raw = json.loads(ev[1])
+    raw["payload"]["after"]["email"] = None
+    batches = [[(ev[0], json.dumps(raw), ev[2], ev[3], ev[4])]]
+    final = run_replay(spark, tmp_path, SNAPSHOT, batches)
+    assert final[1] == ("Sally", "Thomas", None)
+
+
+def test_apply_changes_pure(spark):
+    # kernel-level check without storage
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, val string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "b2", False), (3, "c", False), (4, None, True)],
+        "id long, val string, deleted boolean",
+    )
+    out = {
+        r["id"]: r["val"]
+        for r in apply_changes(target, changes, ["id"]).collect()
+    }
+    assert out == {1: "a", 2: "b2", 3: "c"}
+
+
+@pytest.mark.parametrize("n_batches", [1, 3])
+def test_property_random_replay(spark, tmp_path, n_batches):
+    """Final state == last non-delete event per key (random I/U/D)."""
+    import random
+
+    rng = random.Random(42)
+    events, off = [], 0
+    for _ in range(120):
+        k = rng.randrange(8)
+        op = rng.choice(["c", "u", "d"])
+        events.append(envelope(op, k, off, f"f{off}", f"l{off}"))
+        off += 1
+    # expected: replay sequentially
+    expected = {1: ("Sally", "Thomas", "user1@example.com"),
+                2: ("George", "B", "user2@example.com")}
+    for e in events:
+        payload = json.loads(e[1])["payload"]
+        k = json.loads(e[0])["payload"]["id"]
+        if payload["op"] == "d":
+            expected.pop(k, None)
+        else:
+            a = payload["after"]
+            expected[k] = (a["first_name"], a["last_name"], a["email"])
+    size = len(events) // n_batches
+    batches = [events[i * size : (i + 1) * size] for i in range(n_batches)]
+    if len(events) % n_batches:
+        batches[-1].extend(events[n_batches * size :])
+    final = run_replay(spark, tmp_path, SNAPSHOT, batches)
+    assert final == expected
