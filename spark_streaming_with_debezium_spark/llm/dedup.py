@@ -85,6 +85,18 @@ def _word_set(c: Column) -> Column:
     return F.array_distinct(F.split(F.lower(F.trim(c)), "\\s+"))
 
 
+def shingle_set(c: Column, shingle_len: int = 3) -> Column:
+    """Distinct sliding word n-gram shingles (order-sensitive dedup unit)."""
+    words = F.split(F.lower(F.trim(c)), "\\s+")
+    n_sh = F.greatest(F.size(words) - (shingle_len - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_len)),
+        )
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle="""
@@ -222,24 +234,26 @@ def lsh_candidate_pairs(
 @query("dedup_minhash_lsh", oracle=None)  # banding uses Spark xxhash64 => rows-only
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands × 4) near-dup candidates, verified by
-    exact word-set Jaccard ≥ 0.5. Deterministic (fixed hash seeds) but
-    not SQL-expressible — correctness asserted property-wise in tests
-    (candidates ⊇ high-jaccard pairs from the exact query)."""
+    exact 3-gram-shingle Jaccard ≥ 0.5 (the SAME unit the signatures
+    hash — word-set jaccard would disagree on word-order permutations).
+    Deterministic (fixed hash seeds) but not SQL-expressible —
+    correctness asserted property-wise in tests (candidates ⊇
+    high-shingle-jaccard pairs computed exactly)."""
     d = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(d)
     pairs = lsh_candidate_pairs(sigs)
-    ws = d.select("doc_id", _word_set(F.col("text")).alias("words"))
+    ws = d.select("doc_id", shingle_set(F.col("text")).alias("sh"))
     j = (
         pairs.join(ws.withColumnRenamed("doc_id", "doc_a").alias("wa"), "doc_a")
         .join(
             ws.select(
-                F.col("doc_id").alias("doc_b"), F.col("words").alias("words_b")
+                F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
             ).alias("wb"),
             "doc_b",
         )
     )
-    inter = F.size(F.array_intersect(F.col("words"), F.col("words_b")))
-    union = F.size("words") + F.size("words_b") - inter
+    inter = F.size(F.array_intersect(F.col("sh"), F.col("sh_b")))
+    union = F.size("sh") + F.size("sh_b") - inter
     jac = inter.cast("double") / union
     return j.filter(jac >= 0.5).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")

@@ -130,7 +130,7 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _srp_signature(vec: Column, bits: int = 16, dim: int = 64) -> Column:
+def _srp_signature(vec: Column, bits: int = 32, dim: int = 64) -> Column:
     """Sign-random-projection signature from deterministic pseudo-random
     hyperplanes: plane(b, i) = sign derived from xxhash64(b, i). Built
     entirely from higher-order functions — no driver-side plane matrix,
@@ -158,10 +158,11 @@ def _srp_signature(vec: Column, bits: int = 16, dim: int = 64) -> Column:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-k via sign-random-projection LSH.
 
-    16-bit signatures; candidates = vectors sharing any of four 4-bit
+    32-bit signatures; candidates = vectors sharing any of eight 4-bit
     bands with the query signature; exact cosine re-rank of candidates.
     Recall vs ann_cosine_topk is asserted in tests (≥ 0.5 at these
-    parameters on the synthetic clusters).
+    parameters on the synthetic clusters). Recall/cost is tuned by the
+    band count — each extra band adds ~corpus/2^bits candidates.
     """
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "sig", _srp_signature(F.col("embedding"))
@@ -172,7 +173,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(b).alias("band"),
                 F.shiftright("sig", b * 4).bitwiseAND(F.lit(0xF)).alias("bucket"),
             )
-            for b in range(4)
+            for b in range(8)
         ]
     )
     banded = e.select("vec_id", "embedding", F.explode(bands).alias("bb")).select(
@@ -226,7 +227,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("arn") == 1)
         .select("vec_id", "embedding", "cent_id")
     )
-    # per query: 3 nearest cells
+    # per query: probe the 5 nearest cells
     qs = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -234,7 +235,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("cent_id"))
     probes = (
         q_scored.withColumn("qrn", F.row_number().over(wq))
-        .filter(F.col("qrn") <= 3)
+        .filter(F.col("qrn") <= 5)
         .select("query_id", "qe", "cent_id")
     )
     cands = assigned.join(F.broadcast(probes), "cent_id").filter(

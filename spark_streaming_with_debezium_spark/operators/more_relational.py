@@ -1,0 +1,236 @@
+"""Second-wave relational coverage: percentiles, pivot, SQL-entry
+subqueries, richer datetime/string surface, CDC history arrays.
+
+These fill the delegated-SQL-layer rows of SURVEY §2 that the first
+wave didn't: G6 (grouped arrays), G7 (exact percentiles), SQL scalar /
+IN subqueries (the spark.sql entry point, §3.3), plus extra F3/F6
+functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_streaming_with_debezium_spark.functions.numeric import dsum, sql_dsum
+from spark_streaming_with_debezium_spark.registry import query
+from spark_streaming_with_debezium_spark.sources.tables import (
+    load_table,
+    register_views,
+)
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7: exact interpolated percentiles (median/p90). Both engines use
+    linear interpolation; results rounded to absorb fp noise. At 100 TB
+    prefer approx_percentile (no global sort of each group)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE NULL END")} AS qty_O,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE NULL END")} AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (columns from values) — implemented via the explicit-values
+    pivot so the output schema is static (required for a deterministic
+    contract, and the only scalable form: value-discovery pivot needs an
+    extra pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("O").alias("qty_O"),
+        F.col("F").alias("qty_F"),
+    )
+
+
+@query(
+    "sql_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM orders)
+    """,
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 SQL entry point: scalar subquery through spark.sql — the
+    full parser→analyzer→optimizer lifecycle, not the DataFrame DSL.
+    (avg is fp-order-dependent but used only in a far-from-boundary
+    comparison: prices are nowhere near 1.8×avg ± 1e-9.)"""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM orders)
+        """
+    )
+
+
+@query(
+    "sql_in_subquery",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_nationkey IN (
+      SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+    """,
+)
+def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3: IN-subquery (decorrelates to a semi join)."""
+    register_views(spark, sf_dir, ("customer", "nation"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_nationkey IN (
+          SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+        """
+    )
+
+
+@query(
+    "sql_correlated_exists",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    """,
+)
+def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3: correlated EXISTS (decorrelates to a left-semi join)."""
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        """
+    )
+
+
+@query(
+    "cdc_history_per_key",
+    oracle="""
+    SELECT user_id,
+           list(event_type ORDER BY event_id) AS op_history,
+           COUNT(*) AS n_changes,
+           MIN(ts) AS first_seen, MAX(ts) AS last_seen
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def cdc_history_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: ordered per-key change history (the CDC lineage view) —
+    collect_list over a sorted window, never bare collect_list."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        e.select(
+            "user_id",
+            F.collect_list("event_type").over(w).alias("op_history"),
+            F.count(F.lit(1)).over(w).alias("n_changes"),
+            F.min("ts").over(w).alias("first_seen"),
+            F.max("ts").over(w).alias("last_seen"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "fn_datetime_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start,
+           dayofweek(o_orderdate) + 1 AS dow
+    FROM orders
+    """,
+)
+def fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: date arithmetic — interval add, last_day, quarter trunc,
+    day-of-week (DuckDB dayofweek is 0-based Sunday; Spark 1-based)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.last_day(F.col("o_orderdate").cast("date")).cast("string").alias("month_end"),
+        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+        F.dayofweek("o_orderdate").alias("dow"),
+    )
+
+
+@query(
+    "fn_string_split_explode",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+          FROM documents) t
+    WHERE length(word) >= 8
+    GROUP BY word
+    """,
+)
+def fn_string_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3+F8: split → explode → aggregate (the word-count shape; the
+    basis of every text-pipeline operator)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("word")
+        )
+        .filter(F.length("word") >= 8)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "union_positional",
+    oracle="""
+    SELECT * FROM (
+      SELECT n_nationkey AS k, n_name AS name FROM nation
+      UNION ALL
+      SELECT r_regionkey AS k, r_name AS name FROM region)
+    """,
+)
+def union_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: positional bag union (the reference's per-row accumulation
+    union, `DebeziumDeltaFormatter.scala:20-24` — done once, not per
+    event)."""
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"), F.col("n_name").alias("name")
+    )
+    r = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("k"), F.col("r_name").alias("name")
+    )
+    return n.union(r)

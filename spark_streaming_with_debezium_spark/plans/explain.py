@@ -22,12 +22,26 @@ def has_pushed_filters(df: DataFrame) -> bool:
     return "PushedFilters: [" in txt and "PushedFilters: []" not in txt
 
 
+def _single_plan(df: DataFrame) -> str:
+    # "simple" mode: one line per operator ("formatted" repeats each node
+    # in a detail section). After execution AQE prints Final AND Initial
+    # plans — keep only the final one to avoid double counting.
+    txt = plan_text(df, "simple")
+    return txt.split("== Initial Plan ==")[0]
+
+
 def broadcast_join_count(df: DataFrame) -> int:
-    return plan_text(df).count("BroadcastHashJoin")
+    return _single_plan(df).count("BroadcastHashJoin")
 
 
 def sortmerge_join_count(df: DataFrame) -> int:
-    return plan_text(df).count("SortMergeJoin")
+    return _single_plan(df).count("SortMergeJoin")
+
+
+def has_wholestage_codegen(df: DataFrame) -> bool:
+    # Under AQE the un-executed "formatted" plan shows no codegen spans;
+    # "codegen" mode compiles the current plan and names its subtrees.
+    return "WholeStageCodegen" in plan_text(df, "codegen")
 
 
 def read_schema_columns(df: DataFrame) -> list[str]:

@@ -30,6 +30,7 @@ QUERIES: dict[str, Query] = {}
 #: Modules that register queries on import.
 _QUERY_MODULES = (
     "spark_streaming_with_debezium_spark.operators.relational",
+    "spark_streaming_with_debezium_spark.operators.more_relational",
     "spark_streaming_with_debezium_spark.operators.joins",
     "spark_streaming_with_debezium_spark.operators.windows",
     "spark_streaming_with_debezium_spark.operators.cdc_queries",

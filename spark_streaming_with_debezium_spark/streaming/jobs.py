@@ -1,0 +1,128 @@
+"""Real Structured Streaming jobs (SURVEY §2.9 T1–T9).
+
+These run the SAME event-time expressions as ``streaming.batch_equiv``
+but as genuine streams: file source → watermark → windowed agg /
+dedup → sink, driven deterministically with ``availableNow`` (drain
+everything, then stop) — the trigger a 100 TB backfill would use, and
+the only deterministic one for tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_file_stream(
+    spark: SparkSession, dir_path: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """Deterministic file-source stream of events rows (json lines).
+
+    One file per trigger by default so multi-file inputs replay as
+    multiple micro-batches (watermarks only advance BETWEEN batches —
+    in a single batch nothing is ever 'late')."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(dir_path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """T5+T6: watermarked tumbling-window aggregate. In append mode a
+    window emits once the watermark passes its end — late rows beyond
+    the watermark are dropped (T9)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """T8: streaming duplicate-delivery guard — state for each seen key
+    is kept only within the watermark, so state size is bounded by the
+    event rate × watermark, not the full history (the 100 TB
+    requirement for infinite streams)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
+    """Drain an availableNow stream into an in-memory table; returns the
+    query (stopped) for inspection via ``spark.sql(f"select * from {name}")``."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def running_totals_stateful(events: DataFrame) -> DataFrame:
+    """T10: arbitrary stateful op — per-user running totals via
+    applyInPandasWithState. Custom state beyond what windowed aggs
+    express: keeps (count, total) per user across micro-batches and
+    emits the updated snapshot each batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,125 @@
+"""Property tests for the non-oracle LLM operators: LSH recall vs the
+exact baseline, simhash sanity, deterministic fake decode."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_with_debezium_spark.registry import load_all
+from spark_streaming_with_debezium_spark.sources.tables import load_table
+
+QUERIES = load_all()
+
+
+def test_minhash_lsh_finds_exact_neardups(spark, sf_dir):
+    """Pairs with exact 3-gram-shingle jaccard >= 0.8 must be found by
+    the MinHash-LSH candidates with high recall (theoretical candidate
+    probability at j=0.8 with 8 bands x 4 rows is ~0.985)."""
+    from spark_streaming_with_debezium_spark.llm.dedup import shingle_set
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.select("doc_id", shingle_set(F.col("text")).alias("sh"))
+    a, b = ws.alias("a"), ws.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size("a.sh") + F.size("b.sh") - inter
+    jac = inter.cast("double") / union
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("j"),
+        )
+        .filter(F.col("j") >= 0.8)
+        .collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    if exact:
+        recall = len(exact & lsh) / len(exact)
+        assert recall >= 0.9, f"LSH recall {recall:.2f}; missed {exact - lsh}"
+
+
+def test_minhash_deterministic(spark, sf_dir):
+    a = sorted(
+        tuple(r) for r in QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    )
+    b = sorted(
+        tuple(r) for r in QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    )
+    assert a == b
+
+
+def test_simhash_pairs_are_near(spark, sf_dir):
+    """Simhash-close pairs must share most of their vocabulary."""
+    pairs = QUERIES["dedup_simhash"].fn(spark, sf_dir).collect()
+    assert len(pairs) > 0
+    d = load_table(spark, sf_dir, "documents")
+    words = {
+        r.doc_id: set(r.w)
+        for r in d.select(
+            "doc_id", F.split(F.lower(F.trim("text")), "\\s+").alias("w")
+        ).collect()
+    }
+    for r in pairs[:20]:
+        a, b = words[r.doc_a], words[r.doc_b]
+        jac = len(a & b) / len(a | b)
+        assert jac > 0.3, f"simhash pair ({r.doc_a},{r.doc_b}) jaccard={jac}"
+
+
+def test_ann_lsh_recall_vs_exact(spark, sf_dir):
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["ann_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["ann_lsh_topk"].fn(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"SRP-LSH recall {recall:.2f} below 0.5"
+
+
+def test_ann_ivf_recall_vs_exact(spark, sf_dir):
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["ann_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["ann_ivf_topk"].fn(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} below 0.6"
+
+
+def test_fake_decode_deterministic_and_correct(spark, sf_dir):
+    rows = (
+        QUERIES["multimodal_fake_decode"].fn(spark, sf_dir).orderBy("doc_id").limit(5).collect()
+    )
+    d = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(5).collect()
+    for r, doc in zip(rows, d):
+        b = doc.text.encode("utf-8")
+        hist = [0, 0, 0, 0]
+        for byte in b:
+            hist[byte % 4] += 1
+        assert (r.n_bytes, r.f0, r.f1, r.f2, r.f3) == (len(b), *hist)
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    approx = {
+        r.l_returnflag: r.approx_orders
+        for r in QUERIES["approx_count_distinct"].fn(spark, sf_dir).collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n < 0.05

@@ -1,0 +1,81 @@
+"""Physical-plan assertions — the 100 TB readiness gates.
+
+Correctness says the answer is right; these say the PLAN is right:
+filters reach the parquet scan, projections prune the read schema,
+dimension joins broadcast, the CDC merge co-partitions compaction and
+join on the same key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_with_debezium_spark.plans.explain import (
+    broadcast_join_count,
+    has_pushed_filters,
+    has_wholestage_codegen,
+    plan_text,
+    read_schema_columns,
+)
+from spark_streaming_with_debezium_spark.registry import load_all
+from spark_streaming_with_debezium_spark.sources.tables import load_table
+
+QUERIES = load_all()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = QUERIES["filter_predicates"].fn(spark, sf_dir)
+    assert has_pushed_filters(df)
+    txt = plan_text(df)
+    assert "o_totalprice" in txt.split("PushedFilters")[1][:400]
+
+
+def test_column_pruning(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    two_cols = li.select("l_orderkey", "l_quantity")
+    cols = read_schema_columns(two_cols)
+    assert set(cols) == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_q1_prunes_unused_columns(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"].fn(spark, sf_dir)
+    cols = set(read_schema_columns(df))
+    assert "l_orderkey" not in cols  # not referenced by Q1
+    assert "l_partkey" not in cols
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    df = QUERIES["join_broadcast_dims"].fn(spark, sf_dir)
+    assert broadcast_join_count(df) == 2  # nation AND region
+
+
+def test_flagship_uses_broadcast_dims(spark, sf_dir):
+    df = QUERIES["cdc_state_rollup"].fn(spark, sf_dir)
+    assert broadcast_join_count(df) >= 2
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    df = QUERIES["sort_limit_topk"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan_text(df)
+
+
+def test_whole_stage_codegen_in_hot_path(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"].fn(spark, sf_dir)
+    assert has_wholestage_codegen(df)
+
+
+def test_merge_single_shuffle_on_key(spark, sf_dir):
+    """Compaction window + merge join both key on the merge key; the
+    physical plan must not shuffle the change stream twice."""
+    df = QUERIES["cdc_current_state"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    # one exchange for the window partition, reused (or AQE-coalesced)
+    # for the join side: no more than 3 shuffles total in the plan
+    # (changes window, target side, join alignment).
+    assert txt.count("Exchange hashpartitioning") <= 3, txt
+
+
+def test_events_scan_prunes_for_json_query(spark, sf_dir):
+    df = QUERIES["fn_json_extract"].fn(spark, sf_dir)
+    cols = set(read_schema_columns(df))
+    assert "value" not in cols and "user_id" not in cols

@@ -1,0 +1,115 @@
+"""Sources (CSV dimension, JDBC plumbing) + UDF/UDTF surface tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from spark_streaming_with_debezium_spark.sources.csv_source import (
+    enrich,
+    read_dimension_csv,
+)
+from spark_streaming_with_debezium_spark.sources.jdbc_source import read_jdbc
+from spark_streaming_with_debezium_spark.functions.udfs import (
+    EnvelopeDiffUDTF,
+    cosine_pandas,
+    geometric_mean,
+    replay_validate,
+)
+
+
+CITIES_CSV = "﻿email;city\na@x.com;Valencia\nb@x.com;Barcelona\nc@x.com;Valencia\n"
+
+
+def test_csv_dimension_with_bom(spark, tmp_path):
+    p = tmp_path / "cities.csv"
+    p.write_text(CITIES_CSV, encoding="utf-8")
+    dim = read_dimension_csv(spark, str(p))
+    assert dim.columns == ["email", "city"]  # BOM stripped from header
+    assert dim.count() == 3
+
+
+def test_stream_static_enrichment_broadcasts(spark, tmp_path):
+    from spark_streaming_with_debezium_spark.plans.explain import (
+        broadcast_join_count,
+    )
+
+    p = tmp_path / "cities.csv"
+    p.write_text(CITIES_CSV, encoding="utf-8")
+    dim = read_dimension_csv(spark, str(p))
+    facts = spark.createDataFrame(
+        [("a@x.com", 1), ("z@x.com", 2)], "email string, n int"
+    )
+    out = enrich(facts, dim, on="email")
+    rows = {r.email: r.city for r in out.collect()}
+    assert rows == {"a@x.com": "Valencia", "z@x.com": None}
+    assert broadcast_join_count(out) == 1  # J6: dimension broadcast, no shuffle
+
+
+def test_jdbc_fails_cleanly_without_driver(spark):
+    with pytest.raises(Exception, match="(?i)driver|class"):
+        read_jdbc(spark, "jdbc:postgresql://localhost/x", "t").collect()
+
+
+def test_cosine_pandas_matches_builtin(spark, sf_dir):
+    from spark_streaming_with_debezium_spark.llm.similarity import cosine
+    from spark_streaming_with_debezium_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").limit(50)
+    a = e.select(F.col("vec_id"), F.col("embedding").alias("a"))
+    b = e.select(F.col("vec_id"), F.col("embedding").alias("b"))
+    j = a.join(b, "vec_id")
+    both = j.select(
+        "vec_id",
+        cosine_pandas("a", "b").alias("c_udf"),
+        cosine(F.col("a"), F.col("b")).alias("c_jvm"),
+    ).collect()
+    for r in both:
+        assert abs(r.c_udf - r.c_jvm) < 1e-6  # numpy float64 vs JVM double
+
+
+def test_geometric_mean_grouped_agg(spark, sf_dir):
+    import math
+
+    from spark_streaming_with_debezium_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    got = {
+        r.event_type: r.gm
+        for r in e.groupBy("event_type")
+        .agg(geometric_mean("value").alias("gm"))
+        .collect()
+    }
+    # cross-check one group in pure python
+    vals = [
+        r.value
+        for r in e.filter((F.col("event_type") == "error") & (F.col("value") > 0))
+        .select("value")
+        .collect()
+    ]
+    expected = math.exp(sum(math.log(v) for v in vals) / len(vals))
+    assert abs(got["error"] - expected) < 1e-9
+
+
+def test_replay_validate_agrees_with_lww(spark):
+    changes = spark.createDataFrame(
+        [(1, "c", 0), (1, "u", 1), (1, "d", 2), (2, "c", 3), (2, "u", 4)],
+        "id long, op string, offset long",
+    )
+    got = {r.id: (r.n_events, r.final_op, r.lww_matches_replay)
+           for r in replay_validate(changes).collect()}
+    assert got == {1: (3, "d", True), 2: (2, "u", True)}
+
+
+def test_envelope_diff_udtf(spark):
+    spark.udtf.register("EnvelopeDiffUDTF", EnvelopeDiffUDTF)
+    rows = spark.sql(
+        """
+        SELECT d.col, d.before, d.after
+        FROM VALUES (map('a','1','b','2'), map('a','1','b','3','c','4')) AS t(b, a),
+        LATERAL EnvelopeDiffUDTF(t.b, t.a) d
+        """
+    ).collect()
+    got = {(r.col): (r.before, r.after) for r in rows}
+    assert got == {"b": ("2", "3"), "c": (None, "4")}

@@ -1,0 +1,202 @@
+"""Structured Streaming tests: real streams driven with availableNow.
+
+Covers T1–T10: checkpointed foreachBatch CDC (incl. restart recovery),
+watermarked windows, late-data drop, streaming dedup, stateful op —
+each asserted against a batch-computed expectation over the same rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_streaming_with_debezium_spark.cdc.envelope import TableSpec
+from spark_streaming_with_debezium_spark.cdc.merge import ParquetStateTable
+from spark_streaming_with_debezium_spark.cdc.pipeline import run_cdc_stream
+from spark_streaming_with_debezium_spark.streaming.jobs import (
+    dedup_within_watermark,
+    events_file_stream,
+    run_to_memory,
+    running_totals_stateful,
+    windowed_counts,
+)
+
+RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+    ]
+)
+
+SPEC = TableSpec(
+    name="customers",
+    key_cols=("id",),
+    value_schema=T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("email", T.StringType())]
+    ),
+)
+
+
+def _env(op, i, off, email=None):
+    after = None if op == "d" else {"id": i, "email": email or f"u{i}@x.com"}
+    return json.dumps(
+        {
+            "key": json.dumps({"payload": {"id": i}}),
+            "value": json.dumps(
+                {
+                    "payload": {
+                        "before": {"id": i} if op in ("d", "u") else None,
+                        "after": after,
+                        "source": {"ts_ms": 1},
+                        "op": op,
+                        "ts_ms": 1,
+                    }
+                }
+            ),
+            "partition": 0,
+            "offset": off,
+        }
+    )
+
+
+def test_cdc_stream_with_checkpoint_restart(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(
+            [_env("c", 1, 0), _env("c", 2, 1), _env("u", 1, 2, "new@x.com"), _env("d", 2, 3)]
+        )
+    )
+    state = ParquetStateTable(spark, str(tmp_path / "state"), ["id"], n_buckets=4)
+    state.init(spark.createDataFrame([], "id long, email string"))
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = spark.readStream.schema(RAW_SCHEMA).json(str(src))
+    run_cdc_stream(stream, SPEC, state, ckpt).awaitTermination()
+    assert sorted((r.id, r.email) for r in state.read().collect()) == [
+        (1, "new@x.com")
+    ]
+
+    # restart on the same checkpoint: only the NEW file may be applied
+    (src / "b2.json").write_text("\n".join([_env("c", 3, 4), _env("d", 1, 5)]))
+    stream2 = spark.readStream.schema(RAW_SCHEMA).json(str(src))
+    run_cdc_stream(stream2, SPEC, state, ckpt).awaitTermination()
+    assert sorted((r.id, r.email) for r in state.read().collect()) == [
+        (3, "u3@x.com")
+    ]
+
+
+def _write_events(path, rows):
+    with open(path, "w") as f:
+        for eid, ts, uid, etype, val in rows:
+            f.write(
+                json.dumps(
+                    {
+                        "event_id": eid,
+                        "ts": ts,
+                        "user_id": uid,
+                        "event_type": etype,
+                        "value": val,
+                        "props": "{}",
+                    }
+                )
+                + "\n"
+            )
+
+
+def test_windowed_agg_stream_matches_batch(spark, tmp_path, sf_dir):
+    """The streaming tumbling-window plan must produce the same rows as
+    the batch equivalent over the same input (closed windows only)."""
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows = [
+        (0, "2024-01-01 00:10:00", 1, "a", 1.0),
+        (1, "2024-01-01 00:20:00", 1, "a", 2.0),
+        (2, "2024-01-01 01:10:00", 2, "b", 3.0),
+        (3, "2024-01-01 09:00:00", 2, "b", 4.0),  # advances watermark, closes earlier windows
+    ]
+    _write_events(src / "a.json", rows)
+    stream = events_file_stream(spark, str(src))
+    run_to_memory(windowed_counts(stream), "win_out")
+    got = {
+        (str(r.window_start), r.event_type): (r.n, r.total_value)
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    # windows at 00:00 (a: 2 rows) and 01:00 (b: 1 row) are closed by the
+    # 09:00 event's watermark (2h); the 09:00 window itself is still open.
+    assert got == {
+        ("2024-01-01 00:00:00", "a"): (2, 3.0),
+        ("2024-01-01 01:00:00", "b"): (1, 3.0),
+    }
+
+
+def test_late_data_dropped(spark, tmp_path):
+    """T9: an event older than the watermark must not reopen its window.
+
+    Spark semantics (observed): late rows are only guaranteed dropped
+    once their window has been EVICTED in a *prior* batch — a late row
+    landing in the same batch as the eviction still counts. Hence the
+    extra batch (c) between the watermark-advancing event and the late
+    arrival.
+    """
+    src = tmp_path / "ev"
+    src.mkdir()
+    import time
+
+    _write_events(src / "a.json", [(0, "2024-01-01 00:10:00", 1, "a", 1.0)])
+    time.sleep(1.1)  # file-source batch order = mod-time order
+    _write_events(src / "b.json", [(1, "2024-01-01 12:00:00", 1, "a", 1.0)])
+    time.sleep(1.1)
+    _write_events(src / "c.json", [(2, "2024-01-01 12:30:00", 1, "a", 1.0)])
+    time.sleep(1.1)
+    # arrives after the 00:00 window was evicted (batch c's end)
+    _write_events(src / "d.json", [(3, "2024-01-01 00:20:00", 1, "a", 99.0)])
+    stream = events_file_stream(spark, str(src))
+    run_to_memory(windowed_counts(stream), "late_out")
+    got = {
+        (str(r.window_start), r.event_type): (r.n, r.total_value)
+        for r in spark.sql("SELECT * FROM late_out").collect()
+    }
+    assert got.get(("2024-01-01 00:00:00", "a")) == (1, 1.0)  # late row excluded
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    src = tmp_path / "ev"
+    src.mkdir()
+    _write_events(
+        src / "a.json",
+        [
+            (7, "2024-01-01 00:10:00", 1, "a", 1.0),
+            (7, "2024-01-01 00:10:00", 1, "a", 1.0),  # duplicate delivery
+            (8, "2024-01-01 00:30:00", 1, "a", 2.0),
+        ],
+    )
+    stream = events_file_stream(spark, str(src))
+    run_to_memory(dedup_within_watermark(stream), "dedup_out")
+    rows = spark.sql("SELECT event_id FROM dedup_out").collect()
+    assert sorted(r.event_id for r in rows) == [7, 8]
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    src = tmp_path / "ev"
+    src.mkdir()
+    _write_events(
+        src / "a.json",
+        [
+            (0, "2024-01-01 00:00:00", 1, "a", 1.0),
+            (1, "2024-01-01 00:01:00", 1, "a", 2.0),
+            (2, "2024-01-01 00:02:00", 2, "b", 5.0),
+        ],
+    )
+    stream = events_file_stream(spark, str(src))
+    run_to_memory(running_totals_stateful(stream), "state_out", output_mode="update")
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM state_out").collect()
+    }
+    assert got == {1: (2, 3.0), 2: (1, 5.0)}
