@@ -85,16 +85,35 @@ def _word_set(c: Column) -> Column:
     return F.array_distinct(F.split(F.lower(F.trim(c)), "\\s+"))
 
 
+def word_shingles(c: Column, shingle_len: int = 3) -> Column:
+    """Sliding word n-gram shingles via arrays_zip of shifted slices.
+
+    NOT the naive ``transform(sequence(…), i -> slice(words, i, n))`` —
+    there the ``split`` child expression is re-evaluated once per
+    shingle (O(words²) regex work per row; measured 10× slower). Here
+    ``split`` appears a constant ``shingle_len`` times. Docs shorter
+    than one shingle fall back to the whole normalized text.
+    """
+    words = F.split(F.lower(F.trim(c)), "\\s+")
+    sz = F.size(words)
+    shifted = [words] + [
+        F.slice(words, k + 1, F.greatest(sz - k, F.lit(0)))
+        for k in range(1, shingle_len)
+    ]
+    zipped = F.arrays_zip(*shifted)
+    last = str(shingle_len - 1)
+    full = F.filter(zipped, lambda x: x[last].isNotNull())
+    sh = F.transform(
+        full, lambda x: F.concat_ws(" ", *[x[str(k)] for k in range(shingle_len)])
+    )
+    return F.when(F.size(sh) > 0, sh).otherwise(
+        F.array(F.lower(F.trim(c)))
+    )
+
+
 def shingle_set(c: Column, shingle_len: int = 3) -> Column:
     """Distinct sliding word n-gram shingles (order-sensitive dedup unit)."""
-    words = F.split(F.lower(F.trim(c)), "\\s+")
-    n_sh = F.greatest(F.size(words) - (shingle_len - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n_sh - 1),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_len)),
-        )
-    )
+    return F.array_distinct(word_shingles(c, shingle_len))
 
 
 @query(
@@ -157,12 +176,7 @@ def minhash_signatures(
     xxhash64(i || shingle). All array-valued higher-order expressions —
     one narrow projection, no shuffle, no UDF.
     """
-    words = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
-    n_sh = F.greatest(F.size(words) - (shingle_len - 1), F.lit(1))
-    shingles = F.transform(
-        F.sequence(F.lit(0), n_sh - 1),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_len)),
-    )
+    shingles = word_shingles(F.col(text_col), shingle_len)
     # Explode once, aggregate k mins in one pass: computing k
     # array_min(transform(...)) columns instead would re-evaluate the
     # shingle array k times per row (measured 25× slower). The groupBy

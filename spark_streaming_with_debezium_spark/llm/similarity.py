@@ -47,6 +47,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_prenormed(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with precomputed norms — in pairwise scoring, norms are
+    per-VECTOR quantities; computing them per PAIR triples the
+    (non-codegen) higher-order-function work. Bit-identical to
+    :func:`cosine` (same expressions, same order)."""
+    return dot(a, b) / (norm_a * norm_b)
+
+
 _COSINE_SQL = (
     "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
 )
@@ -78,15 +86,24 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the per-query top-k window (which shuffles only q·n score
     rows — and TakeOrdered-style truncation keeps it tiny).
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
     q = F.broadcast(
         e.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnrm"),
         )
     )
     scored = (
         e.join(q, F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qe"), F.col("embedding")))
+        .withColumn(
+            "cos",
+            cosine_prenormed(
+                F.col("qe"), F.col("embedding"), F.col("qnrm"), F.col("nrm")
+            ),
+        )
         .select("query_id", "vec_id", "cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
@@ -114,7 +131,9 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label (the cluster
     id doubles as the blocking key — at 100 TB the block comes from
     IVF assignment instead)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
     a, b = e.alias("a"), e.alias("b")
     pairs = a.join(
         b,
@@ -123,7 +142,12 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        cosine_prenormed(
+            F.col("a.embedding"),
+            F.col("b.embedding"),
+            F.col("a.nrm"),
+            F.col("b.nrm"),
+        ).alias("cos"),
     )
     return pairs.filter(F.col("cos") >= 0.90).select(
         "vec_a", "vec_b", F.round("cos", 6).alias("cos_sim")
@@ -164,8 +188,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameters on the synthetic clusters). Recall/cost is tuned by the
     band count — each extra band adds ~corpus/2^bits candidates.
     """
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
-        "sig", _srp_signature(F.col("embedding"))
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("sig", _srp_signature(F.col("embedding")))
+        .withColumn("nrm", norm(F.col("embedding")))
     )
     bands = F.array(
         *[
@@ -176,13 +202,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(8)
         ]
     )
-    banded = e.select("vec_id", "embedding", F.explode(bands).alias("bb")).select(
-        "vec_id", "embedding", "bb.band", "bb.bucket"
-    )
+    banded = e.select(
+        "vec_id", "embedding", "nrm", F.explode(bands).alias("bb")
+    ).select("vec_id", "embedding", "nrm", "bb.band", "bb.bucket")
     qs = F.broadcast(
         banded.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnrm"),
             "band",
             "bucket",
         )
@@ -190,10 +217,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = (
         banded.join(qs, ["band", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "qe", "vec_id", "embedding")
+        .select("query_id", "qe", "qnrm", "vec_id", "embedding", "nrm")
         .distinct()
     )
-    scored = cands.withColumn("cos", cosine(F.col("qe"), F.col("embedding")))
+    scored = cands.withColumn(
+        "cos",
+        cosine_prenormed(F.col("qe"), F.col("embedding"), F.col("qnrm"), F.col("nrm")),
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -213,37 +243,55 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is written bucketed-by-cell so a probe reads only its
     cells' files (partition pruning).
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
     cents = F.broadcast(
         e.filter(F.pmod(F.xxhash64("vec_id"), F.lit(31)) == 0).select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cnrm"),
         )
     )
     # assign every vector to its nearest centroid (max cosine)
-    asg_scored = e.join(cents).withColumn("cs", cosine(F.col("embedding"), F.col("ce")))
+    asg_scored = e.join(cents).withColumn(
+        "cs",
+        cosine_prenormed(F.col("embedding"), F.col("ce"), F.col("nrm"), F.col("cnrm")),
+    )
     wa = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cent_id"))
     assigned = (
         asg_scored.withColumn("arn", F.row_number().over(wa))
         .filter(F.col("arn") == 1)
-        .select("vec_id", "embedding", "cent_id")
+        .select("vec_id", "embedding", "nrm", "cent_id")
     )
     # per query: probe the 5 nearest cells
     qs = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
     )
-    q_scored = qs.join(cents).withColumn("cs", cosine(F.col("qe"), F.col("ce")))
+    q_scored = qs.join(cents).withColumn(
+        "cs", cosine_prenormed(F.col("qe"), F.col("ce"), F.col("qnrm"), F.col("cnrm"))
+    )
     wq = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("cent_id"))
     probes = (
         q_scored.withColumn("qrn", F.row_number().over(wq))
         .filter(F.col("qrn") <= 5)
-        .select("query_id", "qe", "cent_id")
+        .select("query_id", "qe", "qnrm", "cent_id")
     )
     cands = assigned.join(F.broadcast(probes), "cent_id").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    scored = cands.withColumn("cos", cosine(F.col("qe"), F.col("embedding"))).select(
-        "query_id", "vec_id", "cos"
-    ).distinct()
+    scored = (
+        cands.withColumn(
+            "cos",
+            cosine_prenormed(
+                F.col("qe"), F.col("embedding"), F.col("qnrm"), F.col("nrm")
+            ),
+        )
+        .select("query_id", "vec_id", "cos")
+        .distinct()
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

@@ -116,3 +116,59 @@ def cdc_state_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("total_balance"),
         )
     )
+
+
+@query(
+    "cdc_envelope_roundtrip",
+    oracle="""
+    SELECT user_id AS id,
+           CASE WHEN event_type = 'error' THEN NULL
+                ELSE CAST(value AS DOUBLE) END AS val,  -- deletes: after image is null
+           CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+           (event_type = 'error') AS deleted
+    FROM events
+    """,
+)
+def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The envelope parser itself under the t2 gate: synthesize Debezium
+    envelope JSON from events (executor-side to_json), parse it back
+    with cdc.envelope.parse_envelope, and emit the typed columns. The
+    oracle computes the same rows directly — any parsing defect
+    (schema, tombstone handling, op mapping, null discipline) breaks
+    the hash match. Also the honest benchmark of the vectorized parse
+    path that replaces DebeziumDeltaFormatter's driver loop.
+    """
+    from pyspark.sql import types as T
+
+    from spark_streaming_with_debezium_spark.cdc.envelope import (
+        TableSpec,
+        parse_envelope,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    is_del = F.col("event_type") == "error"
+    after = F.when(
+        ~is_del,
+        F.struct(F.col("user_id").alias("id"), F.col("value").alias("val")),
+    )
+    raw = e.select(
+        F.to_json(F.struct(F.struct(F.col("user_id").alias("id")).alias("payload"))).alias("key"),
+        F.to_json(
+            F.struct(
+                F.struct(
+                    after.alias("after"),
+                    F.when(is_del, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+                    (F.unix_timestamp("ts") * 1000).alias("ts_ms"),
+                ).alias("payload")
+            )
+        ).alias("value"),
+    )
+    spec = TableSpec(
+        name="events_cdc",
+        key_cols=("id",),
+        value_schema=T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("val", T.DoubleType())]
+        ),
+    )
+    parsed = parse_envelope(raw, spec)
+    return parsed.select("id", "val", "op", "deleted")
