@@ -26,16 +26,21 @@ from spark_streaming_with_debezium_spark.session import get_spark  # noqa: E402
 HEADLINE = (
     "q1_pricing_summary",
     "cdc_state_rollup",
+    "cdc_envelope_roundtrip",
     "join_inner_equi",
     "join_broadcast_dims",
     "join_asof",
+    "join_range_band",
     "window_rank_topk_per_group",
     "window_running_frames",
     "stream_tumbling_window",
     "stream_session_window",
+    "fn_json_typed_parse",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "text_quality",
     "text_token_counts",
 )
