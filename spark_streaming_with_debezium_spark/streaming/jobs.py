@@ -126,3 +126,68 @@ def running_totals_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_totals_tws(events: DataFrame) -> DataFrame:
+    """T10 on the Spark 4 API: transformWithStateInPandas with a
+    StatefulProcessor + ValueState — the successor to
+    applyInPandasWithState (kept above for comparison). Same semantics:
+    per-user running (count, total) emitted each batch.
+
+    Requires ``google.protobuf`` (the state-server protocol) and the
+    RocksDB state store; in environments without protobuf use
+    :func:`running_totals_stateful` (identical semantics).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    # transformWithState requires the RocksDB state store (the provider
+    # that supports its multi-state-variable layout); the default HDFS
+    # provider crashes the state worker.
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            state_schema = T.StructType(
+                [
+                    T.StructField("n", T.LongType()),
+                    T.StructField("total", T.DoubleType()),
+                ]
+            )
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (0, 0.0)
+            if self._state.exists():
+                n, total = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -200,3 +200,43 @@ def test_stateful_running_totals(spark, tmp_path):
         for r in spark.sql("SELECT * FROM state_out").collect()
     }
     assert got == {1: (2, 3.0), 2: (1, 5.0)}
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf (not in this env); "
+    "applyInPandasWithState variant covers T10",
+)
+def test_stateful_tws_running_totals(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas variant of T10."""
+    from spark_streaming_with_debezium_spark.streaming.jobs import running_totals_tws
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    _write_events(
+        src / "a.json",
+        [
+            (0, "2024-01-01 00:00:00", 1, "a", 1.0),
+            (1, "2024-01-01 00:01:00", 1, "a", 2.0),
+            (2, "2024-01-01 00:02:00", 2, "b", 5.0),
+        ],
+    )
+    stream = events_file_stream(spark, str(src))
+    run_to_memory(running_totals_tws(stream), "tws_out", output_mode="update")
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM tws_out").collect()
+    }
+    assert got == {1: (2, 3.0), 2: (1, 5.0)}
