@@ -1,0 +1,207 @@
+"""Classic warehouse queries (TPC-H shapes) over the synthetic star
+schema — the concrete form of the reference's delegated BI layer
+(`README.md:34-40`): multi-join + filter + aggregate + top-k plans that
+Catalyst compiles to broadcast joins over pruned scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_streaming_with_debezium_spark.functions.numeric import dsum, sql_dsum
+from spark_streaming_with_debezium_spark.registry import query
+from spark_streaming_with_debezium_spark.sources.tables import load_table
+
+def _revenue() -> F.Column:
+    # built lazily: composing Columns needs an active SparkContext,
+    # which doesn't exist at import time
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+_REVENUE_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_dsum(_REVENUE_SQL)} AS revenue,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+           o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '2023-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '2023-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, selective filters on both fact and
+    dim sides, aggregate, top-10. Customer filter broadcast into the
+    orders join; revenue decimal-exact for the oracle."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("2023-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2023-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(_revenue()).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_volume",
+    oracle=f"""
+    SELECT n_name, {sql_dsum(_REVENUE_SQL)} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way snowflake join with a same-nation
+    constraint (customer and supplier co-located), per-nation revenue."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(_revenue()).alias("revenue"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, {sql_dsum(_REVENUE_SQL)} AS revenue, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top-20."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(_revenue()).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: explicit GROUPING SETS with grouping_id disambiguation (the
+    SQL entry point — Spark's Expand operator under the hood)."""
+    from spark_streaming_with_debezium_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "unpivot_melt",
+    oracle="""
+    SELECT c_custkey, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer)
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide→long) via df.unpivot — the inverse of pivot;
+    oracle is the portable UNION ALL form."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
+
+
+@query("agg_approx_percentile", oracle=None)  # approximate => rows-only
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 approx path: percentile_approx — the 100 TB substitute for
+    exact percentiles (t-digest-style sketch, no per-group sort);
+    accuracy vs exact asserted in tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000).alias("approx_iqr"),
+    )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           xor(o_orderkey, 255) AS xkey,
+           o_orderkey & 15 AS low_bits,
+           o_orderkey >> 4 AS shifted,
+           o_orderkey | 1 AS odd_key
+    FROM orders
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-family extension: bitwise ops (the LSH/bucketing primitives as
+    a user-facing surface)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").bitwiseXOR(255).alias("xkey"),
+        F.col("o_orderkey").bitwiseAND(15).alias("low_bits"),
+        F.shiftright("o_orderkey", 4).alias("shifted"),
+        F.col("o_orderkey").bitwiseOR(1).alias("odd_key"),
+    )

@@ -31,6 +31,7 @@ QUERIES: dict[str, Query] = {}
 _QUERY_MODULES = (
     "spark_streaming_with_debezium_spark.operators.relational",
     "spark_streaming_with_debezium_spark.operators.more_relational",
+    "spark_streaming_with_debezium_spark.operators.tpch_like",
     "spark_streaming_with_debezium_spark.operators.joins",
     "spark_streaming_with_debezium_spark.operators.windows",
     "spark_streaming_with_debezium_spark.operators.cdc_queries",

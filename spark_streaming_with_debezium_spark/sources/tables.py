@@ -37,9 +37,11 @@ def default_sf_dir() -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 rejects
     # unless read as a long; convert ns→µs here so every consumer sees a
-    # TimestampType column. Set the conf per-call so the engine works in
-    # any host session (e.g. the driver's own SparkSession).
+    # TimestampType column. Set the confs per-call so the engine works in
+    # any host session (e.g. the driver's own SparkSession): UTC makes
+    # session-tz-sensitive ops line up with DuckDB's tz-naive values.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -123,3 +123,19 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) / n < 0.05
+
+
+def test_approx_percentile_accuracy(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r.m
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("m"))
+        .collect()
+    }
+    approx = {
+        r.l_returnflag: r.approx_median
+        for r in QUERIES["agg_approx_percentile"].fn(spark, sf_dir).collect()
+    }
+    for k, m in exact.items():
+        assert abs(approx[k] - m) / m < 0.02
