@@ -191,3 +191,28 @@ def running_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def run_to_console(df: DataFrame, output_mode: str = "append"):
+    """S8: console/debug sink — the reference's per-batch df.show()
+    (`DebeziumDeltaFormatter.scala:28`) as a proper sink; availableNow
+    so it drains and stops."""
+    q = (
+        df.writeStream.format("console")
+        .outputMode(output_mode)
+        .option("truncate", "false")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Built-in rate source — infinite (timestamp, value) rows; the
+    zero-dependency way to smoke a streaming topology."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )

@@ -240,3 +240,20 @@ def test_stateful_tws_running_totals(spark, tmp_path):
         for r in spark.sql("SELECT * FROM tws_out").collect()
     }
     assert got == {1: (2, 3.0), 2: (1, 5.0)}
+
+
+def test_rate_source_and_console_sink(spark, capfd):
+    """S8 + rate source: drive a tiny rate stream into the console sink."""
+    from spark_streaming_with_debezium_spark.streaming.jobs import (
+        rate_source,
+        run_to_console,
+    )
+
+    df = rate_source(spark, rows_per_second=5).selectExpr(
+        "value", "value * 2 AS doubled"
+    )
+    import time
+
+    time.sleep(1.5)  # let the source accumulate a few rows
+    run_to_console(df)
+    # console sink writes to the JVM's stdout; just assert clean completion
