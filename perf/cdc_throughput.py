@@ -1,0 +1,128 @@
+"""CDC apply throughput experiment (reproducible).
+
+Synthesizes N Debezium envelope JSON records (insert/update/delete mix
+over a keyed table), then measures the full pipeline — parse →
+LWW-compact → bucketed merge into an on-disk parquet state table — and
+prints events/sec.
+
+Context: the reference's formatter moves every micro-batch through the
+driver one event at a time (toLocalIterator + JSON.parseFull + one
+1-row parallelize per event, DebeziumDeltaFormatter.scala:14-26,69-72),
+which caps it at roughly single-thread JSON parse speed regardless of
+cluster size. This engine's path is a single distributed plan.
+
+Run: python perf/cdc_throughput.py [n_events]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+from spark_streaming_with_debezium_spark.cdc.envelope import TableSpec  # noqa: E402
+from spark_streaming_with_debezium_spark.cdc.merge import ParquetStateTable  # noqa: E402
+from spark_streaming_with_debezium_spark.cdc.pipeline import batch_apply  # noqa: E402
+from spark_streaming_with_debezium_spark.session import get_spark  # noqa: E402
+
+SPEC = TableSpec(
+    name="customers",
+    key_cols=("id",),
+    value_schema=T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("first_name", T.StringType()),
+            T.StructField("last_name", T.StringType()),
+            T.StructField("email", T.StringType()),
+        ]
+    ),
+)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_keys = max(1, n // 4)
+    spark = get_spark("cdc-throughput")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Synthesize envelopes executor-side (to_json over generated rows) —
+    # the input is a DataFrame of (key, value, partition, offset) JSON
+    # strings, exactly what the Kafka projection yields.
+    base = spark.range(n).select(
+        F.col("id").alias("offset"),
+        (F.col("id") % n_keys).alias("k"),
+        F.when(F.col("id") % 10 == 9, "d")
+        .when(F.col("id") % 3 == 0, "c")
+        .otherwise("u")
+        .alias("op"),
+    )
+    after = F.when(
+        F.col("op") != "d",
+        F.struct(
+            F.col("k").alias("id"),
+            F.concat(F.lit("fn"), F.col("k")).alias("first_name"),
+            F.concat(F.lit("ln"), F.col("k")).alias("last_name"),
+            F.concat(F.lit("u"), F.col("k"), F.lit("@example.com")).alias("email"),
+        ),
+    )
+    raw = base.select(
+        F.to_json(F.struct(F.struct(F.col("k").alias("id")).alias("payload"))).alias(
+            "key"
+        ),
+        F.to_json(
+            F.struct(
+                F.struct(
+                    after.alias("after"),
+                    F.col("op"),
+                    (F.col("offset") + 1700000000000).alias("ts_ms"),
+                ).alias("payload")
+            )
+        ).alias("value"),
+        F.lit(0).alias("partition"),
+        F.col("offset"),
+    )
+    # Materialize the input first so the measurement excludes synthesis.
+    workdir = tempfile.mkdtemp(prefix="cdc_tp_")
+    try:
+        src = os.path.join(workdir, "raw")
+        raw.write.mode("overwrite").parquet(src)
+        raw_df = spark.read.parquet(src)
+
+        state = ParquetStateTable(
+            spark, os.path.join(workdir, "state"), key_cols=["id"], n_buckets=64
+        )
+        state.init(
+            spark.createDataFrame(
+                [], "id long, first_name string, last_name string, email string"
+            )
+        )
+        t0 = time.perf_counter()
+        batch_apply(raw_df, SPEC, state)
+        dt = time.perf_counter() - t0
+        final_rows = state.read().count()
+        print(
+            json.dumps(
+                {
+                    "n_events": n,
+                    "n_keys": n_keys,
+                    "wall_sec": round(dt, 2),
+                    "events_per_sec": int(n / dt),
+                    "final_state_rows": final_rows,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

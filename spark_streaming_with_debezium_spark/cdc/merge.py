@@ -168,7 +168,11 @@ class ParquetStateTable:
         """Bootstrap from a snapshot (the reference's initial-load job,
         `StreamingJobInitialExecutor.scala:44-51`, minus its per-batch
         append quirks: one partitioned write)."""
-        bucket_of(snapshot, self.key_cols, self.n_buckets).write.mode(
+        bucketed = bucket_of(snapshot, self.key_cols, self.n_buckets)
+        # Align tasks with buckets: each task then writes exactly one
+        # bucket file instead of every task writing a sliver of every
+        # bucket (n_tasks × n_buckets small files).
+        bucketed.repartition(self.n_buckets, F.col("_bucket")).write.mode(
             "overwrite"
         ).partitionBy("_bucket").parquet(self.path)
         with open(self._schema_file, "w") as f:
@@ -183,14 +187,18 @@ class ParquetStateTable:
                 return
             # Partition pruning: only touched buckets are scanned.
             state = self._read_bucketed().filter(F.col("_bucket").isin(touched))
+            # No forced broadcast: small CDC batches get broadcast by AQE
+            # anyway; forcing it makes BIG batches (backfills) build a
+            # driver-side broadcast relation of the whole change set.
             merged = apply_changes(
                 state.drop("_bucket"),
                 changes.drop("_bucket"),
                 self.key_cols,
                 data_cols=data_cols,
-                broadcast_changes=True,
             )
-            merged = bucket_of(merged, self.key_cols, self.n_buckets)
+            merged = bucket_of(merged, self.key_cols, self.n_buckets).repartition(
+                max(len(touched), 1), F.col("_bucket")
+            )
             # Write to a temp dir first, then swap touched bucket dirs in;
             # dynamic partition overwrite would do this natively on a real
             # cluster (spark.sql.sources.partitionOverwriteMode=dynamic).
