@@ -1,0 +1,84 @@
+"""pyspark.ml LSH variants (SURVEY §2.3 J11's ``approxSimilarityJoin``).
+
+The engine's native LSH (llm/dedup.py, llm/similarity.py) is pure
+DataFrame code; these wrappers expose the same capabilities through
+pyspark.ml's estimators — MinHashLSH over token sets and
+BucketedRandomProjectionLSH over embeddings — for users coming from the
+MLlib API. Seeds fixed for determinism; rows-only checks (model
+internals aren't SQL-expressible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_streaming_with_debezium_spark.registry import query
+from spark_streaming_with_debezium_spark.sources.tables import load_table
+
+
+def _token_vectors(docs: DataFrame, vocab_size: int = 1 << 16) -> DataFrame:
+    """Sparse binary token vectors via HashingTF (set semantics)."""
+    from pyspark.ml.feature import HashingTF, Tokenizer
+
+    tok = Tokenizer(inputCol="text", outputCol="words")
+    tf = HashingTF(
+        inputCol="words", outputCol="features", numFeatures=vocab_size, binary=True
+    )
+    return tf.transform(tok.transform(docs.select("doc_id", F.lower(F.trim("text")).alias("text"))))
+
+
+@query("dedup_minhash_ml", oracle=None)  # model-based => rows-only
+def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 via pyspark.ml MinHashLSH.approxSimilarityJoin: near-dup doc
+    pairs at Jaccard distance ≤ 0.4 over hashed token sets. Compared
+    against the native LSH in tests (both must find the exact-dup
+    clusters)."""
+    from pyspark.ml.feature import MinHashLSH
+
+    d = load_table(spark, sf_dir, "documents")
+    vecs = _token_vectors(d)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = mh.fit(vecs)
+    pairs = model.approxSimilarityJoin(vecs, vecs, 0.4, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )
+
+
+@query("ann_brp_ml", oracle=None)  # model-based => rows-only
+def ann_brp_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 via BucketedRandomProjectionLSH: approx nearest neighbors in
+    euclidean distance for the standing query vectors (vec_id < 8)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0,
+        numHashTables=4, seed=42,
+    )
+    model = brp.fit(e)
+    hashed = model.transform(e).cache()
+    queries = hashed.filter(F.col("vec_id") < 8).collect()
+    out = None
+    for q in queries:
+        nn = (
+            model.approxNearestNeighbors(hashed, q.features, 6, distCol="dist")
+            .filter(F.col("vec_id") != q.vec_id)
+            .limit(5)
+            .select(
+                F.lit(q.vec_id).alias("query_id"),
+                "vec_id",
+                F.round("dist", 6).alias("dist"),
+            )
+        )
+        out = nn if out is None else out.unionByName(nn)
+    return out

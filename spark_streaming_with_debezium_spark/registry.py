@@ -41,6 +41,8 @@ _QUERY_MODULES = (
     "spark_streaming_with_debezium_spark.llm.similarity",
     "spark_streaming_with_debezium_spark.llm.text_analysis",
     "spark_streaming_with_debezium_spark.llm.multimodal",
+    "spark_streaming_with_debezium_spark.llm.ml_lsh",
+    "spark_streaming_with_debezium_spark.llm.embedding_ops",
 )
 
 

@@ -139,3 +139,43 @@ def test_approx_percentile_accuracy(spark, sf_dir):
     }
     for k, m in exact.items():
         assert abs(approx[k] - m) / m < 0.02
+
+
+def test_ml_minhash_finds_exact_dups(spark, sf_dir):
+    """pyspark.ml MinHashLSH must (at minimum) find pairs of EXACTLY
+    identical documents that exact dedup flags."""
+    groups = QUERIES["dedup_exact_groups"].fn(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import functions as F2
+
+    by_hash = (
+        d.select("doc_id", F2.md5(F2.regexp_replace(F2.lower(F2.trim("text")), "\\s+", " ")).alias("h"))
+        .collect()
+    )
+    hash_to_ids = {}
+    for r in by_hash:
+        hash_to_ids.setdefault(r.h, []).append(r.doc_id)
+    exact_pairs = set()
+    for g in groups:
+        ids = sorted(hash_to_ids[g.content_hash])
+        exact_pairs.update((a, b) for i, a in enumerate(ids) for b in ids[i + 1 :])
+    ml = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_ml"].fn(spark, sf_dir).collect()
+    }
+    missed = exact_pairs - ml
+    assert not missed, f"ml LSH missed exact-dup pairs: {missed}"
+
+
+def test_quantize_roundtrip_error_bounded(spark, sf_dir):
+    rows = QUERIES["embedding_quantize_int8"].fn(spark, sf_dir).limit(20).collect()
+    d = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, sf_dir, "embeddings").limit(200).collect()
+    }
+    for r in rows:
+        if r.vec_id not in d:
+            continue
+        step = r.absmax / 127
+        for orig, qv in zip(d[r.vec_id], r.q):
+            assert abs(float(orig) - qv * step) <= step * 0.51 + 1e-6
