@@ -100,8 +100,12 @@ class EnvelopeDiffUDTF:
 
 def cell_changelog(changes: DataFrame, before_col: str, after_col: str) -> DataFrame:
     """Apply the envelope-diff UDTF laterally to a change DataFrame."""
+    spark = changes.sparkSession
+    spark.udtf.register("EnvelopeDiffUDTF", EnvelopeDiffUDTF)
     changes.createOrReplaceTempView("_chg")
-    return changes.sparkSession.sql(
-        f"SELECT c.*, d.col, d.before, d.after "
+    # distinct output names: c.* already carries the before/after maps
+    return spark.sql(
+        f"SELECT c.*, d.col AS changed_col, d.before AS before_value, "
+        f"d.after AS after_value "
         f"FROM _chg c, LATERAL EnvelopeDiffUDTF(c.{before_col}, c.{after_col}) d"
     )

@@ -113,3 +113,16 @@ def test_envelope_diff_udtf(spark):
     ).collect()
     got = {(r.col): (r.before, r.after) for r in rows}
     assert got == {"b": ("2", "3"), "c": (None, "4")}
+
+
+def test_cell_changelog_lateral(spark):
+    from spark_streaming_with_debezium_spark.functions.udfs import cell_changelog
+
+    changes = spark.createDataFrame(
+        [(1, {"a": "1", "b": "2"}, {"a": "1", "b": "3"})],
+        "id long, before map<string,string>, after map<string,string>",
+    )
+    rows = cell_changelog(changes, "before", "after").collect()
+    assert [(r.id, r.changed_col, r.before_value, r.after_value) for r in rows] == [
+        (1, "b", "2", "3")
+    ]
