@@ -205,3 +205,43 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright("o_orderkey", 4).alias("shifted"),
         F.col("o_orderkey").bitwiseOR(1).alias("odd_key"),
     )
+
+
+@query(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c_custkey, o_orderkey,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+           {sql_dsum('l_quantity')} AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey, o_orderdate
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate subquery (large-volume
+    orders) semi-joined back to the facts. Exercises agg → filter →
+    semi join → re-aggregate; the HAVING sum is a plain long comparison
+    (sum of halves-free doubles is engine-stable far from 150.0 —
+    quantities are x.5-grained, so boundary sits at .5 exactly only if a
+    sum equals 150.0, which both engines then exclude identically)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 150)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .select("c_custkey", "o_orderkey", "o_orderdate", "total_qty")
+    )

@@ -228,3 +228,40 @@ def test_property_random_replay(spark, tmp_path, n_batches):
         batches[-1].extend(events[n_batches * size :])
     final = run_replay(spark, tmp_path, SNAPSHOT, batches)
     assert final == expected
+
+
+def test_shuffled_input_order_within_batch(spark, tmp_path):
+    """Row order in the input collection must not matter — only the
+    (partition, offset) sequence defines LWW order."""
+    import random
+
+    events = [
+        envelope("c", 7, 10, "A", "A"),
+        envelope("u", 7, 11, "B", "B"),
+        envelope("u", 7, 12, "C", "C"),
+        envelope("d", 8, 13),
+        envelope("c", 8, 9, "X", "X"),  # earlier offset, listed later
+    ]
+    rng = random.Random(7)
+    rng.shuffle(events)
+    final = run_replay(spark, tmp_path, SNAPSHOT, [events])
+    assert final[7][0] == "C"
+    assert 8 not in final  # d @13 beats c @9 regardless of list order
+
+
+def test_merge_reapply_idempotent(spark, tmp_path):
+    """Re-applying an identical (already-compacted) batch is a no-op —
+    the exactly-once-in-effect property checkpoint replay relies on."""
+    from spark_streaming_with_debezium_spark.cdc.merge import ParquetStateTable
+
+    state = ParquetStateTable(spark, str(tmp_path / "s"), ["id"], n_buckets=4)
+    state.init(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    changes = spark.createDataFrame(
+        [(2, "b2", False), (3, "c", False), (1, None, True)],
+        "id long, v string, deleted boolean",
+    )
+    state.merge(changes)
+    once = sorted(map(tuple, state.read().collect()))
+    state.merge(changes)
+    twice = sorted(map(tuple, state.read().collect()))
+    assert once == twice == [(2, "b2"), (3, "c")]

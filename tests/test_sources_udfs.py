@@ -126,3 +126,12 @@ def test_cell_changelog_lateral(spark):
     assert [(r.id, r.changed_col, r.before_value, r.after_value) for r in rows] == [
         (1, "b", "2", "3")
     ]
+
+
+def test_kafka_reader_fails_cleanly_without_package(spark):
+    """No kafka package on this classpath: the reader must fail with
+    Spark's data-source-not-found guidance, not something cryptic."""
+    from spark_streaming_with_debezium_spark.cdc.pipeline import kafka_reader
+
+    with pytest.raises(Exception, match="(?i)kafka|data source"):
+        kafka_reader(spark, "localhost:9092", "topic")
