@@ -321,3 +321,59 @@ def fn_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
     )
+
+
+@query(
+    "fn_strings_extended",
+    oracle="""
+    SELECT s_suppkey,
+           lpad(CAST(s_suppkey AS VARCHAR), 10, '0') AS padded_key,
+           levenshtein(s_name, 'Supplier#000000001') AS edit_dist,
+           reverse(s_name) AS rev_name,
+           repeat('ab', 3) AS repeated,
+           translate(s_name, '#', '-') AS translated,
+           CAST(strpos(s_name, '#') AS INT) AS hash_pos
+    FROM supplier
+    """,
+)
+def fn_strings_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 completion: pad, levenshtein (the edit-distance dedup
+    primitive), reverse, repeat, translate, instr."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.lpad(F.col("s_suppkey").cast("string"), 10, "0").alias("padded_key"),
+        F.levenshtein("s_name", F.lit("Supplier#000000001")).alias("edit_dist"),
+        F.reverse("s_name").alias("rev_name"),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),
+        F.translate("s_name", "#", "-").alias("translated"),
+        F.instr("s_name", "#").alias("hash_pos"),
+    )
+
+
+@query(
+    "fn_arrays_extended",
+    oracle="""
+    SELECT p_partkey,
+           list_contains(string_split(p_type, ' '), 'PLATED') AS has_plated,
+           list_position(string_split(p_type, ' '), 'PLATED') AS plated_pos,
+           len(flatten([string_split(p_type, ' '), string_split(p_brand, '#')]))
+             AS n_parts,
+           list_transform(range(1, 4), x -> x * p_size) AS size_multiples
+    FROM part
+    """,
+)
+def fn_arrays_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 completion: array_contains/position, flatten, sequence ×
+    scalar (generator arrays)."""
+    p = load_table(spark, sf_dir, "part")
+    words = F.split("p_type", " ")
+    return p.select(
+        "p_partkey",
+        F.array_contains(words, "PLATED").alias("has_plated"),
+        F.array_position(words, "PLATED").alias("plated_pos"),
+        F.size(F.flatten(F.array(words, F.split("p_brand", "#")))).alias("n_parts"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(3)), lambda x: x * F.col("p_size")
+        ).alias("size_multiples"),
+    )

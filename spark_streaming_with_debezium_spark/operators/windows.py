@@ -176,3 +176,26 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_type").over(w).alias("first_type"),
         F.last("event_type").over(w).alias("last_type"),
     ).distinct()
+
+
+@query(
+    "window_dist_functions",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           round(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
+           round(CUME_DIST() OVER (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal, c_custkey), 6) AS cume
+    FROM customer
+    """,
+)
+def window_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 completion: percent_rank + cume_dist (distribution ranks)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
