@@ -93,6 +93,25 @@ def _key_schema_of(spec: TableSpec) -> T.StructType:
     return T.StructType([T.StructField(f.name, f.dataType) for f in fields])
 
 
+def dead_letters(
+    raw: DataFrame,
+    spec: TableSpec,
+    value_col: str = "value",
+) -> DataFrame:
+    """Malformed change events: value present but the envelope failed to
+    parse (no payload.op). These rows are silently DROPPED by the merge
+    path; route this DataFrame to a quarantine sink so a poison message
+    never stalls the stream (the at-scale alternative to failing the
+    job on one bad record)."""
+    val_schema = envelope_value_schema(spec.value_schema)
+    parsed = raw.filter(F.col(value_col).isNotNull()).withColumn(
+        "_v", F.from_json(F.col(value_col).cast("string"), val_schema)
+    )
+    return parsed.filter(
+        F.col("_v").isNull() | F.col("_v.payload.op").isNull()
+    ).drop("_v")
+
+
 def parse_envelope(
     raw: DataFrame,
     spec: TableSpec,
@@ -141,4 +160,6 @@ def parse_envelope(
         (F.col("_v.payload.op") == F.lit("d")).alias("deleted"),
     ]
     cols += [F.col(c) for c in seq_cols]
-    return df.select(*cols)
+    # Drop rows the envelope parser couldn't type (op missing): they are
+    # surfaced separately by :func:`dead_letters`, never merged.
+    return df.select(*cols).filter(F.col("op").isNotNull())

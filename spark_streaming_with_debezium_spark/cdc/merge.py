@@ -151,7 +151,9 @@ class ParquetStateTable:
             df = self.spark.read.parquet(self.path)
             if "_bucket" not in df.columns:  # pragma: no cover
                 df = bucket_of(df, self.key_cols, self.n_buckets)
-            return df
+            # post-evolve: files written before a schema widening lack the
+            # new columns; align to the sidecar schema (NULL-filled)
+            return self._align_to_schema(df)
         if schema is None:
             raise FileNotFoundError(
                 f"state table {self.path} not initialized (no data, no schema)"
@@ -177,6 +179,43 @@ class ParquetStateTable:
         ).partitionBy("_bucket").parquet(self.path)
         with open(self._schema_file, "w") as f:
             json.dump(snapshot.schema.jsonValue(), f)
+
+    def evolve(self, new_columns: dict[str, str]) -> None:
+        """Schema evolution: register additional nullable columns.
+
+        Existing bucket files stay untouched — reads use parquet schema
+        merging semantics via the sidecar (missing columns read as
+        NULL); newly merged buckets are written with the widened schema.
+        This is the additive-column evolution Debezium produces when the
+        source table gains a column (the dynamic-schema capability the
+        reference left as a TODO, README.md:51).
+        """
+        schema = self._stored_schema()
+        if schema is None:
+            raise FileNotFoundError(f"state table {self.path} not initialized")
+        fields = list(schema.fields)
+        existing = {f.name for f in fields}
+        for name, dtype in new_columns.items():
+            if name not in existing:
+                fields.append(T.StructField(name, T._parse_datatype_string(dtype)))
+        with open(self._schema_file, "w") as f:
+            json.dump(T.StructType(fields).jsonValue(), f)
+
+    def _align_to_schema(self, df: DataFrame) -> DataFrame:
+        """Project df onto the stored schema, adding NULLs for columns
+        the on-disk files don't have yet (post-evolve reads)."""
+        schema = self._stored_schema()
+        if schema is None:
+            return df
+        cols = []
+        for f in schema.fields:
+            if f.name in df.columns:
+                cols.append(F.col(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        if "_bucket" in df.columns:
+            cols.append(F.col("_bucket"))
+        return df.select(*cols)
 
     def merge(self, changes: DataFrame, data_cols: Sequence[str] | None = None) -> None:
         """Merge a compacted change batch, rewriting only touched buckets."""

@@ -265,3 +265,44 @@ def test_merge_reapply_idempotent(spark, tmp_path):
     state.merge(changes)
     twice = sorted(map(tuple, state.read().collect()))
     assert once == twice == [(2, "b2"), (3, "c")]
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Debezium adds a column upstream: evolve() widens the registered
+    schema; old rows read as NULL, new merges carry the new column."""
+    from spark_streaming_with_debezium_spark.cdc.merge import ParquetStateTable
+
+    state = ParquetStateTable(spark, str(tmp_path / "s"), ["id"], n_buckets=4)
+    state.init(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    state.evolve({"city": "string"})
+
+    # old data readable, NULL-filled
+    assert {(r.id, r.v, r.city) for r in state.read().collect()} == {
+        (1, "a", None),
+        (2, "b", None),
+    }
+    # merge a batch that includes the new column
+    changes = spark.createDataFrame(
+        [(2, "b2", "Valencia", False), (3, "c", "Barcelona", False)],
+        "id long, v string, city string, deleted boolean",
+    )
+    state.merge(changes)
+    got = {(r.id, r.v, r.city) for r in state.read().collect()}
+    assert got == {(1, "a", None), (2, "b2", "Valencia"), (3, "c", "Barcelona")}
+
+
+def test_dead_letter_routing(spark, tmp_path):
+    """Malformed envelopes are quarantined, never merged, never fatal."""
+    from spark_streaming_with_debezium_spark.cdc.envelope import dead_letters
+
+    rows = [
+        envelope("c", 1, 0, "A", "A"),
+        ("{}", "this is not json", "t", 0, 1),
+        ("{}", '{"payload": {"nope": 1}}', "t", 0, 2),  # no op
+        tombstone(9, 3),  # tombstone is NOT a dead letter
+    ]
+    raw = spark.createDataFrame(rows, RAW_SCHEMA)
+    dl = dead_letters(raw, CUSTOMERS)
+    assert sorted(r.offset for r in dl.collect()) == [1, 2]
+    final = run_replay(spark, tmp_path, SNAPSHOT, [rows])
+    assert final[1][0] == "A"  # good row merged; bad rows skipped

@@ -116,3 +116,50 @@ def test_unknown_topic_ignored(spark, tmp_path):
     ]
     reg.apply_batch(spark.createDataFrame(batch, RAW_SCHEMA))
     assert {r.id for r in cust_state.read().collect()} == {1}
+
+
+def test_cli_runner_end_to_end(spark, tmp_path):
+    """The spark-submit-able jobs: initial load then streaming upsert,
+    driven through the argparse surface (the reference's two mains)."""
+    import json as _json
+
+    from spark_streaming_with_debezium_spark.cdc.run import build_parser, run
+
+    snap_dir = tmp_path / "snap"
+    snap_dir.mkdir()
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+
+    def w(path, rows):
+        with open(path, "w") as f:
+            for key, value, topic, part, off in rows:
+                f.write(
+                    _json.dumps(
+                        {"key": key, "value": value, "topic": topic,
+                         "partition": part, "offset": off}
+                    )
+                    + "\n"
+                )
+
+    w(snap_dir / "s.json", [env(CUSTOMERS, "r", 1, 0, email="a@x.com"),
+                            env(CUSTOMERS, "r", 2, 1, email="b@x.com")])
+    w(stream_dir / "b1.json", [env(CUSTOMERS, "u", 1, 2, email="new@x.com"),
+                               env(CUSTOMERS, "d", 2, 3)])
+
+    common = [
+        "--table", "customers", "--keys", "id",
+        "--schema", "id long, email string",
+        "--state", str(tmp_path / "state"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--n-buckets", "4",
+    ]
+    p = build_parser()
+    run(p.parse_args(["--mode", "initial", "--source", "file",
+                      "--input", str(snap_dir), *common]), spark=spark)
+    run(p.parse_args(["--mode", "stream", "--source", "file",
+                      "--input", str(stream_dir), *common]), spark=spark)
+
+    from spark_streaming_with_debezium_spark.cdc.merge import ParquetStateTable
+
+    state = ParquetStateTable(spark, str(tmp_path / "state" / "customers"), ["id"], 4)
+    assert {(r.id, r.email) for r in state.read().collect()} == {(1, "new@x.com")}
