@@ -217,6 +217,42 @@ class ParquetStateTable:
             cols.append(F.col("_bucket"))
         return df.select(*cols)
 
+    def compact_buckets(self, min_files: int = 4) -> int:
+        """Maintenance: rewrite buckets fragmented into many small files
+        (each merge leaves one file per touched bucket, but crash-
+        recovered or externally-appended buckets can fragment). Returns
+        the number of buckets compacted. The 100 TB version runs this
+        on a schedule against per-bucket file counts from the lake
+        listing — same logic, same swap protocol as merge()."""
+        if not self.exists():
+            return 0
+        fragmented = []
+        for d in os.listdir(self.path):
+            if d.startswith("_bucket="):
+                files = [
+                    f
+                    for f in os.listdir(os.path.join(self.path, d))
+                    if f.endswith(".parquet")
+                ]
+                if len(files) >= min_files:
+                    fragmented.append(int(d.split("=", 1)[1]))
+        if not fragmented:
+            return 0
+        sub = self._read_bucketed().filter(F.col("_bucket").isin(fragmented))
+        sub = sub.repartition(len(fragmented), F.col("_bucket"))
+        tmp = tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(self.path))
+        try:
+            sub.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
+            for b in fragmented:
+                src = os.path.join(tmp, f"_bucket={b}")
+                dst = os.path.join(self.path, f"_bucket={b}")
+                if os.path.exists(src):
+                    shutil.rmtree(dst, ignore_errors=True)
+                    shutil.move(src, dst)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return len(fragmented)
+
     def merge(self, changes: DataFrame, data_cols: Sequence[str] | None = None) -> None:
         """Merge a compacted change batch, rewriting only touched buckets."""
         changes = bucket_of(changes, self.key_cols, self.n_buckets).cache()

@@ -61,3 +61,36 @@ def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
     # and the data is correct
     vals = {r.id: r.val for r in state.read().collect()}
     assert vals[7] == "v7b" and vals[8] == "v8" and len(vals) == 200
+
+
+def test_bucket_compaction(spark, tmp_path):
+    """Fragmented buckets get rewritten to one file; data unchanged.
+
+    Merges themselves never fragment (each touched bucket is swapped
+    whole), so fragment one bucket by hand — split its file into
+    per-row-group pieces the way an external appender would leave them.
+    """
+    import pyarrow.parquet as pq
+
+    state = ParquetStateTable(spark, str(tmp_path / "st"), ["id"], n_buckets=2)
+    state.init(
+        spark.createDataFrame([(i, f"v{i}") for i in range(50)], "id long, v string")
+    )
+    before = sorted(map(tuple, state.read().collect()))
+
+    bucket_dirs = [d for d in os.listdir(state.path) if d.startswith("_bucket=")]
+    frag_dir = os.path.join(state.path, bucket_dirs[0])
+    src_files = [f for f in os.listdir(frag_dir) if f.endswith(".parquet")]
+    table = pq.read_table(os.path.join(frag_dir, src_files[0]))
+    os.remove(os.path.join(frag_dir, src_files[0]))
+    half = table.num_rows // 2
+    pq.write_table(table.slice(0, half), os.path.join(frag_dir, "part-a.parquet"))
+    pq.write_table(table.slice(half), os.path.join(frag_dir, "part-b.parquet"))
+    pq.write_table(table.slice(0, 0), os.path.join(frag_dir, "part-c.parquet"))
+
+    n = state.compact_buckets(min_files=2)
+    assert n == 1
+    after = sorted(map(tuple, state.read().collect()))
+    assert after == before
+    files = [f for f in os.listdir(frag_dir) if f.endswith(".parquet")]
+    assert len(files) == 1
