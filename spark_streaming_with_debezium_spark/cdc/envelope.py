@@ -118,6 +118,7 @@ def parse_envelope(
     value_col: str = "value",
     key_col: str = "key",
     seq_cols: tuple[str, ...] = (),
+    include_before: bool = False,
 ) -> DataFrame:
     """Parse raw Kafka records into typed change rows.
 
@@ -126,7 +127,9 @@ def parse_envelope(
     deletes), ``op``, ``ts_ms``, ``deleted`` (op = 'd' — the flag the
     reference synthesizes at DebeziumDeltaFormatter.scala:42), plus any
     ``seq_cols`` passed through for in-batch ordering (Kafka
-    ``partition``/``offset``).
+    ``partition``/``offset``). With ``include_before=True`` the
+    before-image data columns are emitted as ``before_<col>`` — needed
+    by delta-based consumers (incremental aggregate maintenance).
 
     Tombstones (value IS NULL) are dropped, matching
     DebeziumDeltaFormatter.scala:17-18.
@@ -153,6 +156,12 @@ def parse_envelope(
         for c in spec.data_cols
         if c not in spec.key_cols
     ]
+    if include_before:
+        cols += [
+            F.col(f"_v.payload.before.{c}").alias(f"before_{c}")
+            for c in spec.data_cols
+            if c not in spec.key_cols
+        ]
     cols += [
         F.col("_v.payload.op").alias("op"),
         F.col("_v.payload.ts_ms").alias("ts_ms"),
