@@ -234,3 +234,72 @@ def union_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_regionkey").alias("k"), F.col("r_name").alias("name")
     )
     return n.union(r)
+
+
+@query(
+    "agg_max_by",
+    oracle="""
+    SELECT c_mktsegment,
+           arg_max(c_name, c_acctbal * 1000000 - c_custkey) AS richest,
+           arg_min(c_name, c_acctbal * 1000000 - c_custkey) AS poorest
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-family: max_by/min_by (argmax aggregation). The ordering value
+    folds the key in (balance·1e6 − custkey, exact in doubles at this
+    range) because bare max_by is tie-arbitrary in both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    ordv = F.col("c_acctbal") * 1000000 - F.col("c_custkey")
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", ordv).alias("richest"),
+        F.min_by("c_name", ordv).alias("poorest"),
+    )
+
+
+@query(
+    "fn_split_part",
+    oracle="""
+    SELECT p_partkey,
+           split_part(p_brand, '#', 2) AS brand_num,
+           len(regexp_extract_all(p_name, 'a')) AS n_a,
+           array_to_string(string_split(p_type, ' '), '_') AS type_joined
+    FROM part
+    """,
+)
+def fn_split_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: split_part / regexp count / array_join."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split_part("p_brand", F.lit("#"), F.lit(2)).alias("brand_num"),
+        F.size(F.regexp_extract_all("p_name", F.lit("a"), 0)).alias("n_a"),
+        F.array_join(F.split("p_type", " "), "_").alias("type_joined"),
+    )
+
+
+@query(
+    "fn_try_family",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+           TRY_CAST(substr(CAST(o_orderkey AS VARCHAR), 1, 3) AS INTEGER) AS good_cast,
+           CAST(o_totalprice AS DOUBLE) / NULLIF(o_orderkey % 3, 0) AS guarded_div
+    FROM orders
+    """,
+)
+def fn_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/ANSI: error-safe expressions — try_cast returns NULL instead
+    of raising under ANSI mode (Spark 4 default); division guarded with
+    nullif (try_divide's portable form)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+        F.col("o_orderkey").cast("string").substr(1, 3).try_cast("int").alias(
+            "good_cast"
+        ),
+        F.try_divide(
+            F.col("o_totalprice"), F.nullif(F.col("o_orderkey") % 3, F.lit(0))
+        ).alias("guarded_div"),
+    )
