@@ -257,3 +257,37 @@ def test_rate_source_and_console_sink(spark, capfd):
     time.sleep(1.5)  # let the source accumulate a few rows
     run_to_console(df)
     # console sink writes to the JVM's stdout; just assert clean completion
+
+
+def test_sliding_window_stream(spark, tmp_path):
+    """T6 sliding (2h window, 1h slide) as a real stream: each event
+    lands in two windows; closed windows match hand computation."""
+    src = tmp_path / "ev"
+    src.mkdir()
+    import time as _time
+
+    _write_events(
+        src / "a.json",
+        [
+            (0, "2024-01-01 00:30:00", 1, "a", 1.0),
+            (1, "2024-01-01 01:15:00", 1, "a", 2.0),
+        ],
+    )
+    _time.sleep(1.1)
+    _write_events(src / "b.json", [(2, "2024-01-01 10:00:00", 1, "a", 4.0)])
+    stream = events_file_stream(spark, str(src))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .select(F.col("window.start").alias("ws"), "n", "v")
+    )
+    run_to_memory(agg, "slide_out")
+    got = {str(r.ws): (r.n, r.v) for r in spark.sql("SELECT * FROM slide_out").collect()}
+    # closed by the 10:00 event's watermark (09:00): windows starting
+    # 23:00 (covers 00:30), 00:00 (00:30+01:15), 01:00 (01:15)
+    assert got == {
+        "2023-12-31 23:00:00": (1, 1.0),
+        "2024-01-01 00:00:00": (2, 3.0),
+        "2024-01-01 01:00:00": (1, 2.0),
+    }
