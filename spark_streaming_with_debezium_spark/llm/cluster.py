@@ -1,0 +1,97 @@
+"""Near-duplicate clustering: connected components over candidate
+pairs → one canonical document per duplicate cluster.
+
+Pairwise dedup (MinHash/SimHash/jaccard) yields EDGES; the keep/drop
+decision needs COMPONENTS (doc A~B, B~C ⇒ {A,B,C} is one cluster even
+if A~C was never scored). Implemented as iterative min-label
+propagation on DataFrames:
+
+    label(v) ← min(label(v), min over neighbors(label(u)))
+
+repeated until fixpoint — O(diameter) joins, and near-dup clusters are
+shallow (diameter ≤ ~log cluster size in practice), so 5-10 iterations
+close 100 TB-scale graphs. Each iteration is one shuffle join on doc
+id; no driver-side graph state (this is the standard large-scale
+connected-components-on-MapReduce recipe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_streaming_with_debezium_spark.registry import query
+from spark_streaming_with_debezium_spark.sources.tables import load_table
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """(node, component) from an edge list; component = min node id in
+    the component. Converges when an iteration changes nothing."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    try:
+        for _ in range(max_iter):
+            # candidate label for v = min label among its neighbors u
+            neighbor_min = (
+                edges.join(labels, edges.u == labels.node)
+                .groupBy(F.col("v").alias("node"))
+                .agg(F.min("comp").alias("nmin"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                    ).alias("comp"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist() if hasattr(labels, "unpersist") else None
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select("node", "comp")
+    finally:
+        edges.unpersist()
+
+
+@query("dedup_clusters", oracle=None)  # iterative => rows-only
+def dedup_clusters(spark, sf_dir: str) -> DataFrame:
+    """Duplicate clusters from MinHash-LSH verified pairs: per cluster,
+    canonical doc = lowest doc_id, plus cluster size. The keep-list /
+    drop-list a dedup pipeline actually applies. Verified against a
+    driver-side union-find in tests."""
+    from spark_streaming_with_debezium_spark.llm.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy(F.col("comp").alias("canonical_doc"))
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.array_sort(F.collect_list("node")).alias("members"),
+        )
+        .filter(F.col("cluster_size") > 1)
+    )

@@ -44,6 +44,7 @@ _QUERY_MODULES = (
     "spark_streaming_with_debezium_spark.llm.ml_lsh",
     "spark_streaming_with_debezium_spark.llm.embedding_ops",
     "spark_streaming_with_debezium_spark.llm.pipeline_ops",
+    "spark_streaming_with_debezium_spark.llm.cluster",
 )
 
 

@@ -179,3 +179,43 @@ def test_quantize_roundtrip_error_bounded(spark, sf_dir):
         step = r.absmax / 127
         for orig, qv in zip(d[r.vec_id], r.q):
             assert abs(float(orig) - qv * step) <= step * 0.51 + 1e-6
+
+
+def test_connected_components_vs_union_find(spark):
+    from spark_streaming_with_debezium_spark.llm.cluster import connected_components
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4), (22, 23)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.node: r.comp for r in connected_components(pairs).collect()}
+
+    # reference union-find
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+    assert got == expected
+    assert got[4] == 1 and got[23] == 20 and got[11] == 10
+
+
+def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
+    from spark_streaming_with_debezium_spark.llm.dedup import dedup_minhash_lsh
+
+    pairs = [(r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, sf_dir).collect()]
+    clusters = QUERIES["dedup_clusters"].fn(spark, sf_dir).collect()
+    member_to_canon = {}
+    for c in clusters:
+        for m in c.members:
+            member_to_canon[m] = c.canonical_doc
+        assert c.canonical_doc == min(c.members)
+    for a, b in pairs:
+        assert member_to_canon[a] == member_to_canon[b], (a, b)
