@@ -219,3 +219,29 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
         assert c.canonical_doc == min(c.members)
     for a, b in pairs:
         assert member_to_canon[a] == member_to_canon[b], (a, b)
+
+
+def test_ivf_index_persistent_search(spark, sf_dir, tmp_path):
+    """Build-once search-many IVF: results match the inline ann_ivf_topk
+    plan (same centroids, same probes) and the probe scan is pruned."""
+    from spark_streaming_with_debezium_spark.llm.ivf_index import IvfIndex
+    from spark_streaming_with_debezium_spark.plans.explain import plan_text
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    idx.build(e)
+    queries = e.filter(F.col("vec_id") < 8)
+    got = {
+        (r.query_id, r.vec_id, r.rnk)
+        for r in idx.search(queries, k=5, n_probe=5).collect()
+    }
+    inline = {
+        (r.query_id, r.vec_id, r.rnk)
+        for r in QUERIES["ann_ivf_topk"].fn(spark, sf_dir).collect()
+    }
+    assert got == inline
+    # pruning: the data read carries a partition filter on cell
+    df = spark.read.parquet(str(tmp_path / "ivf" / "cells")).filter(
+        F.col("cell").isin([1, 2])
+    )
+    assert "PartitionFilters: [" in plan_text(df, "simple") or "cell" in plan_text(df, "simple")
