@@ -245,3 +245,56 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("l_quantity").alias("total_qty"))
         .select("c_custkey", "o_orderkey", "o_orderdate", "total_qty")
     )
+
+
+@query(
+    "q12_shipmode_priority",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+             AS high_line_count,
+           COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+             AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate < o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_linestatus
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + date-arithmetic predicate + conditional
+    counts by priority class."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_ratio",
+    oracle=f"""
+    SELECT round(
+             100.0 * {sql_dsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+             / {sql_dsum('l_extendedprice * (1 - l_discount)')}, 6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: global ratio of conditional revenue (promo share)
+    — both numerator and denominator decimal-exact, one final IEEE
+    division + round."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = _revenue()
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    return j.agg(
+        F.round(100.0 * dsum(promo) / dsum(rev), 6).alias("promo_revenue_pct")
+    )
