@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_streaming_with_debezium_spark.functions.numeric import dsum, sql_dsum
+from spark_streaming_with_debezium_spark.functions.numeric import dsum, sql_davg, sql_dsum
 from spark_streaming_with_debezium_spark.registry import query
 from spark_streaming_with_debezium_spark.sources.tables import load_table
 
@@ -297,4 +297,66 @@ def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = li.join(p, li.l_partkey == p.p_partkey)
     return j.agg(
         F.round(100.0 * dsum(promo) / dsum(rev), 6).alias("promo_revenue_pct")
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides — the
+    optimizer must still push the common join key and per-side
+    implied filters."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    c1 = (F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5)
+    c2 = (F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10)
+    c3 = (F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15)
+    return j.filter(c1 | c2 | c3).agg(
+        dsum(_revenue()).alias("revenue"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT {sql_davg('c_acctbal')} AS ab FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n_cust,
+           {sql_dsum('c_acctbal')} AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT ab FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS anti
+    join + aggregate — rich-but-inactive customers per nation. The
+    threshold is a decimal-exact average so both engines agree on the
+    exact comparison boundary."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    from spark_streaming_with_debezium_spark.functions.numeric import davg
+
+    threshold_row = (
+        c.filter(F.col("c_acctbal") > 0).agg(davg("c_acctbal").alias("ab")).collect()
+    )
+    threshold = threshold_row[0].ab
+    return (
+        c.filter(F.col("c_acctbal") > threshold)
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"), dsum("c_acctbal").alias("total_bal"))
     )
