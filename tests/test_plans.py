@@ -79,3 +79,23 @@ def test_events_scan_prunes_for_json_query(spark, sf_dir):
     df = QUERIES["fn_json_extract"].fn(spark, sf_dir)
     cols = set(read_schema_columns(df))
     assert "value" not in cols and "user_id" not in cols
+
+
+def test_headline_plan_census(spark, sf_dir):
+    """Plan-quality gate over every bench headline query: no cartesian
+    products, no broadcast nested loops except the intended tiny-side
+    ANN joins, bounded shuffle counts."""
+    import bench
+
+    from spark_streaming_with_debezium_spark.plans.explain import _single_plan
+
+    BNLJ_ALLOWED = {"ann_cosine_topk", "ann_ivf_topk"}  # broadcast side = 8 query vectors
+    MAX_EXCHANGES = {"dedup_minhash_lsh": 10}
+    for name in bench.HEADLINE:
+        txt = _single_plan(QUERIES[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in txt, name
+        if name not in BNLJ_ALLOWED:
+            assert "BroadcastNestedLoopJoin" not in txt, name
+        limit = MAX_EXCHANGES.get(name, 5)
+        n_exch = txt.count("Exchange hashpartitioning")
+        assert n_exch <= limit, f"{name}: {n_exch} shuffles"
