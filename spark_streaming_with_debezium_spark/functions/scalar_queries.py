@@ -377,3 +377,29 @@ def fn_arrays_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1), F.lit(3)), lambda x: x * F.col("p_size")
         ).alias("size_multiples"),
     )
+
+
+@query(
+    "fn_map_higher_order",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS doubled_k,
+           'k=' || json_extract_string(props, '$.k') AS kv_repr
+    FROM events
+    """,
+)
+def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 completion: map higher-order functions — transform_values to
+    double each value, then render entries (map internals aren't
+    SQL-portable, so the oracle pins the derived scalars)."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    entries = F.transform(
+        F.map_entries(m), lambda kv: F.concat(kv["key"], F.lit("="), kv["value"])
+    )
+    return e.select(
+        "event_id",
+        F.element_at(doubled, "k").alias("doubled_k"),
+        F.element_at(entries, 1).alias("kv_repr"),
+    )

@@ -360,3 +360,27 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("n_cust"), dsum("c_acctbal").alias("total_bal"))
     )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20)
+    GROUP BY p_brand, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-count of suppliers per part attribute
+    slice (two-phase distinct aggregation after a filtered join)."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 10, 15, 20)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

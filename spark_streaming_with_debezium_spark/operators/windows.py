@@ -199,3 +199,31 @@ def window_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+             AS events_last_hour
+    FROM events
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 completion: RANGE frame over event-time seconds — 'how many
+    events did this user produce in the trailing hour' (value-based
+    frame, not row-count-based)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("events_last_hour"),
+    )
