@@ -197,3 +197,64 @@ def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@query(
+    "text_redact",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[a-zA-Z0-9.]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+             '[0-9]{4,}', '<NUM>', 'g') AS redacted,
+           len(regexp_extract_all(text, '[0-9]{4,}')) AS n_long_numbers
+    FROM documents
+    """,
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing: redact email-shaped tokens and long digit
+    runs (the pattern family; real PII scrubbing swaps in its own
+    regexes). Pure regexp_replace — per-row, codegen'd."""
+    d = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", "[a-zA-Z0-9.]+@[a-zA-Z0-9.]+", "<EMAIL>"),
+        "[0-9]{4,}",
+        "<NUM>",
+    )
+    return d.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]{4,}"), 0)).alias(
+            "n_long_numbers"
+        ),
+    )
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS words
+      FROM documents
+    )
+    SELECT doc_id,
+           len(words) AS n_words,
+           len(list_distinct(words)) AS n_distinct,
+           round(1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6)
+             AS repetition_ratio
+    FROM sh
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (C4/Gopher-style gate): 1 − distinct
+    words / total words. High values flag boilerplate/spam docs."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim("text")), "\\s+")
+    n = F.size(words)
+    nd = F.size(F.array_distinct(words))
+    return d.select(
+        "doc_id",
+        n.alias("n_words"),
+        nd.alias("n_distinct"),
+        F.round(F.lit(1.0) - nd.cast("double") / n, 6).alias("repetition_ratio"),
+    )

@@ -270,3 +270,23 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("c_mktsegment").agg(
         F.array_sort(F.collect_set("c_nationkey")).alias("nations")
     )
+
+
+@query(
+    "agg_histogram",
+    oracle=f"""
+    SELECT CAST(floor(o_totalprice / 10000) AS BIGINT) AS price_bucket,
+           COUNT(*) AS n,
+           {sql_dsum('o_totalprice')} AS bucket_total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-family: value histogram via arithmetic bucketing (the portable
+    width_bucket) — one hash aggregate, no sort."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 10000)
+    return o.groupBy(bucket.alias("price_bucket")).agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("bucket_total")
+    )
