@@ -359,23 +359,26 @@ def fn_strings_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_position(string_split(p_type, ' '), 'PLATED') AS plated_pos,
            len(flatten([string_split(p_type, ' '), string_split(p_brand, '#')]))
              AS n_parts,
-           list_transform(range(1, 4), x -> x * p_size) AS size_multiples
+           array_to_string(list_transform(range(1, 4), x -> x * p_size), ',')
+             AS size_multiples
     FROM part
     """,
 )
 def fn_arrays_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8 completion: array_contains/position, flatten, sequence ×
-    scalar (generator arrays)."""
+    scalar (generator arrays). The generated array is emitted as a
+    joined string — registered queries never return array columns."""
     p = load_table(spark, sf_dir, "part")
     words = F.split("p_type", " ")
+    multiples = F.transform(
+        F.sequence(F.lit(1), F.lit(3)), lambda x: (x * F.col("p_size")).cast("string")
+    )
     return p.select(
         "p_partkey",
         F.array_contains(words, "PLATED").alias("has_plated"),
         F.array_position(words, "PLATED").alias("plated_pos"),
         F.size(F.flatten(F.array(words, F.split("p_brand", "#")))).alias("n_parts"),
-        F.transform(
-            F.sequence(F.lit(1), F.lit(3)), lambda x: x * F.col("p_size")
-        ).alias("size_multiples"),
+        F.array_join(multiples, ",").alias("size_multiples"),
     )
 
 

@@ -44,6 +44,7 @@ def connected_components(
         .withColumn("comp", F.col("node"))
     )
     try:
+        changed = 0
         for _ in range(max_iter):
             # candidate label for v = min label among its neighbors u
             neighbor_min = (
@@ -72,6 +73,12 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 break
+        if changed != 0:
+            raise RuntimeError(
+                f"connected_components did not converge within {max_iter} "
+                "iterations — long-chain components would get wrong labels; "
+                "raise max_iter (rounds needed ≈ graph diameter)"
+            )
         return labels.select("node", "comp")
     finally:
         edges.unpersist()
@@ -91,7 +98,13 @@ def dedup_clusters(spark, sf_dir: str) -> DataFrame:
         comps.groupBy(F.col("comp").alias("canonical_doc"))
         .agg(
             F.count(F.lit(1)).alias("cluster_size"),
-            F.array_sort(F.collect_list("node")).alias("members"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("node")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
         )
         .filter(F.col("cluster_size") > 1)
     )

@@ -22,7 +22,7 @@ verification; they're caught by exact dedup first).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_streaming_with_debezium_spark.registry import query
@@ -242,25 +242,39 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    # Shuffle once on (band, bucket): every downstream consumer (the
-    # count filter and both sides of the pair self-join) then reuses the
-    # SAME exchange (Catalyst ReusedExchange) instead of recomputing the
-    # signature lineage. No persist — a cached plan per call would leak
-    # across repeated invocations (measured: runtimes doubling per run).
-    banded = banded.repartition(F.col("band"), F.col("bucket"))
-    counts = banded.groupBy("band", "bucket").count()
-    small = banded.join(
-        counts.filter(F.col("count") <= max_bucket), ["band", "bucket"]
+    # SINGLE-CONSUMER plan: one shuffle on (band, bucket), bucket size
+    # via a window count over that same partitioning (no extra
+    # exchange), then pairs generated INSIDE each bucket from the
+    # collected id array with higher-order functions. The old
+    # formulation (counts join + a/b self-join) read the signature
+    # lineage three times and depended on Catalyst ReusedExchange to
+    # dedup the work — this plan computes the signatures exactly once
+    # by construction (plan-asserted in tests/test_plans.py). The
+    # collect_set is memory-safe: the window `bsize` filter drops
+    # buckets over ``max_bucket`` BEFORE aggregation, so no array
+    # exceeds max_bucket elements.
+    wb = Window.partitionBy("band", "bucket")
+    bucketed = (
+        banded.repartition(F.col("band"), F.col("bucket"))
+        .withColumn("bsize", F.count(F.lit(1)).over(wb))
+        .filter(F.col("bsize") <= max_bucket)
     )
-    a, b = small.alias("a"), small.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    grouped = bucketed.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("ids")
+    )
+    # all i<j pairs within the bucket: ids[i] × ids[i+1:]
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return (
+        grouped.select(F.explode(pairs_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

@@ -60,9 +60,9 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- round via decimal: the IEEE double is identical in both
            -- engines, but near-half values round differently engine-to-
            -- engine on raw doubles; the decimal hop pins the grid.
-           list_transform(embedding,
+           array_to_string(list_transform(embedding,
              x -> CAST(round(CAST(CAST(x AS DOUBLE) / absmax * 127
-                             AS DECIMAL(20,10))) AS BIGINT)) AS q
+                             AS DECIMAL(20,10))) AS BIGINT)), ',') AS q
     FROM m
     """,
 )
@@ -84,9 +84,12 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             (x.cast("double") / F.col("_absmax_raw") * 127).cast("decimal(20,10)")
         ).cast("long"),
     )
+    # joined-string output: registered queries never emit array columns
+    # (driver canonicalizer); the array form is the unregistered helper
+    q_str = F.array_join(F.transform(q, lambda v: v.cast("string")), ",")
     return (
         e.withColumn("_absmax_raw", absmax)
-        .select("vec_id", F.round("_absmax_raw", 6).alias("absmax"), q.alias("q"))
+        .select("vec_id", F.round("_absmax_raw", 6).alias("absmax"), q_str.alias("q"))
     )
 
 
@@ -116,9 +119,15 @@ def text_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("word")
     ).distinct()
     df_ = words.groupBy("word").agg(F.count(F.lit(1)).alias("doc_freq"))
-    n_docs = d.count()  # scalar; at scale use a broadcast scalar subquery
-    return df_.filter(F.col("doc_freq") >= 5).select(
-        "word",
-        "doc_freq",
-        F.round(F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6).alias("idf"),
+    # lazy scalar N: broadcast 1-row aggregate instead of an eager
+    # driver-side count() (same pattern as q22's threshold)
+    n_docs = F.broadcast(d.agg(F.count(F.lit(1)).cast("double").alias("_n_docs")))
+    return (
+        df_.filter(F.col("doc_freq") >= 5)
+        .crossJoin(n_docs)
+        .select(
+            "word",
+            "doc_freq",
+            F.round(F.log(F.col("_n_docs") / F.col("doc_freq")), 6).alias("idf"),
+        )
     )

@@ -1,11 +1,14 @@
 """Persistent IVF index: the at-rest form of ann_ivf_topk.
 
-``build`` assigns every vector to its nearest (hash-sampled) centroid
-and writes the assignment PARTITIONED BY CELL; ``search`` reads only
-the ``n_probe`` cells nearest each query — a partition-pruned scan, the
-same touched-partitions idea as the CDC state table. At 100 TB the
-probe I/O is (probes / cells) of the corpus instead of all of it, and
-the index is just parquet — rebuildable, no serving infra.
+``build`` trains a BOUNDED-k centroid set (sampled KMeans — centroid
+count independent of corpus size, so the centroid table broadcasts at
+any scale), assigns every vector to its nearest centroid with a
+shuffle-free higher-order projection, and writes the assignment
+PARTITIONED BY CELL; ``search`` reads only the ``n_probe`` cells
+nearest each query — a partition-pruned scan, the same
+touched-partitions idea as the CDC state table. At 100 TB the probe
+I/O is (probes / cells) of the corpus instead of all of it, and the
+index is just parquet — rebuildable, no serving infra.
 """
 
 from __future__ import annotations
@@ -16,8 +19,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_streaming_with_debezium_spark.llm.similarity import (
+    IVF_K,
+    IVF_TRAIN_CAP,
     cosine_prenormed,
+    nearest_cells,
     norm,
+    train_centroids,
 )
 
 
@@ -29,27 +36,18 @@ class IvfIndex:
         self._cent_dir = os.path.join(path, "centroids")
 
     def build(self, vectors: DataFrame, id_col: str = "vec_id",
-              vec_col: str = "embedding", sample_mod: int = 31) -> None:
+              vec_col: str = "embedding", k: int = IVF_K,
+              train_cap: int = IVF_TRAIN_CAP) -> None:
         v = vectors.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
         ).withColumn("nrm", norm(F.col("embedding")))
-        cents = v.filter(F.pmod(F.xxhash64("vec_id"), F.lit(sample_mod)) == 0).select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("embedding").alias("ce"),
-            F.col("nrm").alias("cnrm"),
+        cents = train_centroids(
+            self.spark, v, id_col="vec_id", vec_col="embedding",
+            k=k, train_cap=train_cap,
         )
         cents.write.mode("overwrite").parquet(self._cent_dir)
-        cents_b = F.broadcast(self.spark.read.parquet(self._cent_dir))
-        scored = v.join(cents_b).withColumn(
-            "cs",
-            cosine_prenormed(F.col("embedding"), F.col("ce"), F.col("nrm"), F.col("cnrm")),
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cent_id"))
-        assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "embedding", "nrm", F.col("cent_id").alias("cell"))
-        )
+        cents_r = self.spark.read.parquet(self._cent_dir)
+        assigned = nearest_cells(v, cents_r, "embedding", "nrm", 1, "cell")
         (
             assigned.repartition(F.col("cell"))
             .write.mode("overwrite")
@@ -63,36 +61,23 @@ class IvfIndex:
         q = queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")
         ).withColumn("qnrm", norm(F.col("qe")))
-        cents = F.broadcast(self.spark.read.parquet(self._cent_dir))
-        q_scored = q.join(cents).withColumn(
-            "cs", cosine_prenormed(F.col("qe"), F.col("ce"), F.col("qnrm"), F.col("cnrm"))
-        )
-        wq = Window.partitionBy("query_id").orderBy(
-            F.col("cs").desc(), F.col("cent_id")
-        )
-        probes = (
-            q_scored.withColumn("rn", F.row_number().over(wq))
-            .filter(F.col("rn") <= n_probe)
-            .select("query_id", "qe", "qnrm", F.col("cent_id").alias("cell"))
-        )
+        cents = self.spark.read.parquet(self._cent_dir)
+        probes = nearest_cells(q, cents, "qe", "qnrm", n_probe, "cell")
         cells = [r.cell for r in probes.select("cell").distinct().collect()]
         # partition-pruned read: only the probed cells' files are scanned
         data = self.spark.read.parquet(self._data_dir).filter(
             F.col("cell").isin(cells)
         )
+        # no distinct: one cell per vector, unique (query, cell) probes
         cands = data.join(F.broadcast(probes), "cell").filter(
             F.col("vec_id") != F.col("query_id")
         )
-        scored = (
-            cands.withColumn(
-                "cos",
-                cosine_prenormed(
-                    F.col("qe"), F.col("embedding"), F.col("qnrm"), F.col("nrm")
-                ),
-            )
-            .select("query_id", "vec_id", "cos")
-            .distinct()
-        )
+        scored = cands.withColumn(
+            "cos",
+            cosine_prenormed(
+                F.col("qe"), F.col("embedding"), F.col("qnrm"), F.col("nrm")
+            ),
+        ).select("query_id", "vec_id", "cos")
         w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
         return (
             scored.withColumn("rnk", F.row_number().over(w))

@@ -202,27 +202,45 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(8)
         ]
     )
-    banded = e.select(
-        "vec_id", "embedding", "nrm", F.explode(bands).alias("bb")
-    ).select("vec_id", "embedding", "nrm", "bb.band", "bb.bucket")
+    # Candidate generation carries ONLY (query_id, vec_id): the distinct
+    # dedups 16-byte id pairs, not embedding arrays (the old plan
+    # shuffled dim×8-byte vectors through the distinct). Embeddings are
+    # re-attached afterwards via broadcast joins, so the corpus is never
+    # shuffled. The candidate set is bounded by bands × corpus/2^bits
+    # per query — at scale, widen the signature so it stays broadcastable.
+    banded = e.select("vec_id", F.explode(bands).alias("bb")).select(
+        "vec_id", "bb.band", "bb.bucket"
+    )
     qs = F.broadcast(
         banded.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "band", "bucket"
+        )
+    )
+    cand_ids = (
+        banded.join(qs, ["band", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    corpus = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    q_vecs = F.broadcast(
+        corpus.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
             F.col("nrm").alias("qnrm"),
-            "band",
-            "bucket",
         )
     )
-    cands = (
-        banded.join(qs, ["band", "bucket"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "qe", "qnrm", "vec_id", "embedding", "nrm")
-        .distinct()
-    )
-    scored = cands.withColumn(
-        "cos",
-        cosine_prenormed(F.col("qe"), F.col("embedding"), F.col("qnrm"), F.col("nrm")),
+    scored = (
+        corpus.join(F.broadcast(cand_ids), "vec_id")
+        .join(q_vecs, "query_id")
+        .withColumn(
+            "cos",
+            cosine_prenormed(
+                F.col("qe"), F.col("embedding"), F.col("qnrm"), F.col("nrm")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
@@ -232,66 +250,115 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_K = 32  # bounded centroid count; 2^14-2^16 at 100 TB — NEVER f(corpus size)
+IVF_TRAIN_CAP = 4096  # k-means training sample rows (bounded, hash-deterministic)
+IVF_N_PROBE = 5
+
+
+def train_centroids(
+    spark: SparkSession,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = IVF_K,
+    train_cap: int = IVF_TRAIN_CAP,
+    seed: int = 7,
+) -> DataFrame:
+    """Bounded-k IVF centroids: KMeans on a deterministic hash-ordered
+    sample of ≤``train_cap`` vectors.
+
+    ``k`` is FIXED and independent of corpus size, so the centroid table
+    is always broadcastable and assignment is O(n·k) total work at any
+    scale. (The round-1 hash-mod-31 scheme grew centroids linearly with
+    the corpus — an n/31-row broadcast and O(n²/31) assignment join —
+    which cannot survive 100 TB.) Training cost is bounded by
+    ``train_cap`` regardless of corpus size; fixed seed + deterministic
+    sample ⇒ reproducible centroids.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sample = (
+        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
+        .limit(train_cap)
+        .select(array_to_vector(F.col("_v").cast("array<double>")).alias("features"))
+    )
+    model = KMeans(k=k, seed=seed, maxIter=5).fit(sample)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cents = spark.createDataFrame(centers, "cent_id INT, ce ARRAY<DOUBLE>")
+    return cents.withColumn("cnrm", norm(F.col("ce")))
+
+
+def nearest_cells(
+    df: DataFrame,
+    cents: DataFrame,
+    vec_col: str,
+    nrm_col: str,
+    n: int,
+    out_col: str = "cell",
+) -> DataFrame:
+    """Attach the ``n`` nearest centroid ids (by cosine) as exploded
+    rows.
+
+    Pure projection against the broadcast centroid ARRAY — zero
+    shuffle: the round-1 formulation (n×k join + row_number window)
+    shuffled the entire corpus with its embedding payloads just to pick
+    the argmax. Per-row cost is O(k·dim) inside one higher-order
+    expression; the corpus never moves.
+    """
+    arr = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "ce", "cnrm"))).alias("_cents")
+    )
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (dot(F.col(vec_col), c["ce"]) / (F.col(nrm_col) * c["cnrm"])).alias("cs"),
+            c["cent_id"].alias("cent_id"),
+        ),
+    )
+    best = F.slice(F.sort_array(scored, asc=False), 1, n)
+    return (
+        df.crossJoin(F.broadcast(arr))
+        .withColumn(out_col, F.explode(F.transform(best, lambda s: s["cent_id"])))
+        .drop("_cents")
+    )
+
+
 @query("ann_ivf_topk", oracle=None)  # approximate => rows-only; recall tested
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat approximate top-k.
+    """IVF-flat approximate top-k with bounded-k sampled-KMeans
+    centroids.
 
-    Deterministic 'centroids' = hash-sampled corpus vectors (every
-    vector whose xxhash64 mod 31 == 0 — ≈ n/31 cells). Index build =
-    one broadcast join assigning each vector to its nearest centroid;
-    search probes the 3 nearest cells per query. At 100 TB the
-    assignment is written bucketed-by-cell so a probe reads only its
-    cells' files (partition pruning).
+    Index build = one shuffle-free projection assigning each vector to
+    its nearest of ``IVF_K`` centroids; search probes the
+    ``IVF_N_PROBE`` nearest cells per query, so each query scores
+    ~n·probes/k candidates instead of the whole corpus. At 100 TB the
+    assignment is written partitioned-by-cell (see ``IvfIndex``) so a
+    probe reads only its cells' files.
     """
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "nrm", norm(F.col("embedding"))
     )
-    cents = F.broadcast(
-        e.filter(F.pmod(F.xxhash64("vec_id"), F.lit(31)) == 0).select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("embedding").alias("ce"),
-            F.col("nrm").alias("cnrm"),
-        )
-    )
-    # assign every vector to its nearest centroid (max cosine)
-    asg_scored = e.join(cents).withColumn(
-        "cs",
-        cosine_prenormed(F.col("embedding"), F.col("ce"), F.col("nrm"), F.col("cnrm")),
-    )
-    wa = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cent_id"))
-    assigned = (
-        asg_scored.withColumn("arn", F.row_number().over(wa))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "embedding", "nrm", "cent_id")
-    )
-    # per query: probe the 5 nearest cells
+    cents = train_centroids(spark, e)
+    assigned = nearest_cells(e, cents, "embedding", "nrm", 1, "cell")
     qs = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("nrm").alias("qnrm"),
     )
-    q_scored = qs.join(cents).withColumn(
-        "cs", cosine_prenormed(F.col("qe"), F.col("ce"), F.col("qnrm"), F.col("cnrm"))
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("cent_id"))
-    probes = (
-        q_scored.withColumn("qrn", F.row_number().over(wq))
-        .filter(F.col("qrn") <= 5)
-        .select("query_id", "qe", "qnrm", "cent_id")
-    )
-    cands = assigned.join(F.broadcast(probes), "cent_id").filter(
+    probes = nearest_cells(qs, cents, "qe", "qnrm", IVF_N_PROBE, "cell")
+    # no distinct needed: a vector lives in exactly one cell and probes
+    # are unique per (query, cell), so each (query, vec) scores once
+    cands = assigned.join(F.broadcast(probes), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    scored = (
-        cands.withColumn(
-            "cos",
-            cosine_prenormed(
-                F.col("qe"), F.col("embedding"), F.col("qnrm"), F.col("nrm")
-            ),
-        )
-        .select("query_id", "vec_id", "cos")
-        .distinct()
-    )
+    scored = cands.withColumn(
+        "cos",
+        cosine_prenormed(F.col("qe"), F.col("embedding"), F.col("qnrm"), F.col("nrm")),
+    ).select("query_id", "vec_id", "cos")
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

@@ -259,16 +259,23 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_collect_sorted",
     oracle="""
-    SELECT c_mktsegment, list(DISTINCT c_nationkey ORDER BY c_nationkey) AS nations
+    SELECT c_mktsegment,
+           array_to_string(list(DISTINCT c_nationkey ORDER BY c_nationkey), ',')
+             AS nations
     FROM customer GROUP BY c_mktsegment
     """,
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G6: collect_set sorted for determinism (never rely on
-    collect_list order — SURVEY §7.3)."""
+    collect_list order — SURVEY §7.3). Output is the joined string —
+    registered queries never emit array columns (the driver's
+    canonicalizer can't hash them)."""
     c = load_table(spark, sf_dir, "customer")
+    nations = F.array_sort(F.collect_set("c_nationkey"))
     return c.groupBy("c_mktsegment").agg(
-        F.array_sort(F.collect_set("c_nationkey")).alias("nations")
+        F.array_join(
+            F.transform(nations, lambda x: x.cast("string")), ","
+        ).alias("nations")
     )
 
 

@@ -177,9 +177,11 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact percentiles (t-digest-style sketch, no per-group sort);
     accuracy vs exact asserted in tests."""
     li = load_table(spark, sf_dir, "lineitem")
+    iqr = F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000)
     return li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000).alias("approx_iqr"),
+        iqr.getItem(0).alias("approx_q1"),
+        iqr.getItem(1).alias("approx_q3"),
     )
 
 
@@ -350,13 +352,14 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     from spark_streaming_with_debezium_spark.functions.numeric import davg
 
-    threshold_row = (
-        c.filter(F.col("c_acctbal") > 0).agg(davg("c_acctbal").alias("ab")).collect()
-    )
-    threshold = threshold_row[0].ab
+    # Lazy scalar threshold: broadcast the 1-row aggregate and cross-join
+    # it in, instead of an eager driver-side .collect() (keeps the whole
+    # query one lazy plan and saves a job).
+    threshold = c.filter(F.col("c_acctbal") > 0).agg(davg("c_acctbal").alias("ab"))
     return (
-        c.filter(F.col("c_acctbal") > threshold)
-        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        c.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("n_cust"), dsum("c_acctbal").alias("total_bal"))
     )

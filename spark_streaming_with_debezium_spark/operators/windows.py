@@ -164,18 +164,14 @@ def window_running_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5: first/last value per group — current-state extraction from an
-    ordered event history."""
+    ordered event history. min_by/max_by on the order key gives ONE hash
+    aggregate with map-side combine instead of window-over-all-rows +
+    distinct (half the work, one fewer shuffle — same answer)."""
     e = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.groupBy("user_id").agg(
+        F.min_by("event_type", "event_id").alias("first_type"),
+        F.max_by("event_type", "event_id").alias("last_type"),
     )
-    return e.select(
-        "user_id",
-        F.first("event_type").over(w).alias("first_type"),
-        F.last("event_type").over(w).alias("last_type"),
-    ).distinct()
 
 
 @query(

@@ -67,11 +67,41 @@ def canonical_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
+def assert_driver_safe_schema(name: str, df) -> None:
+    """The driver's canonicalizer is pandas ``sort_values`` over every
+    output column — it crashes with ``unhashable type: 'list'`` on any
+    array/map/struct column (round-1 err rows: agg_collect_sorted,
+    cdc_history_per_key, agg_approx_percentile). Registered queries must
+    therefore emit only scalar columns (array_join / to_json instead)."""
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        assert not isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)), (
+            f"{name}: output column '{f.name}' is "
+            f"{f.dataType.simpleString()} — the driver's pandas "
+            "canonicalizer crashes on non-scalar columns; emit "
+            "array_join(...)/to_json(...) scalars instead"
+        )
+
+
+def driver_faithful_canon(cols: list[str], rows: list[tuple]) -> None:
+    """Replicate the driver's pandas canonicalization step verbatim so
+    anything that crashes the driver crashes here first (the local
+    ``_canon`` above tolerates lists; the driver's does not)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=cols)
+    pdf = pdf[sorted(cols)]
+    pdf.sort_values(by=list(pdf.columns))  # TypeError on non-scalar cells
+
+
 def compare_query(spark, query, sf_dir: str) -> None:
     """Assert the Spark query matches its DuckDB oracle exactly."""
     sdf = query.fn(spark, sf_dir)
+    assert_driver_safe_schema(query.name, sdf)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
+    driver_faithful_canon(s_cols, s_rows)
     o_cols, o_rows = run_oracle(query.oracle, sf_dir)
     assert sorted(s_cols) == sorted(o_cols), (
         f"{query.name}: column mismatch spark={sorted(s_cols)} "

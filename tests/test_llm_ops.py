@@ -214,9 +214,10 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
     clusters = QUERIES["dedup_clusters"].fn(spark, sf_dir).collect()
     member_to_canon = {}
     for c in clusters:
-        for m in c.members:
+        members = [int(m) for m in c.members.split(",")]  # joined-string output
+        for m in members:
             member_to_canon[m] = c.canonical_doc
-        assert c.canonical_doc == min(c.members)
+        assert c.canonical_doc == min(members)
     for a, b in pairs:
         assert member_to_canon[a] == member_to_canon[b], (a, b)
 

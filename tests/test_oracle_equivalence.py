@@ -4,7 +4,11 @@ mirrored locally)."""
 import pytest
 
 from spark_streaming_with_debezium_spark.registry import load_all
-from tests.oracle_harness import compare_query
+from tests.oracle_harness import (
+    assert_driver_safe_schema,
+    compare_query,
+    driver_faithful_canon,
+)
 
 QUERIES = load_all()
 WITH_ORACLE = sorted(n for n, q in QUERIES.items() if q.oracle is not None)
@@ -18,6 +22,11 @@ def test_oracle_match(spark, sf_dir, name):
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_runs(spark, sf_dir, name):
+    """Rows-only queries still pass through the driver's canonicalizer
+    (round 1: agg_approx_percentile crashed it despite having no
+    oracle), so they get the same non-scalar-column gate."""
     df = QUERIES[name].fn(spark, sf_dir)
-    assert df.count() >= 0
+    assert_driver_safe_schema(name, df)
+    rows = [tuple(r) for r in df.collect()]
+    driver_faithful_canon(df.columns, rows)
     assert len(df.columns) > 0
