@@ -54,14 +54,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = load_all()
 
+    # Median of 3 timed runs per query (after one warm run): round-over-
+    # round comparisons shouldn't be dominated by GC / JIT noise, which
+    # the round-1 single-shot numbers were (±20% run-to-run).
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         q = queries[name]
-        df = q.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm (JIT+cache)
-        t0 = time.perf_counter()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)
+        spreads[name] = round(runs[-1] - runs[0], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -71,6 +80,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "runs_per_query": n_runs,
                 "sf": sf,
             }
         )

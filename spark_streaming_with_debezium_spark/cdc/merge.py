@@ -148,7 +148,17 @@ class ParquetStateTable:
             e.startswith("_bucket=") for e in os.listdir(self.path)
         )
         if has_data:
-            df = self.spark.read.parquet(self.path)
+            if schema is not None:
+                # Explicit sidecar schema: after a type widening, bucket
+                # files of BOTH widths coexist; schema inference would
+                # pick one footer and fail on the other width, while the
+                # declared (widened) schema upcasts narrow files on read.
+                read_schema = T.StructType(
+                    list(schema.fields) + [T.StructField("_bucket", T.IntegerType())]
+                )
+                df = self.spark.read.schema(read_schema).parquet(self.path)
+            else:
+                df = self.spark.read.parquet(self.path)
             if "_bucket" not in df.columns:  # pragma: no cover
                 df = bucket_of(df, self.key_cols, self.n_buckets)
             # post-evolve: files written before a schema widening lack the
@@ -180,39 +190,70 @@ class ParquetStateTable:
         with open(self._schema_file, "w") as f:
             json.dump(snapshot.schema.jsonValue(), f)
 
-    def evolve(self, new_columns: dict[str, str]) -> None:
-        """Schema evolution: register additional nullable columns.
+    #: Lossless numeric widenings Debezium emits on source type changes
+    #: (e.g. INT column altered to BIGINT). Anything else (narrowing,
+    #: string↔numeric, renames) needs an explicit rebuild.
+    _WIDENINGS: frozenset = frozenset(
+        {  # keys are DataType.simpleString() names
+            ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+            ("smallint", "int"), ("smallint", "bigint"),
+            ("int", "bigint"),
+            ("float", "double"),
+        }
+    )
 
-        Existing bucket files stay untouched — reads use parquet schema
-        merging semantics via the sidecar (missing columns read as
-        NULL); newly merged buckets are written with the widened schema.
-        This is the additive-column evolution Debezium produces when the
-        source table gains a column (the dynamic-schema capability the
-        reference left as a TODO, README.md:51).
+    def evolve(self, new_columns: dict[str, str]) -> None:
+        """Schema evolution: add nullable columns and widen existing
+        numeric columns (int→long, float→double, …).
+
+        Existing bucket files stay untouched — reads apply the sidecar
+        schema (missing columns read as NULL, narrower on-disk numerics
+        upcast); newly merged buckets are written with the widened
+        schema. Covers both evolutions Debezium produces routinely: the
+        source table gaining a column, and a column's type being
+        widened (the dynamic-schema capability the reference left as a
+        TODO, README.md:51). Non-widening type changes raise.
         """
         schema = self._stored_schema()
         if schema is None:
             raise FileNotFoundError(f"state table {self.path} not initialized")
         fields = list(schema.fields)
-        existing = {f.name for f in fields}
+        by_name = {f.name: i for i, f in enumerate(fields)}
         for name, dtype in new_columns.items():
-            if name not in existing:
-                fields.append(T.StructField(name, T._parse_datatype_string(dtype)))
+            new_dt = T._parse_datatype_string(dtype)
+            if name not in by_name:
+                fields.append(T.StructField(name, new_dt))
+                by_name[name] = len(fields) - 1
+                continue
+            old_dt = fields[by_name[name]].dataType
+            if old_dt == new_dt:
+                continue
+            pair = (old_dt.simpleString(), new_dt.simpleString())
+            if pair not in self._WIDENINGS:
+                raise ValueError(
+                    f"evolve: column {name!r} {pair[0]}→{pair[1]} is not a "
+                    "lossless widening; rebuild the table instead"
+                )
+            fields[by_name[name]] = T.StructField(name, new_dt)
         with open(self._schema_file, "w") as f:
             json.dump(T.StructType(fields).jsonValue(), f)
 
     def _align_to_schema(self, df: DataFrame) -> DataFrame:
-        """Project df onto the stored schema, adding NULLs for columns
-        the on-disk files don't have yet (post-evolve reads)."""
+        """Project df onto the stored schema: NULL-fill columns the
+        on-disk files don't have yet, and upcast columns written before
+        a type widening (post-evolve reads)."""
         schema = self._stored_schema()
         if schema is None:
             return df
+        on_disk = {f.name: f.dataType for f in df.schema.fields}
         cols = []
         for f in schema.fields:
-            if f.name in df.columns:
-                cols.append(F.col(f.name))
-            else:
+            if f.name not in on_disk:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            elif on_disk[f.name] != f.dataType:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.col(f.name))
         if "_bucket" in df.columns:
             cols.append(F.col("_bucket"))
         return df.select(*cols)

@@ -46,18 +46,56 @@ class TimeTravelStateTable:
         )
         self._snap_dir = os.path.join(path, "snapshot0")
         self._log_dir = os.path.join(path, "log")
-        self._seq = 0
+        self._data_cols_path = os.path.join(path, "_data_cols")
+        # Reopening an existing table must resume the sequence from the
+        # durable log, not restart at 0 — a restarted counter would
+        # append new merges under already-used _batch_seq partitions,
+        # corrupting replay and every as_of reconstruction.
+        self._seq = self._recover_seq()
+        self._data_cols = self._recover_data_cols()
+
+    def _recover_seq(self) -> int:
+        if not os.path.isdir(self._log_dir):
+            return 0
+        seqs = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self._log_dir)
+            if d.startswith("_batch_seq=")
+        ]
+        return max(seqs, default=0)
+
+    def _recover_data_cols(self) -> list[str] | None:
+        if not os.path.exists(self._data_cols_path):
+            return None
+        with open(self._data_cols_path) as f:
+            cols = [line.strip() for line in f if line.strip()]
+        return cols or None
 
     def init(self, snapshot: DataFrame) -> None:
         snapshot.write.mode("overwrite").parquet(self._snap_dir)
         self.current.init(self.spark.read.parquet(self._snap_dir))
         self._seq = 0
+        self._data_cols = None
+        if os.path.exists(self._data_cols_path):
+            os.remove(self._data_cols_path)
 
     def merge_logged(
         self, changes: DataFrame, data_cols: Sequence[str] | None = None
     ) -> int:
         """Merge into current state AND append the (compacted) batch to
         the log. Returns the batch sequence number."""
+        # Persist data_cols so as_of applies the SAME column subset as
+        # the maintained current state (a balance-only merge must stay
+        # balance-only when replayed historically).
+        if data_cols is not None:
+            if self._data_cols is not None and list(data_cols) != self._data_cols:
+                raise ValueError(
+                    f"data_cols changed across merges: {self._data_cols} "
+                    f"vs {list(data_cols)} — historical replay would diverge"
+                )
+            self._data_cols = list(data_cols)
+            with open(self._data_cols_path, "w") as f:
+                f.write("\n".join(self._data_cols))
         self._seq += 1
         logged = changes.withColumn("_batch_seq", F.lit(self._seq))
         logged.write.mode("append").partitionBy("_batch_seq").parquet(self._log_dir)
@@ -85,4 +123,6 @@ class TimeTravelStateTable:
         latest = compact_latest(
             log, self.key_cols, order_cols=["_batch_seq"]
         ).drop("_batch_seq")
-        return apply_changes(snapshot, latest, self.key_cols)
+        return apply_changes(
+            snapshot, latest, self.key_cols, data_cols=self._data_cols
+        )

@@ -250,7 +250,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVF_K = 32  # bounded centroid count; 2^14-2^16 at 100 TB — NEVER f(corpus size)
+IVF_K = 16  # bounded centroid count; 2^14-2^16 at 100 TB — NEVER f(corpus size)
 IVF_TRAIN_CAP = 4096  # k-means training sample rows (bounded, hash-deterministic)
 IVF_N_PROBE = 5
 
@@ -283,8 +283,14 @@ def train_centroids(
         .orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
         .limit(train_cap)
         .select(array_to_vector(F.col("_v").cast("array<double>")).alias("features"))
-    )
-    model = KMeans(k=k, seed=seed, maxIter=5).fit(sample)
+    ).persist()
+    try:
+        # random init: the k-means|| init passes cost ~3× the fit itself
+        # on a bounded sample, and the extra init quality doesn't move
+        # recall at probe counts ≥ 5 (measured locally)
+        model = KMeans(k=k, seed=seed, maxIter=5, initMode="random").fit(sample)
+    finally:
+        sample.unpersist()
     centers = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]

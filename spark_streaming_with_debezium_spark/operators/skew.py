@@ -39,7 +39,16 @@ def salted_join(
     its columns (deterministic — no rand(), so retries/speculation
     reproduce the same partitioning); ``small`` is exploded once per
     salt value. Join keys become (on..., _salt).
+
+    Only ``inner`` and ``left`` are exact under salting: with right or
+    full outer joins, an unmatched small-side row would surface once
+    per salt replica (n_salts duplicates), so those are rejected.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only (got {how!r}): "
+            "outer-unmatched small-side rows would appear once per salt"
+        )
     on = list(on)
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)

@@ -291,6 +291,119 @@ def test_schema_evolution_add_column(spark, tmp_path):
     assert got == {(1, "a", None), (2, "b2", "Valencia"), (3, "c", "Barcelona")}
 
 
+#: The EXACT schema Spark's Kafka source produces — the one seam no
+#: local test can reach with a live broker (none in this environment).
+KAFKA_SOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("timestampType", T.IntegerType()),
+    ]
+)
+
+
+def test_kafka_source_contract_golden(spark, tmp_path):
+    """Feed the exact Kafka source schema (BINARY key/value + topic /
+    partition / offset / timestamp / timestampType) through
+    project_kafka → parse_envelope → merge, covering a tombstone and a
+    duplicate-delivery pair ordered by (partition, offset) — the
+    reference's TODO'd double-delivery case
+    (DebeziumDeltaFormatter.scala:17)."""
+    import datetime as dt
+
+    from spark_streaming_with_debezium_spark.cdc.pipeline import (
+        batch_apply,
+        initial_load,
+        project_kafka,
+    )
+
+    def krow(ev, secs):
+        key, value, topic, partition, offset = ev
+        return (
+            key.encode("utf-8"),
+            value.encode("utf-8") if value is not None else None,
+            topic,
+            partition,
+            offset,
+            dt.datetime(2026, 1, 1, 0, 0, secs),
+            0,
+        )
+
+    state = ParquetStateTable(spark, str(tmp_path / "state"), ["id"], n_buckets=4)
+    snap = [
+        krow(envelope("r", 1, 0, "Sally", "Thomas"), 1),
+        krow(envelope("r", 2, 1, "George", "B"), 2),
+    ]
+    initial_load(
+        project_kafka(spark.createDataFrame(snap, KAFKA_SOURCE_SCHEMA)),
+        CUSTOMERS,
+        state,
+    )
+
+    dup = envelope("c", 3, 5, "John", "Doe")
+    redelivered = (dup[0], dup[1], dup[2], dup[3], 6)  # same change, later offset
+    batch = [
+        krow(envelope("u", 1, 2, "Sally", "T2"), 3),
+        krow(dup, 4),
+        krow(redelivered, 5),
+        krow(envelope("d", 2, 3), 6),
+        krow(tombstone(2, 4), 7),  # tombstone: ignored, not a dead letter
+    ]
+    projected = project_kafka(spark.createDataFrame(batch, KAFKA_SOURCE_SCHEMA))
+    # the CAST(value AS STRING) idiom (StreamingJobExecutor.scala:22-23)
+    assert [f.dataType.simpleString() for f in projected.schema.fields[:2]] == [
+        "string",
+        "string",
+    ], "project_kafka must cast binary key/value to string"
+    assert {"partition", "offset", "timestamp"} <= set(projected.columns)
+
+    batch_apply(projected, CUSTOMERS, state)
+    final = {
+        r["id"]: (r["first_name"], r["last_name"]) for r in state.read().collect()
+    }
+    assert final == {1: ("Sally", "T2"), 3: ("John", "Doe")}
+
+
+def test_schema_evolution_widen_types(spark, tmp_path):
+    """Debezium widens a source column's type (INT→BIGINT, REAL→DOUBLE):
+    evolve() updates the sidecar, old narrow bucket files upcast on
+    read, and post-widening merges carry full-width values."""
+    state = ParquetStateTable(spark, str(tmp_path / "s"), ["id"], n_buckets=4)
+    state.init(
+        spark.createDataFrame(
+            [(1, 10, 1.5), (2, 20, 2.5)], "id long, qty int, price float"
+        )
+    )
+    state.evolve({"qty": "bigint", "price": "double"})
+
+    got = {(r.id, r.qty, round(r.price, 2)) for r in state.read().collect()}
+    assert got == {(1, 10, 1.5), (2, 20, 2.5)}
+    assert dict(state.read().dtypes) == {
+        "id": "bigint",
+        "qty": "bigint",
+        "price": "double",
+    }
+
+    big = 2**40  # exceeds int32 — only representable post-widening
+    changes = spark.createDataFrame(
+        [(2, big, 9.75, False), (3, big + 1, 3.25, False)],
+        "id long, qty bigint, price double, deleted boolean",
+    )
+    state.merge(changes)
+    got = {(r.id, r.qty, round(r.price, 2)) for r in state.read().collect()}
+    assert got == {(1, 10, 1.5), (2, big, 9.75), (3, big + 1, 3.25)}
+
+    # narrowing / incompatible changes must refuse
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        state.evolve({"qty": "int"})
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        state.evolve({"price": "string"})
+
+
 def test_dead_letter_routing(spark, tmp_path):
     """Malformed envelopes are quarantined, never merged, never fatal."""
     from spark_streaming_with_debezium_spark.cdc.envelope import dead_letters

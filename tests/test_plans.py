@@ -90,7 +90,7 @@ def test_headline_plan_census(spark, sf_dir):
     from spark_streaming_with_debezium_spark.plans.explain import _single_plan
 
     BNLJ_ALLOWED = {"ann_cosine_topk", "ann_ivf_topk"}  # broadcast side = 8 query vectors
-    MAX_EXCHANGES = {"dedup_minhash_lsh": 10}
+    MAX_EXCHANGES = {}
     for name in bench.HEADLINE:
         txt = _single_plan(QUERIES[name].fn(spark, sf_dir))
         assert "CartesianProduct" not in txt, name
@@ -99,3 +99,15 @@ def test_headline_plan_census(spark, sf_dir):
         limit = MAX_EXCHANGES.get(name, 5)
         n_exch = txt.count("Exchange hashpartitioning")
         assert n_exch <= limit, f"{name}: {n_exch} shuffles"
+
+
+def test_minhash_signatures_computed_once(spark, sf_dir):
+    """The round-1 LSH plan read the signature lineage three times
+    (counts join + pair self-join) and leaned on ReusedExchange; the
+    single-consumer rewrite must show exactly ONE doc_id-keyed exchange
+    (the signature aggregation) in the physical plan."""
+    from spark_streaming_with_debezium_spark.plans.explain import _single_plan
+
+    txt = _single_plan(QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir))
+    assert txt.count("hashpartitioning(doc_id") == 1, txt
+    assert txt.count("Exchange hashpartitioning") <= 3, txt

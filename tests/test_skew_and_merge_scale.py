@@ -33,6 +33,22 @@ def test_salted_join_exact(spark, sf_dir):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_salted_join_rejects_outer(spark):
+    """Right/full outer would duplicate unmatched small-side rows once
+    per salt replica — salted_join must refuse those modes."""
+    import pytest
+
+    df = spark.range(4).withColumnRenamed("id", "k")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(df, df, on=["k"], how=how)
+    # left stays allowed (unmatched BIG-side rows match no replica twice)
+    left = salted_join(
+        df, df.filter(F.col("k") < 2), on=["k"], n_salts=4, how="left"
+    )
+    assert left.count() == 4
+
+
 def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
     state = ParquetStateTable(spark, str(tmp_path / "st"), ["id"], n_buckets=16)
     snapshot = spark.createDataFrame(

@@ -33,6 +33,54 @@ def test_as_of_reconstruction(spark, tmp_path):
         assert _rows(t.as_of(seq)) == live_after[seq], f"as_of({seq})"
 
 
+def test_reopen_recovers_sequence(spark, tmp_path):
+    """Reopening an existing table path must resume _batch_seq from the
+    durable log — a restarted counter would append under already-used
+    partitions and corrupt both replay and as_of."""
+    path = str(tmp_path / "tt")
+    t = TimeTravelStateTable(spark, path, ["id"], n_buckets=4)
+    t.init(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.merge_logged(
+        spark.createDataFrame([(1, "a1", False)], "id long, v string, deleted boolean")
+    )
+    t.merge_logged(
+        spark.createDataFrame([(2, "b", False)], "id long, v string, deleted boolean")
+    )
+    expect_after2 = _rows(t.read())
+
+    reopened = TimeTravelStateTable(spark, path, ["id"], n_buckets=4)
+    seq = reopened.merge_logged(
+        spark.createDataFrame([(3, "c", False)], "id long, v string, deleted boolean")
+    )
+    assert seq == 3, "sequence must continue from the logged max"
+    assert _rows(reopened.as_of(2)) == expect_after2
+    assert _rows(reopened.as_of(3)) == _rows(reopened.read())
+
+
+def test_as_of_respects_data_cols(spark, tmp_path):
+    """Column-subset merges (the balance-only CDC pattern) must replay
+    with the same subset: as_of must not clobber untouched columns."""
+    path = str(tmp_path / "tt")
+    t = TimeTravelStateTable(spark, path, ["id"], n_buckets=4)
+    t.init(
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "id long, v string, bal int")
+    )
+    t.merge_logged(
+        spark.createDataFrame(
+            [(1, None, 11, False)], "id long, v string, bal int, deleted boolean"
+        ),
+        data_cols=["bal"],
+    )
+    live = sorted((r.id, r.v, r.bal) for r in t.read().collect())
+    assert live == [(1, "a", 11), (2, "b", 20)]
+    asof = sorted((r.id, r.v, r.bal) for r in t.as_of(1).collect())
+    assert asof == live, "as_of must apply the same data_cols subset"
+    # and the subset survives a reopen
+    reopened = TimeTravelStateTable(spark, path, ["id"], n_buckets=4)
+    asof2 = sorted((r.id, r.v, r.bal) for r in reopened.as_of(1).collect())
+    assert asof2 == live
+
+
 def test_as_of_key_churn(spark, tmp_path):
     """A key deleted then re-inserted across batches reconstructs
     correctly at every point."""
