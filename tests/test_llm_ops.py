@@ -177,7 +177,8 @@ def test_quantize_roundtrip_error_bounded(spark, sf_dir):
         if r.vec_id not in d:
             continue
         step = r.absmax / 127
-        for orig, qv in zip(d[r.vec_id], r.q):
+        q = [int(x) for x in r.q.split(",")]  # joined-string output
+        for orig, qv in zip(d[r.vec_id], q):
             assert abs(float(orig) - qv * step) <= step * 0.51 + 1e-6
 
 
