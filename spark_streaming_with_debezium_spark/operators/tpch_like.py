@@ -32,8 +32,8 @@ _REVENUE_SQL = "l_extendedprice * (1 - l_discount)"
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
       AND c_custkey = o_custkey AND l_orderkey = o_orderkey
-      AND o_orderdate < TIMESTAMP '2023-01-01 00:00:00'
-      AND l_shipdate > TIMESTAMP '2023-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
     GROUP BY l_orderkey, o_orderdate, o_orderpriority
     ORDER BY revenue DESC, o_orderdate, l_orderkey
     LIMIT 10
@@ -47,10 +47,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment") == "BUILDING"
     )
     o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("2023-01-01").cast("timestamp")
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
     )
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("2023-01-01").cast("timestamp")
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -386,4 +386,310 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global aggregate — the scan-bound
+    query every column store is judged on. All three predicates reach
+    the parquet scan (PushedFilters); no shuffle except the final
+    1-row partial/final aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS (semi join with a cross-side predicate) +
+    aggregate. The schema has no commit/receipt dates, so "late" =
+    shipped >60 days after order date — same correlated-EXISTS plan.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+           {sql_dsum(_REVENUE_SQL)} AS revenue
+    FROM supplier, lineitem, orders, customer, nation n1, nation n2
+    WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey
+      AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
+    Both nation dims broadcast; the pair disjunction is applied after
+    the cheap dim joins, never as a join condition on the fact side."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("n1_key"),
+                              F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("n2_key"),
+                              F.col("n_name").alias("cust_nation")))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(n1, s.s_nationkey == F.col("n1_key"))
+        .join(n2, c.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(dsum(_revenue()).alias("revenue"))
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey) t
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count histogram INCLUDING zero-order
+    customers (left outer + COUNT(col) null semantics) — two stacked
+    aggregations, the second one tiny."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count(col): nulls excluded
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no, {sql_dsum(_REVENUE_SQL)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, rev
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view + scalar-max filter (ties kept).
+    The max is a broadcast 1-row aggregate cross-joined in — lazy, no
+    driver-side collect; exact-decimal revenue makes the equality
+    comparison engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(_revenue()).alias("total_revenue")
+    )
+    mx = F.broadcast(rev.agg(F.max("total_revenue").alias("_max_rev")))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(mx)
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#3'
+      AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average threshold.
+    De-correlated the standard way: one aggregate per part joined back
+    (Catalyst does the same rewrite for the SQL form); the brand filter
+    broadcasts so the per-part averages come from a pruned scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    branded = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    # per-part avg over ALL lineitems of that part (not just branded rows
+    # — the subquery correlates on p_partkey only)
+    avgq = li.groupBy(F.col("l_partkey").alias("_avg_part")).agg(
+        F.avg("l_quantity").alias("_avg_qty")
+    )
+    return (
+        branded.join(F.broadcast(avgq), branded.l_partkey == F.col("_avg_part"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double") / 7.0
+             ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           round(CAST(SUM(CAST(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END
+                         AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE), 6)
+             AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             {_REVENUE_SQL} AS volume,
+             n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2,
+           region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND s_nationkey = n2.n_nationkey
+        AND r_name = 'ASIA' AND p_type = 'PROMO'
+    ) t
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a region's PROMO
+    volume per year — conditional sum over total sum, both with exact
+    decimal interiors, rounded once at the end."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = F.broadcast(
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+            F.col("n_nationkey").alias("cust_nkey")
+        )
+    )
+    n2 = F.broadcast(
+        n.select(F.col("n_nationkey").alias("supp_nkey"), F.col("n_name").alias("nation"))
+    )
+    volume = _revenue().cast("decimal(38,6)")
+    national = F.when(F.col("nation") == "NATION_2", volume).otherwise(
+        F.lit(0).cast("decimal(38,6)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(n1, c.c_nationkey == F.col("cust_nkey"))
+        .join(n2, s.s_nationkey == F.col("supp_nkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(national).cast("double") / F.sum(volume).cast("double"), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT nation, o_year, {sql_dsum('amount')} AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             {_REVENUE_SQL} - p_retailprice * l_quantity AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%5%'
+    ) t
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue − cost proxy) per nation-year for
+    a part-name slice. Per-row double arithmetic is IEEE-identical in
+    both engines; the sum is decimal-exact."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%5%"))
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    amount = _revenue() - F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(dsum(amount).alias("sum_profit"))
     )
