@@ -371,3 +371,48 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "vec_id", F.round("cos", 6).alias("cos_sim"), "rnk")
     )
+
+
+@query("dedup_semdedup_cells", oracle=None)  # KMeans cells => rows-only
+def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: drop-list of embeddings whose
+    cosine to a LOWER-id vector in the SAME centroid cell exceeds 0.95.
+
+    Composition of the IVF machinery: bounded-k centroids
+    (:func:`train_centroids`) + shuffle-free cell assignment
+    (:func:`nearest_cells`) turn the O(n²) all-pairs problem into one
+    shuffle on cell id plus within-cell pairs — cell population is
+    ~n/k, so pair work is O(n²/k) total and k scales with the corpus
+    (2^14-2^16 at 100 TB). The keep/drop rule (keep lowest vec_id) is
+    deterministic.
+    """
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    cents = train_centroids(spark, e)
+    cells = nearest_cells(e, cents, "embedding", "nrm", 1, "cell").select(
+        "vec_id", "embedding", "nrm", "cell"
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("keep_id"),
+        F.col("b.vec_id").alias("drop_id"),
+        cosine_prenormed(
+            F.col("a.embedding"),
+            F.col("b.embedding"),
+            F.col("a.nrm"),
+            F.col("b.nrm"),
+        ).alias("cos"),
+    )
+    near = pairs.filter(F.col("cos") >= 0.95)
+    # one row per dropped vector: its lowest-id retained neighbor
+    w = Window.partitionBy("drop_id").orderBy("keep_id")
+    return (
+        near.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("drop_id", "keep_id", F.round("cos", 6).alias("cos_sim"))
+    )

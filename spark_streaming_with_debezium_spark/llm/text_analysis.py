@@ -258,3 +258,52 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd.alias("n_distinct"),
         F.round(F.lit(1.0) - nd.cast("double") / n, 6).alias("repetition_ratio"),
     )
+
+
+@query(
+    "text_token_rarity",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+      FROM documents
+    ),
+    freq AS (SELECT word, COUNT(*) AS wc FROM words GROUP BY word),
+    tot AS (SELECT COUNT(*) AS n FROM words)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           round(CAST(SUM(CAST(CAST(n AS DOUBLE) / wc AS DECIMAL(38,6)))
+                      AS DOUBLE) / COUNT(*), 4) AS mean_rarity
+    FROM words JOIN freq USING (word), tot
+    GROUP BY doc_id
+    """,
+)
+def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-frequency quality signal: mean token rarity (corpus
+    tokens ÷ word count) per document — high values flag documents of
+    unusual vocabulary, the same ranking role as a unigram logprob but
+    built from integer ratios so the oracle comparison is
+    transcendental-free (ln() can differ by 1 ulp between libm
+    implementations; n/wc cannot). Two aggregates + one shuffle join on
+    word; the corpus-total is a broadcast 1-row cross join. At 100 TB
+    the word join is Zipf-skewed (stopwords) — AQE skew-join splitting
+    (on in the session factory) handles it, or broadcast `freq` when
+    the vocabulary is bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("word")
+    )
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    tot = F.broadcast(words.agg(F.count(F.lit(1)).alias("n")))
+    rarity = (F.col("n").cast("double") / F.col("wc")).cast("decimal(38,6)")
+    return (
+        words.join(freq, "word")
+        .crossJoin(tot)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(rarity).cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_rarity"),
+        )
+    )

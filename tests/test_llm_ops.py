@@ -223,6 +223,25 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
         assert member_to_canon[a] == member_to_canon[b], (a, b)
 
 
+def test_semdedup_pairs_truly_near(spark, sf_dir):
+    """Every (drop, keep) pair must be a genuine ≥0.95-cosine pair with
+    keep_id < drop_id (deterministic keep-lowest rule)."""
+    import math
+
+    rows = QUERIES["dedup_semdedup_cells"].fn(spark, sf_dir).collect()
+    vecs = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    for r in rows[:50]:
+        assert r.keep_id < r.drop_id
+        a, b = vecs[r.keep_id], vecs[r.drop_id]
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(x) ** 2 for x in b))
+        assert dot / (na * nb) >= 0.95 - 1e-9
+
+
 def test_ivf_index_persistent_search(spark, sf_dir, tmp_path):
     """Build-once search-many IVF: results match the inline ann_ivf_topk
     plan (same centroids, same probes) and the probe scan is pruned."""
