@@ -16,6 +16,7 @@ dashboard say on Tuesday" capability CDC pipelines are asked for.
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -74,6 +75,11 @@ class TimeTravelStateTable:
     def init(self, snapshot: DataFrame) -> None:
         snapshot.write.mode("overwrite").parquet(self._snap_dir)
         self.current.init(self.spark.read.parquet(self._snap_dir))
+        # Re-init on an existing path must purge the old change log:
+        # stale _batch_seq=N partitions would otherwise receive the next
+        # merge's append (log writes are mode=append) and replay/as_of
+        # would read old+new rows as one corrupted batch.
+        shutil.rmtree(self._log_dir, ignore_errors=True)
         self._seq = 0
         self._data_cols = None
         if os.path.exists(self._data_cols_path):
@@ -86,12 +92,26 @@ class TimeTravelStateTable:
         the log. Returns the batch sequence number."""
         # Persist data_cols so as_of applies the SAME column subset as
         # the maintained current state (a balance-only merge must stay
-        # balance-only when replayed historically).
-        if data_cols is not None:
+        # balance-only when replayed historically). The guard is
+        # two-sided: as_of replays EVERY batch with one data_cols value,
+        # so mixing full-row merges (None) with subset merges in either
+        # order silently drops columns on replay — reject both.
+        if data_cols is None:
+            if self._data_cols is not None:
+                raise ValueError(
+                    f"full-row merge after subset merges ({self._data_cols}) "
+                    "— historical replay would diverge"
+                )
+        else:
             if self._data_cols is not None and list(data_cols) != self._data_cols:
                 raise ValueError(
                     f"data_cols changed across merges: {self._data_cols} "
                     f"vs {list(data_cols)} — historical replay would diverge"
+                )
+            if self._data_cols is None and self._seq > 0:
+                raise ValueError(
+                    f"subset merge ({list(data_cols)}) after full-row merges "
+                    "— historical replay would diverge"
                 )
             self._data_cols = list(data_cols)
             with open(self._data_cols_path, "w") as f:

@@ -306,20 +306,24 @@ def fn_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(trunc(o_totalprice) AS BIGINT) AS price_int,  -- Spark cast truncates; DuckDB rounds
            CAST(o_orderkey AS VARCHAR) AS key_str,
            CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec
     FROM orders
     """,
 )
 def fn_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2: cast surface — the CAST(value AS STRING) Kafka idiom
-    (`StreamingJobExecutor.scala:23`) generalized."""
+    (`StreamingJobExecutor.scala:23`) generalized. ``price_dec`` is the
+    decimal cast rendered as its canonical string: the decimal VALUES
+    match across engines, but driver-side fetch renders DECIMAL columns
+    differently (Decimal vs float), so the exterior type must be scalar
+    text per the decimal-interior/scalar-exterior discipline."""
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
         F.col("o_totalprice").cast("bigint").alias("price_int"),
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("price_dec"),
     )
 
 

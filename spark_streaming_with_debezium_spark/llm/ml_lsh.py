@@ -54,9 +54,18 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ann_brp_ml", oracle=None)  # model-based => rows-only
 def ann_brp_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J11 via BucketedRandomProjectionLSH: approx nearest neighbors in
-    euclidean distance for the standing query vectors (vec_id < 8)."""
+    euclidean distance for the standing query vectors (vec_id < 8).
+
+    ONE ``approxSimilarityJoin`` (queries × corpus, bucket-colliding
+    candidates only) + a per-query top-k window — no driver-side
+    ``collect()`` of query vectors, no per-query Spark job. Cost is
+    O(colliding pairs), independent of the number of standing queries;
+    the embeddings are unit vectors so euclidean distance < 2.0 and the
+    threshold keeps every candidate the hash buckets surface (matching
+    the former ``approxNearestNeighbors`` loop up to multi-probe)."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
@@ -66,19 +75,17 @@ def ann_brp_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         numHashTables=4, seed=42,
     )
     model = brp.fit(e)
-    hashed = model.transform(e).cache()
-    queries = hashed.filter(F.col("vec_id") < 8).collect()
-    out = None
-    for q in queries:
-        nn = (
-            model.approxNearestNeighbors(hashed, q.features, 6, distCol="dist")
-            .filter(F.col("vec_id") != q.vec_id)
-            .limit(5)
-            .select(
-                F.lit(q.vec_id).alias("query_id"),
-                "vec_id",
-                F.round("dist", 6).alias("dist"),
-            )
+    queries = e.filter(F.col("vec_id") < 8)
+    pairs = model.approxSimilarityJoin(queries, e, 2.0, distCol="dist")
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    return (
+        pairs.select(
+            F.col("datasetA.vec_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("vec_id"),
+            F.round("dist", 6).alias("dist"),
         )
-        out = nn if out is None else out.unionByName(nn)
-    return out
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 5)
+        .drop("_rk")
+    )

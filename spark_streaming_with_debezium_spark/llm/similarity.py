@@ -318,10 +318,15 @@ def nearest_cells(
     arr = cents.agg(
         F.array_sort(F.collect_list(F.struct("cent_id", "ce", "cnrm"))).alias("_cents")
     )
+    # Struct fields compare in order: (cs, -cent_id) sorted DESC keeps
+    # the LOWEST cent_id on exact-cosine ties — same tie order as the
+    # round-1 row_number(orderBy cs desc, cent_id asc) formulation, so
+    # IvfIndex data written before the rewrite stays probe-consistent.
     scored = F.transform(
         F.col("_cents"),
         lambda c: F.struct(
             (dot(F.col(vec_col), c["ce"]) / (F.col(nrm_col) * c["cnrm"])).alias("cs"),
+            (-c["cent_id"]).alias("_neg_id"),
             c["cent_id"].alias("cent_id"),
         ),
     )

@@ -136,7 +136,7 @@ def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_history_per_key",
     oracle="""
     SELECT user_id,
-           string_agg(event_type, ',' ORDER BY event_id) AS op_history,
+           string_agg(event_type, ',' ORDER BY event_id, event_type) AS op_history,
            COUNT(*) AS n_changes,
            MIN(ts) AS first_seen, MAX(ts) AS last_seen
     FROM events
@@ -148,7 +148,11 @@ def cdc_history_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregate: collect_list(struct(order_key, val)) → array_sort →
     project — half the work and one fewer shuffle than the
     window-over-all-rows + distinct formulation, and the joined-string
-    output keeps the driver canonicalizer happy (no array columns)."""
+    output keeps the driver canonicalizer happy (no array columns).
+    array_sort over the struct tie-breaks equal event_ids by event_type;
+    the oracle ORDER BY includes event_type for the same reason (the
+    testdata has unique event_ids, but the query must not depend on
+    that)."""
     e = load_table(spark, sf_dir, "events")
     ordered = F.array_sort(F.collect_list(F.struct("event_id", "event_type")))
     return e.groupBy("user_id").agg(

@@ -65,82 +65,73 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 #: Explicit registration-order priority. The driver's correctness gate
-#: checks a PREFIX of the registry (50 queries in round 1), so the
-#: queries that most need a driver-verified row must register first:
-#: round 1 proved the relational/join/TPC-H block green, so round 2
-#: leads with the CDC kernel, streaming, the LLM-pipeline set, the
-#: remaining window/function families, and the three queries whose
-#: array outputs crashed the round-1 canonicalizer (now scalarized).
+#: checks a PREFIX of the registry (50 queries per round), so the
+#: queries that most need a driver-verified row must register first.
+#: Round 1 proved the relational/join/TPC-H block; round 2 proved the
+#: CDC/streaming/dedup/text/fn block. Round 3 leads with the 17 queries
+#: NEVER driver-checked in either round (12 already have oracles), then
+#: the freshly-fixed ``fn_casts`` and every query whose code or oracle
+#: changed this round, then back-fills with the round-1 greens most
+#: worth re-confirming (TPC-H headliners, the join family, windows).
 #: Names not listed keep their module registration order after these.
 _PRIORITY = (
-    # CDC kernel — the product's core (reference StreamingJobExecutor)
-    "cdc_current_state",
-    "cdc_state_rollup",
-    "cdc_envelope_roundtrip",
-    "cdc_history_per_key",
-    # streaming batch-equivalents (T5-T8)
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_dedup",
-    # dedup tier (LLM pipeline)
-    "dedup_exact_groups",
-    "dedup_exact_keep_canonical",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    # similarity / embeddings
-    "ann_cosine_topk",
-    "embedding_cosine_neardup",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_normalize",
-    "embedding_quantize_int8",
-    "text_idf",
-    # text analysis
-    "text_token_counts",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "text_redact",
-    "text_repetition",
-    # multimodal + dataset bookkeeping
-    "multimodal_metadata_stats",
-    "split_train_eval",
-    "contamination_cross_source",
-    # window family completion (W3-W5)
-    "window_lag_lead",
-    "window_running_frames",
-    "window_first_last",
-    "window_range_frame",
-    # round-1 canonicalizer crashes, now scalar-only outputs
-    "agg_collect_sorted",
-    "agg_approx_percentile",
-    # scalar-function families (F1-F10)
-    "fn_json_extract",
-    "fn_json_typed_parse",
-    "fn_strings",
-    "fn_strings_extended",
-    "fn_conditionals_nulls",
-    "fn_datetime",
-    "fn_datetime_parts",
-    "fn_math",
-    "fn_arrays",
-    "fn_array_agg_decimal",
-    "fn_arrays_extended",
-    "fn_maps",
-    "fn_casts",
-    "fn_hashes",
-    # --- 50-query prefix boundary (round-1 driver window) ---
-    # never-driver-checked stragglers next, ahead of the round-1 greens
+    # --- never driver-checked (r1+r2 union gap), oracles first ---
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
     "fn_map_higher_order",
-    "window_dist_functions",
     "text_corpus_stats",
-    "multimodal_fake_decode",
-    "dedup_minhash_ml",
+    "text_token_rarity",
+    "window_dist_functions",
+    # --- never driver-checked, declared rows-only ---
     "ann_brp_ml",
+    "dedup_minhash_ml",
+    "dedup_semdedup_cells",
+    "multimodal_fake_decode",
     "sample_stratified",
+    # --- changed this round: re-verify ---
+    "fn_casts",  # r2 hash-fail — decimal exterior now stringified
+    "cdc_history_per_key",  # oracle tie-break hardened (event_type)
+    "ann_ivf_topk",  # nearest_cells tie-break restored to lowest cent_id
+    # --- round-1 greens re-confirmed: TPC-H headliners ---
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "q10_returned_items",
+    "q12_shipmode_priority",
+    "q14_promo_ratio",
+    "q16_supplier_part_counts",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q22_global_sales_opportunity",
+    # --- round-1 greens re-confirmed: join family ---
+    "join_inner_equi",
+    "join_left_anti",
+    "join_left_semi",
+    "join_left_outer",
+    "join_full_outer",
+    "join_cross",
+    "join_broadcast_dims",
+    "join_range_band",
+    "join_asof",
+    # --- round-1 greens re-confirmed: windows + core relational ---
+    "window_lww_compaction",
+    "window_rank_topk_per_group",
+    "window_dense_ntile",
+    "filter_predicates",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_filtered",
+    "agg_stats",
+    "sort_limit_topk",
+    "set_ops",
+    # --- 50-query prefix boundary (round-3 driver window) ---
 )
 
 

@@ -96,6 +96,26 @@ def test_ann_ivf_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.6, f"IVF recall {recall:.2f} below 0.6"
 
 
+def test_ann_brp_recall_vs_exact(spark, sf_dir):
+    """BRP-LSH top-k (single approxSimilarityJoin, no driver loop) vs
+    the exact baseline. Unit-norm embeddings make euclidean top-k and
+    cosine top-k identical rankings (d² = 2 − 2·cos)."""
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["ann_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    rows = QUERIES["ann_brp_ml"].fn(spark, sf_dir).collect()
+    approx = {(r.query_id, r.vec_id) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"BRP recall {recall:.2f} below 0.5"
+    per_q: dict[int, list[float]] = {}
+    for r in rows:
+        assert r.query_id != r.vec_id, "self-match leaked"
+        per_q.setdefault(r.query_id, []).append(r.dist)
+    for q, dists in per_q.items():
+        assert len(dists) <= 5, f"query {q}: {len(dists)} neighbors"
+
+
 def test_fake_decode_deterministic_and_correct(spark, sf_dir):
     rows = (
         QUERIES["multimodal_fake_decode"].fn(spark, sf_dir).orderBy("doc_id").limit(5).collect()

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from spark_streaming_with_debezium_spark.cdc.timetravel import TimeTravelStateTable
 
 
@@ -95,3 +97,50 @@ def test_as_of_key_churn(spark, tmp_path):
     assert _rows(t.as_of(0)) == [(7, "x")]
     assert _rows(t.as_of(1)) == []
     assert _rows(t.as_of(2)) == [(7, "y")] == _rows(t.read())
+
+
+def test_reinit_purges_stale_log(spark, tmp_path):
+    """init() on a pre-existing path must purge log/ — otherwise the
+    next merge appends into an already-used _batch_seq partition and
+    as_of reads old+new rows as one corrupted batch (and _recover_seq
+    would resume from the stale max on reopen)."""
+    path = str(tmp_path / "tt")
+    t = TimeTravelStateTable(spark, path, ["id"], n_buckets=4)
+    t.init(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.merge_logged(
+        spark.createDataFrame([(1, "old1", False)], "id long, v string, deleted boolean")
+    )
+    t.merge_logged(
+        spark.createDataFrame([(2, "old2", False)], "id long, v string, deleted boolean")
+    )
+
+    t.init(spark.createDataFrame([(1, "A")], "id long, v string"))
+    seq = t.merge_logged(
+        spark.createDataFrame([(2, "new", False)], "id long, v string, deleted boolean")
+    )
+    assert seq == 1, "sequence must restart after re-init"
+    assert _rows(t.as_of(1)) == [(1, "A"), (2, "new")], "stale log rows leaked"
+    # reopen: recovered seq must reflect only the post-init log
+    reopened = TimeTravelStateTable(spark, path, ["id"], n_buckets=4)
+    assert reopened._seq == 1
+    assert _rows(reopened.as_of(1)) == [(1, "A"), (2, "new")]
+
+
+def test_data_cols_mixing_rejected(spark, tmp_path):
+    """Mixing full-row and subset merges diverges as_of replay in BOTH
+    orders — the guard must reject both, not just subset-vs-subset."""
+    chg = "id long, v string, bal int, deleted boolean"
+    # subset first, then full-row
+    t = TimeTravelStateTable(spark, str(tmp_path / "a"), ["id"], n_buckets=4)
+    t.init(spark.createDataFrame([(1, "a", 10)], "id long, v string, bal int"))
+    t.merge_logged(spark.createDataFrame([(1, None, 11, False)], chg), data_cols=["bal"])
+    with pytest.raises(ValueError, match="full-row merge after subset"):
+        t.merge_logged(spark.createDataFrame([(1, "x", 12, False)], chg))
+    # full-row first, then subset
+    t2 = TimeTravelStateTable(spark, str(tmp_path / "b"), ["id"], n_buckets=4)
+    t2.init(spark.createDataFrame([(1, "a", 10)], "id long, v string, bal int"))
+    t2.merge_logged(spark.createDataFrame([(1, "x", 12, False)], chg))
+    with pytest.raises(ValueError, match="subset merge .* after full-row"):
+        t2.merge_logged(
+            spark.createDataFrame([(1, None, 13, False)], chg), data_cols=["bal"]
+        )
