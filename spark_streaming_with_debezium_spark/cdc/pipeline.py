@@ -110,6 +110,8 @@ def run_cdc_stream(
     state: ParquetStateTable,
     checkpoint_dir: str,
     available_now: bool = True,
+    compact_every_n_batches: int | None = None,
+    compact_min_files: int = 4,
 ):
     """Continuous CDC upsert: writeStream.foreachBatch(batch_apply).
 
@@ -117,11 +119,25 @@ def run_cdc_stream(
     deterministic for tests and the right trigger for backfills; set
     False for a continuously running query (default micro-batch
     trigger, as the reference uses).
+
+    ``compact_every_n_batches`` opts into periodic small-file
+    maintenance: every N micro-batches, buckets fragmented into
+    ``compact_min_files``+ parquet files are rewritten via
+    ``state.compact_buckets`` — a long-running CDC stream otherwise
+    accumulates fragments from crash-recovered or externally-appended
+    buckets, and small files are the classic lake-scale read killer.
+    Runs inside foreachBatch, so it is serialized with merges (no
+    concurrent writer) and its cost amortizes over N batches.
     """
 
     def _fn(batch_df: DataFrame, batch_id: int) -> None:
         batch_apply(project_kafka(batch_df) if "topic" in batch_df.columns else batch_df,
                     spec, state)
+        if (
+            compact_every_n_batches
+            and (batch_id + 1) % compact_every_n_batches == 0
+        ):
+            state.compact_buckets(min_files=compact_min_files)
 
     writer = (
         raw_stream.writeStream.foreachBatch(_fn)

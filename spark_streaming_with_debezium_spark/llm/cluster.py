@@ -84,15 +84,12 @@ def connected_components(
         edges.unpersist()
 
 
-@query("dedup_clusters", oracle=None)  # iterative => rows-only
-def dedup_clusters(spark, sf_dir: str) -> DataFrame:
-    """Duplicate clusters from MinHash-LSH verified pairs: per cluster,
-    canonical doc = lowest doc_id, plus cluster size. The keep-list /
-    drop-list a dedup pipeline actually applies. Verified against a
-    driver-side union-find in tests."""
-    from spark_streaming_with_debezium_spark.llm.dedup import dedup_minhash_lsh
-
-    pairs = dedup_minhash_lsh(spark, sf_dir)
+def clusters_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Edge list → duplicate clusters: per cluster, canonical doc =
+    lowest doc_id, plus size and a joined member list (scalar output —
+    registered queries never return array columns). Shared by every
+    pair-producing dedup face (native LSH, pyspark.ml LSH), so the
+    keep/drop decision logic exists exactly once."""
     comps = connected_components(pairs)
     return (
         comps.groupBy(F.col("comp").alias("canonical_doc"))
@@ -108,3 +105,25 @@ def dedup_clusters(spark, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cluster_size") > 1)
     )
+
+
+@query("dedup_clusters", oracle=None)  # iterative => rows-only
+def dedup_clusters(spark, sf_dir: str) -> DataFrame:
+    """Duplicate clusters from MinHash-LSH verified pairs: the
+    keep-list / drop-list a dedup pipeline actually applies. Verified
+    against a driver-side union-find in tests."""
+    from spark_streaming_with_debezium_spark.llm.dedup import dedup_minhash_lsh
+
+    return clusters_from_pairs(dedup_minhash_lsh(spark, sf_dir))
+
+
+@query("dedup_clusters_ml", oracle=None)  # iterative => rows-only
+def dedup_clusters_ml(spark, sf_dir: str) -> DataFrame:
+    """Same cluster output over the pyspark.ml MinHashLSH face — both
+    LSH implementations feed ONE clustering path, so a user can swap
+    candidate generators without changing the keep/drop logic.
+    Exact-duplicate groups must appear identically in both faces'
+    clusters (asserted in tests/test_llm_ops.py)."""
+    from spark_streaming_with_debezium_spark.llm.ml_lsh import dedup_minhash_ml
+
+    return clusters_from_pairs(dedup_minhash_ml(spark, sf_dir))

@@ -542,10 +542,16 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: revenue view + scalar-max filter (ties kept).
     The max is a broadcast 1-row aggregate cross-joined in — lazy, no
     driver-side collect; exact-decimal revenue makes the equality
-    comparison engine-stable."""
+    comparison engine-stable. The explicit ``l_suppkey IS NOT NULL``
+    matches the predicate the supplier join pushes into the other
+    consumer of ``rev``, making both aggregate subtrees byte-identical
+    so Catalyst's ReuseExchange scans lineitem ONCE (plan-asserted in
+    tests/test_plans.py) — without it the max side re-scans and
+    re-shuffles the fact table."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        & F.col("l_suppkey").isNotNull()
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum(_revenue()).alias("total_revenue")
@@ -574,18 +580,29 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated per-part average threshold.
     De-correlated the standard way: one aggregate per part joined back
-    (Catalyst does the same rewrite for the SQL form); the brand filter
-    broadcasts so the per-part averages come from a pruned scan."""
+    (Catalyst does the same rewrite for the SQL form). The correlation
+    is only ever evaluated for BRANDED parts, so the per-part average
+    semi-joins lineitem to the branded part keys first — the aggregate
+    is O(branded lineitems), not O(all lineitems), and no |part|-sized
+    table is force-broadcast (AQE picks the strategy; at 100 TB a
+    brand's parts can exceed any broadcast threshold)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
-    branded = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    # No forced broadcasts anywhere: a brand's parts are small at test
+    # scale (AQE broadcasts them) but NOT provably broadcast-able at
+    # 100 TB — forcing it would build an unbounded driver-side relation.
+    branded = li.join(p, li.l_partkey == p.p_partkey)
     # per-part avg over ALL lineitems of that part (not just branded rows
-    # — the subquery correlates on p_partkey only)
-    avgq = li.groupBy(F.col("l_partkey").alias("_avg_part")).agg(
-        F.avg("l_quantity").alias("_avg_qty")
+    # — the subquery correlates on p_partkey only), restricted to the
+    # branded part keys the outer query can actually reference
+    branded_keys = p.select("p_partkey")
+    avgq = (
+        li.join(branded_keys, li.l_partkey == branded_keys.p_partkey, "left_semi")
+        .groupBy(F.col("l_partkey").alias("_avg_part"))
+        .agg(F.avg("l_quantity").alias("_avg_qty"))
     )
     return (
-        branded.join(F.broadcast(avgq), branded.l_partkey == F.col("_avg_part"))
+        branded.join(avgq, branded.l_partkey == F.col("_avg_part"))
         .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
         .agg(
             (F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double") / 7.0

@@ -91,6 +91,7 @@ _PRIORITY = (
     # --- never driver-checked, declared rows-only ---
     "ann_brp_ml",
     "dedup_minhash_ml",
+    "dedup_clusters_ml",  # new this round: unified ml-LSH cluster face
     "dedup_semdedup_cells",
     "multimodal_fake_decode",
     "sample_stratified",
@@ -130,8 +131,8 @@ _PRIORITY = (
     "agg_filtered",
     "agg_stats",
     "sort_limit_topk",
-    "set_ops",
     # --- 50-query prefix boundary (round-3 driver window) ---
+    "set_ops",
 )
 
 

@@ -187,6 +187,36 @@ def test_ml_minhash_finds_exact_dups(spark, sf_dir):
     assert not missed, f"ml LSH missed exact-dup pairs: {missed}"
 
 
+def test_cluster_faces_agree_on_exact_dups(spark, sf_dir):
+    """Native-LSH and ml-LSH clusters share one clustering path
+    (clusters_from_pairs); every exact-duplicate group must land inside
+    one cluster in BOTH faces, with the same canonical doc."""
+    d = load_table(spark, sf_dir, "documents")
+    by_hash = (
+        d.select(
+            "doc_id",
+            F.md5(F.regexp_replace(F.lower(F.trim("text")), "\\s+", " ")).alias("h"),
+        )
+        .groupBy("h")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .collect()
+    )
+    exact_groups = [sorted(r.ids) for r in by_hash]
+    for qname in ("dedup_clusters", "dedup_clusters_ml"):
+        clusters = QUERIES[qname].fn(spark, sf_dir).collect()
+        member_to_canon = {}
+        for c in clusters:
+            for m in c.members.split(","):
+                member_to_canon[int(m)] = c.canonical_doc
+        for g in exact_groups:
+            canons = {member_to_canon.get(i) for i in g}
+            assert len(canons) == 1 and None not in canons, (
+                f"{qname}: exact-dup group {g} split across clusters {canons}"
+            )
+            assert min(canons) <= g[0], f"{qname}: canonical not min for {g}"
+
+
 def test_quantize_roundtrip_error_bounded(spark, sf_dir):
     rows = QUERIES["embedding_quantize_int8"].fn(spark, sf_dir).limit(20).collect()
     d = {

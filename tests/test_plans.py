@@ -111,3 +111,31 @@ def test_minhash_signatures_computed_once(spark, sf_dir):
     txt = _single_plan(QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir))
     assert txt.count("hashpartitioning(doc_id") == 1, txt
     assert txt.count("Exchange hashpartitioning") <= 3, txt
+
+
+def test_q15_reuses_revenue_exchange(spark, sf_dir):
+    """q15 consumes the per-supplier revenue aggregate twice (join left
+    side + scalar max). Both subtrees must stay byte-identical so AQE's
+    runtime exchange reuse scans lineitem ONCE — a silent double
+    scan/shuffle of the fact table here is a 100 TB regression. Reuse
+    is a RUNTIME decision under AQE, so execute first."""
+    from spark_streaming_with_debezium_spark.plans.explain import _single_plan
+
+    df = QUERIES["q15_top_supplier"].fn(spark, sf_dir)
+    df.collect()
+    final = _single_plan(df)
+    assert "ReusedExchange" in final, final
+    assert final.count("lineitem.parquet") == 1, final
+
+
+def test_q17_no_forced_part_broadcast(spark, sf_dir):
+    """q17's per-part average side must be semi-join-pruned to branded
+    parts and must not force-broadcast a |part|-sized relation — AQE
+    picks the join strategy from runtime sizes instead."""
+    from spark_streaming_with_debezium_spark.plans.explain import plan_text
+
+    df = QUERIES["q17_small_quantity_revenue"].fn(spark, sf_dir)
+    txt = plan_text(df, "extended")
+    # the logical plan must carry no user-forced broadcast hint
+    assert "UnresolvedHint" not in txt and "hints=[broadcast]" not in txt.lower(), txt
+    assert "LeftSemi" in txt, "branded-part pruning of the average side missing"

@@ -91,6 +91,53 @@ def test_cdc_stream_with_checkpoint_restart(spark, tmp_path):
     ]
 
 
+def test_cdc_stream_compaction_bounds_fragmentation(spark, tmp_path):
+    """The opt-in maintenance hook must rewrite fragmented buckets as
+    part of the stream: pre-fragment a bucket (simulating crash-
+    recovered/externally-appended files), run the stream with
+    compaction enabled, and assert every bucket is back under the
+    fragment threshold with no rows lost."""
+    import shutil
+
+    state = ParquetStateTable(spark, str(tmp_path / "state"), ["id"], n_buckets=4)
+    state.init(
+        spark.createDataFrame([(i, f"u{i}@x.com") for i in range(20)],
+                              "id long, email string")
+    )
+    # fragment one bucket: append 5 tiny parquet files externally
+    bucket_dirs = [d for d in os.listdir(state.path) if d.startswith("_bucket=")]
+    target = os.path.join(state.path, sorted(bucket_dirs)[0])
+    frag_src = str(tmp_path / "frag")
+    spark.createDataFrame([], "id long, email string").write.mode("overwrite").parquet(frag_src)
+    for i in range(5):
+        for f in os.listdir(frag_src):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(frag_src, f), os.path.join(target, f"frag_{i}.parquet"))
+    n_before = len([f for f in os.listdir(target) if f.endswith(".parquet")])
+    assert n_before >= 5, "pre-fragmentation failed"
+    rows_before = sorted((r.id, r.email) for r in state.read().collect())
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join([_env("u", 0, 0, "new0@x.com")]))
+    stream = spark.readStream.schema(RAW_SCHEMA).json(str(src))
+    run_cdc_stream(
+        stream, SPEC, state, str(tmp_path / "ckpt"),
+        compact_every_n_batches=1, compact_min_files=4,
+    ).awaitTermination()
+
+    for d in os.listdir(state.path):
+        if d.startswith("_bucket="):
+            files = [
+                f for f in os.listdir(os.path.join(state.path, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) < 4, f"{d} still fragmented: {len(files)} files"
+    rows_after = sorted((r.id, r.email) for r in state.read().collect())
+    expected = [(i, "new0@x.com" if i == 0 else f"u{i}@x.com") for i in range(20)]
+    assert rows_after == expected, (rows_before, rows_after)
+
+
 def _write_events(path, rows):
     with open(path, "w") as f:
         for eid, ts, uid, etype, val in rows:
