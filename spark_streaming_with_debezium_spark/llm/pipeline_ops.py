@@ -84,6 +84,89 @@ def contamination_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "contamination_ngram_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, source, array_to_string(w[i:i+4], ' ') AS g
+      FROM toks, UNNEST(range(1, len(w)-5+2)) AS t(i)
+    )
+    SELECT a.doc_id AS doc_id, a.source AS source,
+           b.doc_id AS dup_of, b.source AS dup_source,
+           COUNT(*) AS n_shared
+    FROM grams a JOIN grams b
+      ON a.g = b.g AND a.source <> b.source AND a.doc_id > b.doc_id
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial contamination: cross-source document pairs sharing at
+    least one word 5-gram, with the shared-distinct-gram count — the
+    n-gram decontamination check used to scrub eval sets out of
+    training data (exact-hash contamination misses near-verbatim
+    leaks).
+
+    Shape (single-consumer, like the banded MinHash plan): tokenize
+    ONCE into a column (the split must not be a higher-order-function
+    lambda child — it would re-evaluate per gram position), generate
+    positions with a guarded sequence (Spark's sequence(1, 0) counts
+    DOWN, so short docs need an empty array, not a reversed one),
+    explode + distinct per doc, then groupBy(gram) and generate the
+    cross-source pairs INSIDE each gram group with higher-order
+    functions — a gram self-join would recompute the whole
+    tokenize/explode/distinct lineage for the second side (documents
+    scanned twice; plan-asserted single-scan in tests/test_plans.py).
+    Three uniform-keyed shuffles. Stop-phrase gram skew at 100 TB is
+    handled like the jaccard blocking join — drop top-DF grams first
+    (cheap IDF pre-pass) or salt the hot keys."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.split(F.regexp_replace(F.lower(F.trim("text")), "\\s+", " "), " ").alias("w"),
+    )
+    positions = F.when(
+        F.size("w") >= 5, F.sequence(F.lit(1), F.size("w") - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(positions, lambda i: F.array_join(F.slice("w", i, 5), " "))
+        ).alias("g"),
+    ).distinct()
+    per_gram = grams.groupBy("g").agg(
+        F.collect_list(F.struct("doc_id", "source")).alias("ds")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ds",
+            lambda a: F.transform(
+                F.filter(
+                    "ds",
+                    lambda b: (a["doc_id"] > b["doc_id"])
+                    & (a["source"] != b["source"]),
+                ),
+                lambda b: F.struct(
+                    a["doc_id"].alias("doc_id"),
+                    a["source"].alias("source"),
+                    b["doc_id"].alias("dup_of"),
+                    b["source"].alias("dup_source"),
+                ),
+            ),
+        )
+    )
+    return (
+        per_gram.select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.doc_id", "p.source", "p.dup_of", "p.dup_source")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 @query("sample_stratified", oracle=None)  # RNG-based => rows-only
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling: per-language fractions via sampleBy with a

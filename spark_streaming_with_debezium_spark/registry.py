@@ -95,10 +95,11 @@ _PRIORITY = (
     "dedup_semdedup_cells",
     "multimodal_fake_decode",
     "sample_stratified",
-    # --- changed this round: re-verify ---
+    # --- changed/new this round: verify ---
     "fn_casts",  # r2 hash-fail — decimal exterior now stringified
     "cdc_history_per_key",  # oracle tie-break hardened (event_type)
     "ann_ivf_topk",  # nearest_cells tie-break restored to lowest cent_id
+    "contamination_ngram_overlap",  # new: 5-gram decontamination check
     # --- round-1 greens re-confirmed: TPC-H headliners ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -130,8 +131,8 @@ _PRIORITY = (
     "agg_cube",
     "agg_filtered",
     "agg_stats",
-    "sort_limit_topk",
     # --- 50-query prefix boundary (round-3 driver window) ---
+    "sort_limit_topk",
     "set_ops",
 )
 

@@ -128,6 +128,18 @@ def test_q15_reuses_revenue_exchange(spark, sf_dir):
     assert final.count("lineitem.parquet") == 1, final
 
 
+def test_contamination_ngram_single_scan(spark, sf_dir):
+    """The n-gram contamination plan must consume the gram lineage
+    ONCE (groupBy-gram + in-group pair generation) — a gram self-join
+    would tokenize/explode/distinct the corpus twice."""
+    from spark_streaming_with_debezium_spark.plans.explain import _single_plan
+
+    df = QUERIES["contamination_ngram_overlap"].fn(spark, sf_dir)
+    txt = _single_plan(df)
+    assert txt.count("documents.parquet") == 1, txt
+    assert txt.count("Exchange hashpartitioning") <= 3, txt
+
+
 def test_q17_no_forced_part_broadcast(spark, sf_dir):
     """q17's per-part average side must be semi-join-pruned to branded
     parts and must not force-broadcast a |part|-sized relation — AQE
