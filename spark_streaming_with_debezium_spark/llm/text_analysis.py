@@ -307,3 +307,75 @@ def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_rarity"),
         )
     )
+
+
+@query(
+    "text_bigram_predictability",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM toks, UNNEST(range(1, len(w))) AS t(i)
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+    uc AS (SELECT w1, SUM(cb) AS cu FROM bc GROUP BY 1)
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           round(CAST(SUM(CAST(CAST(cb AS DOUBLE) / cu AS DECIMAL(38,6)))
+                      AS DOUBLE) / COUNT(*), 4) AS mean_predictability
+    FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1)
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality signal: per document, the mean conditional
+    probability p(w2|w1) = c(w1,w2)/c(w1·) under the corpus's own MLE
+    bigram model — the KenLM-perplexity ranking role (boilerplate and
+    templated text score high, unusual word sequences low), built from
+    integer count ratios so the oracle comparison is
+    transcendental-free (same discipline as ``text_token_rarity``: a
+    log-prob formulation would hinge on ln() agreeing to the last ulp
+    across libm implementations).
+
+    Shape: per-doc bigrams via a guarded index transform
+    (sequence(1,0) counts DOWN — short docs need an empty array);
+    unigram-left counts derived FROM the bigram counts (one fewer
+    consumer of the exploded lineage); two count aggregates + the
+    scoring join + the per-doc aggregate. The w1 join is Zipf-skewed at
+    100 TB — AQE skew splitting handles it, or broadcast ``uc``/``bc``
+    when the vocabulary is bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _words(F.col("text")).alias("w"))
+    pair_idx = F.when(
+        F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                pair_idx,
+                lambda i: F.struct(
+                    F.element_at("w", i).alias("w1"),
+                    F.element_at("w", i + F.lit(1)).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    uc = bc.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    pred = (F.col("cb").cast("double") / F.col("cu")).cast("decimal(38,6)")
+    return (
+        bg.join(bc, ["w1", "w2"])
+        .join(uc, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum(pred).cast("double") / F.count(F.lit(1)), 4).alias(
+                "mean_predictability"
+            ),
+        )
+    )
