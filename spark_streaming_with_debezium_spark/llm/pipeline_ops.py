@@ -167,6 +167,74 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sample_weights_by_source",
+    oracle="""
+    WITH per_src AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             SUM(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens
+      FROM documents
+      GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS DOUBLE) AS all_tokens,
+             CAST(SUM(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(38,9)))
+                  AS DOUBLE) AS z
+      FROM per_src
+    )
+    SELECT source, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / all_tokens, 6) AS raw_share,
+           round(sqrt(CAST(n_tokens AS DOUBLE)) / z, 6) AS temp_share,
+           round(least(1.0, (sqrt(CAST(n_tokens AS DOUBLE)) / z) * 2000.0
+                            / CAST(n_tokens AS DOUBLE)), 6) AS sample_rate
+    FROM per_src, tot
+    """,
+)
+def sample_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture rebalancing: per-source sampling rates that hit a
+    token budget under temperature-scaled shares (α=0.5, the
+    multilingual-training up-weighting of small sources). ``raw_share``
+    is the natural mix, ``temp_share`` the √-scaled target mix,
+    ``sample_rate`` = min(1, target_tokens/actual_tokens) for a 2,000
+    token budget — the number a sampler feeds to ``sampleBy``.
+
+    sqrt is IEEE-correctly-rounded (engines agree bit-exactly, unlike
+    ln), and the √-share denominator accumulates in DECIMAL so the
+    4-row sum is order-independent. One groupBy(source) + a broadcast
+    1-row totals cross join — O(sources) output, trivially 100 TB-safe."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim("text"), "\\s+"))).alias("n_tokens"),
+    )
+    tot = F.broadcast(
+        per_src.agg(
+            F.sum("n_tokens").cast("double").alias("all_tokens"),
+            F.sum(F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(38,9)"))
+            .cast("double")
+            .alias("z"),
+        )
+    )
+    temp_share = F.sqrt(F.col("n_tokens").cast("double")) / F.col("z")
+    return per_src.crossJoin(tot).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("all_tokens"), 6).alias(
+            "raw_share"
+        ),
+        F.round(temp_share, 6).alias("temp_share"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                temp_share * 2000.0 / F.col("n_tokens").cast("double"),
+            ),
+            6,
+        ).alias("sample_rate"),
+    )
+
+
 @query("sample_stratified", oracle=None)  # RNG-based => rows-only
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling: per-language fractions via sampleBy with a
