@@ -302,3 +302,74 @@ def fn_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice"), F.nullif(F.col("o_orderkey") % 3, F.lit(0))
         ).alias("guarded_div"),
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events
+      GROUP BY user_id
+    ),
+    stages AS (
+      SELECT user_id,
+             (t_view IS NOT NULL) AS s1,
+             (t_view IS NOT NULL AND t_click > t_view) AS s2,
+             (t_view IS NOT NULL AND t_click > t_view
+              AND t_signup > t_click) AS s3,
+             (t_view IS NOT NULL AND t_click > t_view
+              AND t_signup > t_click AND t_purchase > t_signup) AS s4
+      FROM per_user
+    )
+    SELECT COUNT(*) AS n_users,
+           SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS n_view,
+           SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS n_click_after_view,
+           SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS n_signup_in_order,
+           SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS n_full_funnel,
+           round(CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / SUM(CASE WHEN s1 THEN 1 ELSE 0 END), 6) AS conversion
+    FROM stages
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view → click → signup → purchase): a
+    user advances a stage only when the FIRST occurrence of the next
+    event is strictly after the first occurrence of the previous one —
+    the product-analytics operator clickstream warehouses ship as a
+    built-in (windowFunnel). ONE conditional-min aggregate per user
+    (single shuffle on user_id, map-side combined) + a scalar roll-up;
+    no self-joins, no per-stage passes, scales as a plain groupBy.
+    Conversion is an integer-count ratio — IEEE-exact on both engines."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_ts(ev: str):
+        return F.min(F.when(F.col("event_type") == ev, F.col("ts")))
+
+    per_user = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("signup").alias("t_signup"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_signup") > F.col("t_click"))
+    s4 = s3 & (F.col("t_purchase") > F.col("t_signup"))
+    cnt = lambda c, name: F.sum(F.when(c, 1).otherwise(0)).alias(name)  # noqa: E731
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        cnt(s1, "n_view"),
+        cnt(s2, "n_click_after_view"),
+        cnt(s3, "n_signup_in_order"),
+        cnt(s4, "n_full_funnel"),
+        F.round(
+            F.sum(F.when(s4, 1).otherwise(0)).cast("double")
+            / F.sum(F.when(s1, 1).otherwise(0)),
+            6,
+        ).alias("conversion"),
+    )

@@ -102,6 +102,7 @@ _PRIORITY = (
     "contamination_ngram_overlap",  # new: 5-gram decontamination check
     "text_bigram_predictability",  # new: bigram-LM quality score
     "sample_weights_by_source",  # new: temperature source rebalancing
+    "events_funnel",  # new: ordered-funnel conversion analysis
     # --- round-1 greens re-confirmed: TPC-H headliners ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -130,8 +131,8 @@ _PRIORITY = (
     "filter_predicates",
     "agg_count_distinct",
     "agg_rollup",
-    "agg_cube",
     # --- 50-query prefix boundary (round-3 driver window) ---
+    "agg_cube",
     "agg_filtered",
     "agg_stats",
     "sort_limit_topk",
