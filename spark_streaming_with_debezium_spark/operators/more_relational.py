@@ -373,3 +373,50 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("conversion"),
     )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM events
+    )
+    SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS BIGINT)
+             AS week_offset,
+           COUNT(*) AS n_active_users
+    FROM firsts f JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by the week of their
+    first event, counted in every subsequent week they were active —
+    the product-analytics triangle chart. Both engines truncate weeks
+    to Monday, so the offset is an exact multiple of 7 days and the
+    integer division is engine-stable (no date_diff('week') boundary
+    semantics in play). Two user_id-keyed aggregates + one user_id
+    join + the small cohort×offset roll-up; activity is DISTINCT per
+    (user, week) first so re-delivered events can't inflate retention."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
