@@ -108,11 +108,36 @@ def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_fake_decode", oracle=None)  # mapInPandas => rows-only
+@query(
+    "multimodal_fake_decode",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    nibbles AS (
+      -- byte i's LOW nibble is hex char 2i (1-based); byte%4 depends
+      -- only on the low nibble's value mod 4
+      SELECT doc_id, n_bytes, substr(h, 2 * i, 1) AS c
+      FROM b, UNNEST(range(1, n_bytes + 1)) AS t(i)
+    )
+    SELECT doc_id, n_bytes,
+           SUM(CASE WHEN c IN ('0','4','8','C') THEN 1 ELSE 0 END) AS f0,
+           SUM(CASE WHEN c IN ('1','5','9','D') THEN 1 ELSE 0 END) AS f1,
+           SUM(CASE WHEN c IN ('2','6','A','E') THEN 1 ELSE 0 END) AS f2,
+           SUM(CASE WHEN c IN ('3','7','B','F') THEN 1 ELSE 0 END) AS f3
+    FROM nibbles
+    GROUP BY doc_id, n_bytes
+    """,
+)
 def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mapInPandas decode path with the deterministic fake decoder:
-    binary payload in → feature struct out, Arrow-batched. Values are
-    reproducible (byte histograms), asserted in tests."""
+    binary payload in → feature struct out, Arrow-batched. The oracle
+    recomputes the byte-histogram-mod-4 features INDEPENDENTLY in SQL
+    (hex-nibble counting over the UTF-8 payload), so the driver
+    hash-checks the whole Python/Arrow decode plumbing — this was a
+    rows-only row until round 3."""
     d = load_table(spark, sf_dir, "documents")
     m = with_media_columns(d)
     return decode_media(m, fake=True)
