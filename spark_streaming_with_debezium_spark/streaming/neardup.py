@@ -1,0 +1,178 @@
+"""Ingest-time near-duplicate suppression for document streams.
+
+Batch near-dup dedup (llm/dedup.py) answers "which existing docs are
+duplicates"; an ingest pipeline needs the ONLINE form: as documents
+stream in, drop any that are near-duplicates of (a) something already
+accepted in a previous batch or (b) an earlier document in the same
+batch, and remember the survivors — so the corpus stays deduplicated
+without ever re-scanning it.
+
+Design (generalizes reference `StreamingJobExecutor.scala:16-61`'s
+foreachBatch upsert loop to similarity state):
+
+- The accepted-document state is a MinHash **signature store** on
+  parquet, partitioned by ``_bdir = pmod(bucket, N_STORE_DIRS)`` of the
+  LSH band buckets. An incoming micro-batch computes its own banded
+  buckets, derives the touched ``_bdir`` values (a bounded collect —
+  at most N_STORE_DIRS ints), and reads ONLY those partitions: probe
+  cost scales with the batch, not the corpus — the same
+  partition-pruning discipline as ``ParquetStateTable.merge``.
+- Candidate pairs = equi join on (band, bucket) between the batch's
+  banded rows and the pruned store slice (plus the batch against
+  itself via ``lsh_candidate_pairs``). Verification estimates Jaccard
+  as the fraction of agreeing MinHash components — no shingle re-read,
+  O(num_hashes) per candidate.
+- Within a batch, the LOWEST doc_id of a duplicate cluster survives
+  (deterministic; matches ``dedup_exact_keep_canonical``).
+- Survivors' banded signature rows are appended to the store inside
+  the same ``foreachBatch`` invocation — serialized with the probe, so
+  a replayed batch (checkpoint recovery) re-derives the same answer.
+
+At 100 TB: the store holds bands×1 row per accepted doc of ~50 bytes;
+probes touch ≤ batch×bands buckets; the only unbounded growth is the
+store itself, which partitions by bucket hash — uniform by
+construction.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_streaming_with_debezium_spark.llm.dedup import (
+    banded_rows,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+
+N_STORE_DIRS = 64
+
+
+class SignatureStore:
+    """Bucket-partitioned MinHash signature store for accepted docs."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            d.startswith("_bdir=") for d in os.listdir(self.path)
+        )
+
+    def probe(self, touched_bdirs: list[int]) -> DataFrame | None:
+        """Banded rows from ONLY the store partitions a batch can hit."""
+        if not self.exists() or not touched_bdirs:
+            return None
+        df = self.spark.read.parquet(self.path)
+        return df.filter(F.col("_bdir").isin(touched_bdirs))
+
+    def append(self, banded: DataFrame) -> None:
+        (
+            banded.withColumn("_bdir", F.pmod("bucket", F.lit(N_STORE_DIRS)))
+            .repartition(F.col("_bdir"))
+            .write.mode("append")
+            .partitionBy("_bdir")
+            .parquet(self.path)
+        )
+
+
+def _sig_agreement(a: str, b: str) -> F.Column:
+    """Estimated Jaccard: fraction of agreeing MinHash components."""
+    pairs = F.zip_with(F.col(a), F.col(b), lambda x, y: (x == y).cast("int"))
+    return F.aggregate(pairs, F.lit(0), lambda acc, v: acc + v).cast(
+        "double"
+    ) / F.size(F.col(a))
+
+
+def dedup_batch_against_store(
+    docs: DataFrame,
+    store: SignatureStore,
+    threshold: float = 0.5,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """One micro-batch of ingest dedup. Returns the surviving docs and
+    appends their signatures to the store. Pure function of
+    (batch, store state) — safe to replay."""
+    sigs = minhash_signatures(docs).persist()
+    try:
+        banded = banded_rows(sigs, bands, rows_per_band).withColumn(
+            "_bdir", F.pmod("bucket", F.lit(N_STORE_DIRS))
+        )
+        # --- duplicates of already-accepted docs (pruned store probe) ---
+        dup_vs_store = None
+        touched = [r._bdir for r in banded.select("_bdir").distinct().collect()]
+        slice_ = store.probe(touched)
+        if slice_ is not None:
+            cand = banded.alias("new").join(
+                slice_.alias("old"),
+                (F.col("new.band") == F.col("old.band"))
+                & (F.col("new.bucket") == F.col("old.bucket")),
+            )
+            dup_vs_store = (
+                cand.filter(_sig_agreement("new.sig", "old.sig") >= threshold)
+                .select(F.col("new.doc_id").alias("doc_id"))
+                .distinct()
+            )
+        # --- duplicates within the batch: lowest doc_id survives ---
+        in_batch_pairs = lsh_candidate_pairs(sigs, bands, rows_per_band)
+        sig_of = sigs.select("doc_id", "sig")
+        verified = (
+            in_batch_pairs.join(
+                sig_of.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                    "sig", "sig_a"
+                ),
+                "doc_a",
+            )
+            .join(
+                sig_of.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                    "sig", "sig_b"
+                ),
+                "doc_b",
+            )
+            .filter(_sig_agreement("sig_a", "sig_b") >= threshold)
+        )
+        # doc_a < doc_b by construction: doc_b is the in-batch duplicate
+        dup_in_batch = verified.select(F.col("doc_b").alias("doc_id")).distinct()
+        dropped = (
+            dup_in_batch
+            if dup_vs_store is None
+            else dup_vs_store.unionByName(dup_in_batch).distinct()
+        )
+        kept = docs.join(dropped, "doc_id", "left_anti")
+        # remember the survivors (serialized with the probe in
+        # foreachBatch — no concurrent writer)
+        kept_banded = banded.join(
+            kept.select("doc_id"), "doc_id", "left_semi"
+        ).drop("_bdir")
+        store.append(kept_banded)
+        return kept
+    finally:
+        sigs.unpersist()
+
+
+def run_neardup_dedup_stream(
+    doc_stream: DataFrame,
+    store: SignatureStore,
+    out_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+):
+    """Continuous ingest dedup: survivors append to ``out_path``,
+    signatures accumulate in the store, availableNow drain for
+    deterministic tests (same trigger discipline as run_cdc_stream)."""
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        kept = dedup_batch_against_store(batch_df, store, threshold=threshold)
+        kept.write.mode("append").parquet(out_path)
+
+    return (
+        doc_stream.writeStream.foreachBatch(_fn)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
