@@ -210,21 +210,15 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame,
-    bands: int = 8,
-    rows_per_band: int = 4,
-    max_bucket: int = 64,
+def banded_rows(
+    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the signatures and emit candidate pairs from shared buckets.
-
-    Pairs are generated by a self-join on (band, bucket_hash) — a pure
-    shuffle join on uniform hash keys. ``max_bucket`` drops
-    pathologically hot buckets (boilerplate), bounding worst-case
-    fan-out at scale.
-    """
-    banded = sigs.select(
+    """(doc_id, band, bucket) rows: each band's signature slice hashed
+    to one bucket key. Shared by the batch LSH pair generator and the
+    streaming ingest-dedup signature store."""
+    return sigs.select(
         "doc_id",
+        "sig",
         F.explode(
             F.array(
                 *[
@@ -241,7 +235,23 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs from shared buckets.
+
+    Pairs are generated by a self-join on (band, bucket_hash) — a pure
+    shuffle join on uniform hash keys. ``max_bucket`` drops
+    pathologically hot buckets (boilerplate), bounding worst-case
+    fan-out at scale.
+    """
+    banded = banded_rows(sigs, bands, rows_per_band).drop("sig")
     # SINGLE-CONSUMER plan: one shuffle on (band, bucket), bucket size
     # via a window count over that same partitioning (no extra
     # exchange), then pairs generated INSIDE each bucket from the

@@ -338,3 +338,60 @@ def test_sliding_window_stream(spark, tmp_path):
         "2024-01-01 00:00:00": (2, 3.0),
         "2024-01-01 01:00:00": (1, 2.0),
     }
+
+
+def test_neardup_dedup_stream(spark, tmp_path):
+    """Ingest-time near-dup suppression: batch 2's near-copy and exact
+    copy of accepted batch-1 docs are dropped, the novel doc survives,
+    and within-batch dups keep the lowest doc_id. Driven as a real
+    file-source stream with checkpointed foreachBatch."""
+    import time
+
+    from spark_streaming_with_debezium_spark.streaming.neardup import (
+        SignatureStore,
+        run_neardup_dedup_stream,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "falls gently on the quiet village roofs at dusk tonight"
+    )
+    novel = (
+        "completely different content about distributed query engines "
+        "processing parquet files with vectorized readers at scale"
+    )
+    src = tmp_path / "docs"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    store = SignatureStore(spark, str(tmp_path / "sigstore"))
+    out = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: two distinct docs + an in-batch exact dup of doc 1
+    write_batch("b1.json", [(1, base), (2, novel), (3, base)])
+    stream = spark.readStream.schema(schema).json(str(src))
+    run_neardup_dedup_stream(stream, store, out, ckpt).awaitTermination()
+    kept1 = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept1 == [1, 2], f"batch1 survivors wrong: {kept1}"
+
+    # batch 2: near-dup of doc 1 (one word changed), exact dup of doc 2,
+    # and a novel doc
+    near = base.replace("lazy", "sleepy")
+    fresh = (
+        "yet another unrelated document listing prime numbers and "
+        "their curious distribution across large integer ranges"
+    )
+    time.sleep(1.1)  # distinct mod-time => new file seen by the stream
+    write_batch("b2.json", [(10, near), (11, novel), (12, fresh)])
+    stream2 = spark.readStream.schema(schema).json(str(src))
+    run_neardup_dedup_stream(stream2, store, out, ckpt).awaitTermination()
+    kept2 = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept2 == [1, 2, 12], f"batch2 survivors wrong: {kept2}"
