@@ -379,3 +379,72 @@ def text_bigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "text_similar_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lower(trim(text)) AS norm,
+             string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct([array_to_string(w[i:i+2], ' ')
+                                      FOR i IN range(1, len(w) - 3 + 2)])
+                  ELSE [norm] END AS s
+      FROM toks
+    ),
+    scored AS (
+      SELECT q.doc_id AS query_doc, c.doc_id AS match_doc,
+             CAST(len(list_intersect(q.s, c.s)) AS DOUBLE)
+               / (len(q.s) + len(c.s) - len(list_intersect(q.s, c.s))) AS jac
+      FROM sh q JOIN sh c ON q.doc_id < 3 AND c.doc_id <> q.doc_id
+    ),
+    ranked AS (
+      SELECT query_doc, match_doc, jac, ROW_NUMBER() OVER (
+        PARTITION BY query_doc ORDER BY jac DESC, match_doc) AS rnk
+      FROM scored
+    )
+    SELECT query_doc, match_doc, round(jac, 6) AS jaccard, rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def text_similar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text-similarity retrieval: top-5 most shingle-Jaccard-
+    similar corpus docs for each standing query doc (doc_id < 3) — the
+    text twin of ``ann_cosine_topk`` and the exact baseline the LSH
+    candidate generators approximate. Query shingle sets broadcast;
+    the corpus is scanned once with no shuffle before the per-query
+    top-k window (only q·n scalar score rows move, never the shingle
+    arrays). Ranking keys are IEEE-exact integer-ratio doubles with a
+    doc_id tie-break, so both engines rank identically. The oracle
+    mirrors ``shingle_set`` exactly, including the whole-text fallback
+    for docs shorter than one 3-word shingle."""
+    from spark_streaming_with_debezium_spark.llm.dedup import shingle_set
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", shingle_set(F.col("text")).alias("s"))
+    q = F.broadcast(
+        sh.filter(F.col("doc_id") < 3).select(
+            F.col("doc_id").alias("query_doc"), F.col("s").alias("qs")
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("qs"), F.col("s")))
+    union = F.size("qs") + F.size("s") - inter
+    scored = (
+        sh.join(q, F.col("doc_id") != F.col("query_doc"))
+        .withColumn("jac", inter.cast("double") / union)
+        .select("query_doc", F.col("doc_id").alias("match_doc"), "jac")
+    )
+    w = Window.partitionBy("query_doc").orderBy(
+        F.col("jac").desc(), F.col("match_doc")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_doc", "match_doc", F.round("jac", 6).alias("jaccard"), "rnk")
+    )

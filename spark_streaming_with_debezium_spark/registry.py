@@ -104,6 +104,7 @@ _PRIORITY = (
     "sample_weights_by_source",  # new: temperature source rebalancing
     "events_funnel",  # new: ordered-funnel conversion analysis
     "events_retention_cohorts",  # new: weekly cohort retention matrix
+    "text_similar_topk",  # new: exact shingle-jaccard retrieval baseline
     # --- round-1 greens re-confirmed: TPC-H headliners ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -130,8 +131,8 @@ _PRIORITY = (
     "window_rank_topk_per_group",
     "window_dense_ntile",
     "filter_predicates",
-    "agg_count_distinct",
     # --- 50-query prefix boundary (round-3 driver window) ---
+    "agg_count_distinct",
     "agg_rollup",
     "agg_cube",
     "agg_filtered",
