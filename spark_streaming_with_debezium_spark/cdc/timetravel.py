@@ -48,22 +48,34 @@ class TimeTravelStateTable:
         self._snap_dir = os.path.join(path, "snapshot0")
         self._log_dir = os.path.join(path, "log")
         self._data_cols_path = os.path.join(path, "_data_cols")
+        self._base_seq_path = os.path.join(path, "_base_seq")
+        # The snapshot represents state as of _base_seq (0 until a
+        # compact_log retention tick folds a log prefix into it).
+        self._base_seq = self._recover_base_seq()
         # Reopening an existing table must resume the sequence from the
         # durable log, not restart at 0 — a restarted counter would
         # append new merges under already-used _batch_seq partitions,
-        # corrupting replay and every as_of reconstruction.
+        # corrupting replay and every as_of reconstruction. After a
+        # retention tick the log may be EMPTY, so the floor is the
+        # folded base sequence, not 0.
         self._seq = self._recover_seq()
         self._data_cols = self._recover_data_cols()
 
+    def _recover_base_seq(self) -> int:
+        if not os.path.exists(self._base_seq_path):
+            return 0
+        with open(self._base_seq_path) as f:
+            return int(f.read().strip() or 0)
+
     def _recover_seq(self) -> int:
         if not os.path.isdir(self._log_dir):
-            return 0
+            return self._base_seq
         seqs = [
             int(d.split("=", 1)[1])
             for d in os.listdir(self._log_dir)
             if d.startswith("_batch_seq=")
         ]
-        return max(seqs, default=0)
+        return max(seqs, default=self._base_seq)
 
     def _recover_data_cols(self) -> list[str] | None:
         if not os.path.exists(self._data_cols_path):
@@ -81,9 +93,12 @@ class TimeTravelStateTable:
         # would read old+new rows as one corrupted batch.
         shutil.rmtree(self._log_dir, ignore_errors=True)
         self._seq = 0
+        self._base_seq = 0
         self._data_cols = None
         if os.path.exists(self._data_cols_path):
             os.remove(self._data_cols_path)
+        if os.path.exists(self._base_seq_path):
+            os.remove(self._base_seq_path)
 
     def merge_logged(
         self, changes: DataFrame, data_cols: Sequence[str] | None = None
@@ -133,12 +148,20 @@ class TimeTravelStateTable:
         return self.current.read()
 
     def as_of(self, seq: int) -> DataFrame:
-        """State as of (and including) batch ``seq``; seq=0 → snapshot."""
+        """State as of (and including) batch ``seq``; seq=base →
+        snapshot. Raises for seq below the retention horizon — that
+        history was folded away by :meth:`compact_log`."""
+        if seq < self._base_seq:
+            raise ValueError(
+                f"as_of({seq}) is beyond the retention horizon: log "
+                f"batches <= {self._base_seq} were folded into the "
+                "snapshot by compact_log and can no longer be replayed"
+            )
         snapshot = self.spark.read.parquet(self._snap_dir)
-        if seq <= 0 or not os.path.exists(self._log_dir):
+        if seq <= self._base_seq or not os.path.exists(self._log_dir):
             return snapshot
         log = self.spark.read.parquet(self._log_dir).filter(
-            F.col("_batch_seq") <= seq
+            (F.col("_batch_seq") > self._base_seq) & (F.col("_batch_seq") <= seq)
         )
         latest = compact_latest(
             log, self.key_cols, order_cols=["_batch_seq"]
@@ -146,3 +169,33 @@ class TimeTravelStateTable:
         return apply_changes(
             snapshot, latest, self.key_cols, data_cols=self._data_cols
         )
+
+    def compact_log(self, upto_seq: int) -> int:
+        """Retention: fold log batches ``<= upto_seq`` into the
+        snapshot and drop their partitions. After this, ``as_of(s)``
+        serves only ``s >= upto_seq`` — the standard lake trade of
+        history depth for bounded storage; at 100 TB this is an O(1
+        files-touched-per-partition) tick, the reconstruction itself
+        one window + one merge. Returns the number of log partitions
+        dropped."""
+        upto_seq = min(upto_seq, self._seq)
+        if upto_seq <= self._base_seq:
+            return 0
+        folded = self.as_of(upto_seq)
+        tmp = self._snap_dir + "_folding"
+        folded.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self._snap_dir, ignore_errors=True)
+        os.rename(tmp, self._snap_dir)
+        dropped = 0
+        if os.path.isdir(self._log_dir):
+            for d in os.listdir(self._log_dir):
+                if d.startswith("_batch_seq="):
+                    if int(d.split("=", 1)[1]) <= upto_seq:
+                        shutil.rmtree(
+                            os.path.join(self._log_dir, d), ignore_errors=True
+                        )
+                        dropped += 1
+        self._base_seq = upto_seq
+        with open(self._base_seq_path, "w") as f:
+            f.write(str(upto_seq))
+        return dropped

@@ -144,3 +144,38 @@ def test_data_cols_mixing_rejected(spark, tmp_path):
         t2.merge_logged(
             spark.createDataFrame([(1, None, 13, False)], chg), data_cols=["bal"]
         )
+
+
+def test_compact_log_retention(spark, tmp_path):
+    """compact_log folds a log prefix into the snapshot: as_of for
+    retained seqs is unchanged (including after a reopen), pre-horizon
+    seqs raise, the sequence counter survives even when every log
+    partition is dropped, and new merges continue correctly."""
+    path = str(tmp_path / "tt")
+    t = TimeTravelStateTable(spark, path, ["id"], n_buckets=4)
+    t.init(spark.createDataFrame([(1, "a")], "id long, v string"))
+    chg = "id long, v string, deleted boolean"
+    t.merge_logged(spark.createDataFrame([(2, "b", False)], chg))
+    t.merge_logged(spark.createDataFrame([(1, None, True)], chg))
+    t.merge_logged(spark.createDataFrame([(3, "c", False)], chg))
+    expect = {s: _rows(t.as_of(s)) for s in (2, 3)}
+
+    dropped = t.compact_log(2)
+    assert dropped == 2, "partitions 1 and 2 must be dropped"
+    assert _rows(t.as_of(2)) == expect[2], "horizon seq must still serve"
+    assert _rows(t.as_of(3)) == expect[3] == _rows(t.read())
+    with pytest.raises(ValueError, match="retention horizon"):
+        t.as_of(1)
+
+    # reopen: base + counter recovered from durable files
+    re = TimeTravelStateTable(spark, path, ["id"], n_buckets=4)
+    assert re._seq == 3 and re._base_seq == 2
+    assert _rows(re.as_of(3)) == expect[3]
+
+    # fold EVERYTHING away: counter must not reset to 0 on reopen
+    re.compact_log(3)
+    re2 = TimeTravelStateTable(spark, path, ["id"], n_buckets=4)
+    assert re2._seq == 3 and re2._base_seq == 3
+    seq = re2.merge_logged(spark.createDataFrame([(4, "d", False)], chg))
+    assert seq == 4
+    assert _rows(re2.as_of(4)) == [(2, "b"), (3, "c"), (4, "d")] == _rows(re2.read())
