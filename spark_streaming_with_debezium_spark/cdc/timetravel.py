@@ -49,6 +49,11 @@ class TimeTravelStateTable:
         self._log_dir = os.path.join(path, "log")
         self._data_cols_path = os.path.join(path, "_data_cols")
         self._base_seq_path = os.path.join(path, "_base_seq")
+        # Finish or roll back any compact_log interrupted by a crash
+        # BEFORE reading the base — otherwise a half-applied fold
+        # (snapshot already advanced, base not yet persisted) would
+        # silently serve corrupted reconstructions.
+        self._recover_compaction()
         # The snapshot represents state as of _base_seq (0 until a
         # compact_log retention tick folds a log prefix into it).
         self._base_seq = self._recover_base_seq()
@@ -66,6 +71,52 @@ class TimeTravelStateTable:
             return 0
         with open(self._base_seq_path) as f:
             return int(f.read().strip() or 0)
+
+    def _drop_folded_partitions(self, upto_seq: int) -> int:
+        dropped = 0
+        if os.path.isdir(self._log_dir):
+            for d in os.listdir(self._log_dir):
+                if d.startswith("_batch_seq="):
+                    if int(d.split("=", 1)[1]) <= upto_seq:
+                        shutil.rmtree(
+                            os.path.join(self._log_dir, d), ignore_errors=True
+                        )
+                        dropped += 1
+        return dropped
+
+    def _recover_compaction(self) -> None:
+        """Crash recovery for :meth:`compact_log`'s fold protocol.
+
+        The pending marker is written BEFORE anything destructive; the
+        swap is the only destructive step before the base persists.
+        - marker + old snapshot + tmp  → crash before the swap: roll
+          BACK (drop tmp + marker; nothing was destroyed).
+        - marker + tmp, snapshot gone  → crash mid-swap: roll FORWARD
+          (finish the rename, persist the base, drop folded log).
+        - marker, no tmp               → crash after the swap: roll
+          FORWARD (persist the base, drop folded log).
+        - tmp without marker           → stray from a crash before the
+          marker: roll back (remove tmp).
+        """
+        tmp = self._snap_dir + "_folding"
+        pend = self._base_seq_path + ".pending"
+        has_tmp, has_pend = os.path.isdir(tmp), os.path.exists(pend)
+        has_snap = os.path.isdir(self._snap_dir)
+        if has_pend:
+            with open(pend) as f:
+                upto = int(f.read().strip() or 0)
+            if has_snap and has_tmp:
+                shutil.rmtree(tmp, ignore_errors=True)
+                os.remove(pend)
+            else:
+                if not has_snap and has_tmp:
+                    os.rename(tmp, self._snap_dir)
+                with open(self._base_seq_path, "w") as f:
+                    f.write(str(upto))
+                self._drop_folded_partitions(upto)
+                os.remove(pend)
+        elif has_tmp:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     def _recover_seq(self) -> int:
         if not os.path.isdir(self._log_dir):
@@ -183,19 +234,23 @@ class TimeTravelStateTable:
             return 0
         folded = self.as_of(upto_seq)
         tmp = self._snap_dir + "_folding"
+        pend = self._base_seq_path + ".pending"
+        # Fold protocol (crash-safe; recovery in _recover_compaction):
+        # 1. materialize the folded snapshot into tmp (non-destructive)
         folded.write.mode("overwrite").parquet(tmp)
+        # 2. write-ahead marker BEFORE any destructive step
+        with open(pend, "w") as f:
+            f.write(str(upto_seq))
+        # 3. swap the snapshot
         shutil.rmtree(self._snap_dir, ignore_errors=True)
         os.rename(tmp, self._snap_dir)
-        dropped = 0
-        if os.path.isdir(self._log_dir):
-            for d in os.listdir(self._log_dir):
-                if d.startswith("_batch_seq="):
-                    if int(d.split("=", 1)[1]) <= upto_seq:
-                        shutil.rmtree(
-                            os.path.join(self._log_dir, d), ignore_errors=True
-                        )
-                        dropped += 1
+        # 4. persist the base, THEN drop the folded partitions —
+        # stale partitions <= base are invisible to as_of (its filter
+        # is _batch_seq > base), so a crash between these steps only
+        # leaves ignorable files, never a wrong reconstruction.
         self._base_seq = upto_seq
         with open(self._base_seq_path, "w") as f:
             f.write(str(upto_seq))
+        dropped = self._drop_folded_partitions(upto_seq)
+        os.remove(pend)
         return dropped

@@ -119,16 +119,24 @@ def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     nibbles AS (
       -- byte i's LOW nibble is hex char 2i (1-based); byte%4 depends
       -- only on the low nibble's value mod 4
-      SELECT doc_id, n_bytes, substr(h, 2 * i, 1) AS c
+      SELECT doc_id, substr(h, 2 * i, 1) AS c
       FROM b, UNNEST(range(1, n_bytes + 1)) AS t(i)
+    ),
+    hist AS (
+      SELECT doc_id,
+             SUM(CASE WHEN c IN ('0','4','8','C') THEN 1 ELSE 0 END) AS f0,
+             SUM(CASE WHEN c IN ('1','5','9','D') THEN 1 ELSE 0 END) AS f1,
+             SUM(CASE WHEN c IN ('2','6','A','E') THEN 1 ELSE 0 END) AS f2,
+             SUM(CASE WHEN c IN ('3','7','B','F') THEN 1 ELSE 0 END) AS f3
+      FROM nibbles
+      GROUP BY doc_id
     )
-    SELECT doc_id, n_bytes,
-           SUM(CASE WHEN c IN ('0','4','8','C') THEN 1 ELSE 0 END) AS f0,
-           SUM(CASE WHEN c IN ('1','5','9','D') THEN 1 ELSE 0 END) AS f1,
-           SUM(CASE WHEN c IN ('2','6','A','E') THEN 1 ELSE 0 END) AS f2,
-           SUM(CASE WHEN c IN ('3','7','B','F') THEN 1 ELSE 0 END) AS f3
-    FROM nibbles
-    GROUP BY doc_id, n_bytes
+    -- LEFT JOIN keeps zero-byte payloads: the Spark decoder emits
+    -- (doc_id, 0, 0,0,0,0) for them, while the UNNEST range is empty
+    SELECT b.doc_id, b.n_bytes,
+           COALESCE(f0, 0) AS f0, COALESCE(f1, 0) AS f1,
+           COALESCE(f2, 0) AS f2, COALESCE(f3, 0) AS f3
+    FROM b LEFT JOIN hist USING (doc_id)
     """,
 )
 def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

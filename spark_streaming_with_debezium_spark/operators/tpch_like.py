@@ -530,6 +530,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        AND l_suppkey IS NOT NULL  -- mirrors the Spark side's explicit filter
       GROUP BY l_suppkey
     )
     SELECT s_suppkey, s_name, total_revenue

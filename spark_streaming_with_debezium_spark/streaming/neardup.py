@@ -24,9 +24,21 @@ foreachBatch upsert loop to similarity state):
   O(num_hashes) per candidate.
 - Within a batch, the LOWEST doc_id of a duplicate cluster survives
   (deterministic; matches ``dedup_exact_keep_canonical``).
-- Survivors' banded signature rows are appended to the store inside
-  the same ``foreachBatch`` invocation — serialized with the probe, so
-  a replayed batch (checkpoint recovery) re-derives the same answer.
+
+**Replay safety** (foreachBatch is at-least-once): the store probe
+excludes the batch's own doc_ids, so a replayed batch whose signatures
+were already committed does NOT match itself and re-derives the same
+survivor set; the store append anti-joins the probed slice so replayed
+signatures are not double-inserted; and the survivor output is written
+with dynamic partition overwrite keyed by ``_ingest_batch`` so a
+replayed batch REPLACES its own output partition instead of appending
+duplicates.
+
+**File hygiene**: every append leaves small files under the touched
+``_bdir`` partitions; ``SignatureStore.compact`` rewrites fragmented
+partitions (same swap protocol as ``ParquetStateTable.compact_buckets``)
+and ``run_neardup_dedup_stream(compact_every_n_batches=N)`` schedules
+it inside foreachBatch, serialized with probes and appends.
 
 At 100 TB: the store holds bands×1 row per accepted doc of ~50 bytes;
 probes touch ≤ batch×bands buckets; the only unbounded growth is the
@@ -37,6 +49,8 @@ construction.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -78,6 +92,43 @@ class SignatureStore:
             .parquet(self.path)
         )
 
+    def compact(self, min_files: int = 8) -> int:
+        """Rewrite ``_bdir`` partitions fragmented into ``min_files``+
+        parquet files (each batch append leaves one file per touched
+        partition). Same write-to-temp-then-swap protocol as
+        ``ParquetStateTable.compact_buckets``; call only from the
+        single writer (foreachBatch). Returns partitions compacted."""
+        if not self.exists():
+            return 0
+        fragmented = []
+        for d in os.listdir(self.path):
+            if d.startswith("_bdir="):
+                files = [
+                    f
+                    for f in os.listdir(os.path.join(self.path, d))
+                    if f.endswith(".parquet")
+                ]
+                if len(files) >= min_files:
+                    fragmented.append(int(d.split("=", 1)[1]))
+        if not fragmented:
+            return 0
+        sub = self.spark.read.parquet(self.path).filter(
+            F.col("_bdir").isin(fragmented)
+        )
+        sub = sub.repartition(len(fragmented), F.col("_bdir"))
+        tmp = tempfile.mkdtemp(prefix="sigcompact_", dir=os.path.dirname(self.path))
+        try:
+            sub.write.mode("overwrite").partitionBy("_bdir").parquet(tmp)
+            for b in fragmented:
+                src = os.path.join(tmp, f"_bdir={b}")
+                dst = os.path.join(self.path, f"_bdir={b}")
+                if os.path.exists(src):
+                    shutil.rmtree(dst, ignore_errors=True)
+                    shutil.move(src, dst)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return len(fragmented)
+
 
 def _sig_agreement(a: str, b: str) -> F.Column:
     """Estimated Jaccard: fraction of agreeing MinHash components."""
@@ -93,30 +144,42 @@ def dedup_batch_against_store(
     threshold: float = 0.5,
     bands: int = 8,
     rows_per_band: int = 4,
+    sink=None,
 ) -> DataFrame:
-    """One micro-batch of ingest dedup. Returns the surviving docs and
-    appends their signatures to the store. Pure function of
-    (batch, store state) — safe to replay."""
+    """One micro-batch of ingest dedup. Computes the surviving docs,
+    invokes ``sink(kept)`` (if given) BEFORE mutating the store, then
+    appends the survivors' signatures. Replay-safe: the probe excludes
+    the batch's own doc_ids and the append skips rows the store
+    already holds, so re-running the same batch against a store that
+    already absorbed it derives the same survivors and changes
+    nothing."""
     sigs = minhash_signatures(docs).persist()
+    slice_ = None
     try:
         banded = banded_rows(sigs, bands, rows_per_band).withColumn(
             "_bdir", F.pmod("bucket", F.lit(N_STORE_DIRS))
         )
         # --- duplicates of already-accepted docs (pruned store probe) ---
         dup_vs_store = None
+        already_stored = None
         touched = [r._bdir for r in banded.select("_bdir").distinct().collect()]
         slice_ = store.probe(touched)
         if slice_ is not None:
+            slice_ = slice_.persist()
+            # A replayed batch finds its own committed signatures in the
+            # store — self-doc_id matches must not count as duplicates.
             cand = banded.alias("new").join(
                 slice_.alias("old"),
                 (F.col("new.band") == F.col("old.band"))
-                & (F.col("new.bucket") == F.col("old.bucket")),
+                & (F.col("new.bucket") == F.col("old.bucket"))
+                & (F.col("new.doc_id") != F.col("old.doc_id")),
             )
             dup_vs_store = (
                 cand.filter(_sig_agreement("new.sig", "old.sig") >= threshold)
                 .select(F.col("new.doc_id").alias("doc_id"))
                 .distinct()
             )
+            already_stored = slice_.select("doc_id").distinct()
         # --- duplicates within the batch: lowest doc_id survives ---
         in_batch_pairs = lsh_candidate_pairs(sigs, bands, rows_per_band)
         sig_of = sigs.select("doc_id", "sig")
@@ -142,16 +205,28 @@ def dedup_batch_against_store(
             if dup_vs_store is None
             else dup_vs_store.unionByName(dup_in_batch).distinct()
         )
-        kept = docs.join(dropped, "doc_id", "left_anti")
-        # remember the survivors (serialized with the probe in
-        # foreachBatch — no concurrent writer)
+        # persist: consumed by the sink, the store append, and the
+        # caller — without it the whole probe/join plan re-executes per
+        # consumer.
+        kept = docs.join(dropped, "doc_id", "left_anti").persist()
+        kept.count()  # materialize while sigs/slice are cached
+        if sink is not None:
+            # survivors reach the output BEFORE the store mutates: a
+            # crash in between replays the batch against an unchanged
+            # store.
+            sink(kept)
         kept_banded = banded.join(
             kept.select("doc_id"), "doc_id", "left_semi"
         ).drop("_bdir")
+        if already_stored is not None:
+            # replay: signatures already committed must not duplicate
+            kept_banded = kept_banded.join(already_stored, "doc_id", "left_anti")
         store.append(kept_banded)
         return kept
     finally:
         sigs.unpersist()
+        if slice_ is not None:
+            slice_.unpersist()
 
 
 def run_neardup_dedup_stream(
@@ -160,14 +235,31 @@ def run_neardup_dedup_stream(
     out_path: str,
     checkpoint_dir: str,
     threshold: float = 0.5,
+    compact_every_n_batches: int | None = None,
 ):
-    """Continuous ingest dedup: survivors append to ``out_path``,
-    signatures accumulate in the store, availableNow drain for
-    deterministic tests (same trigger discipline as run_cdc_stream)."""
+    """Continuous ingest dedup: survivors land in ``out_path``
+    partitioned by ``_ingest_batch`` (dynamic overwrite → a replayed
+    batch REPLACES its own partition, no duplicate output), signatures
+    accumulate in the store, availableNow drain for deterministic
+    tests (same trigger discipline as run_cdc_stream). Opt-in periodic
+    store compaction bounds small-file growth on long streams."""
 
     def _fn(batch_df: DataFrame, batch_id: int) -> None:
-        kept = dedup_batch_against_store(batch_df, store, threshold=threshold)
-        kept.write.mode("append").parquet(out_path)
+        def sink(kept: DataFrame) -> None:
+            (
+                kept.withColumn("_ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_ingest_batch")
+                .parquet(out_path)
+            )
+
+        kept = dedup_batch_against_store(
+            batch_df, store, threshold=threshold, sink=sink
+        )
+        kept.unpersist()
+        if compact_every_n_batches and (batch_id + 1) % compact_every_n_batches == 0:
+            store.compact()
 
     return (
         doc_stream.writeStream.foreachBatch(_fn)

@@ -395,3 +395,46 @@ def test_neardup_dedup_stream(spark, tmp_path):
     run_neardup_dedup_stream(stream2, store, out, ckpt).awaitTermination()
     kept2 = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert kept2 == [1, 2, 12], f"batch2 survivors wrong: {kept2}"
+
+
+def test_neardup_batch_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a batch whose
+    signatures already committed must derive the SAME survivors (the
+    probe excludes self-matches) and must not double-insert signatures
+    into the store."""
+    from spark_streaming_with_debezium_spark.streaming.neardup import (
+        SignatureStore,
+        dedup_batch_against_store,
+    )
+
+    # long enough that a 1-word edit keeps shingle-jaccard ~0.85 (LSH
+    # candidate probability ≈ 1 at 8 bands × 4 rows)
+    a = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda "
+        "mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    )
+    b = (
+        "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    )
+    near_a = a.replace("delta", "knife")
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, near_a)], "doc_id long, text string"
+    )
+    store = SignatureStore(spark, str(tmp_path / "sigs"))
+
+    kept1 = sorted(
+        r.doc_id for r in dedup_batch_against_store(docs, store).collect()
+    )
+    assert kept1 == [1, 2], f"first run survivors wrong: {kept1}"
+    n_store1 = spark.read.parquet(store.path).count()
+
+    # replay the SAME batch against the already-mutated store
+    kept2 = sorted(
+        r.doc_id for r in dedup_batch_against_store(docs, store).collect()
+    )
+    assert kept2 == kept1, f"replay diverged: {kept2} vs {kept1}"
+    n_store2 = spark.read.parquet(store.path).count()
+    assert n_store2 == n_store1, (
+        f"replay duplicated store rows: {n_store1} -> {n_store2}"
+    )

@@ -179,3 +179,48 @@ def test_compact_log_retention(spark, tmp_path):
     seq = re2.merge_logged(spark.createDataFrame([(4, "d", False)], chg))
     assert seq == 4
     assert _rows(re2.as_of(4)) == [(2, "b"), (3, "c"), (4, "d")] == _rows(re2.read())
+
+
+def test_compact_log_crash_recovery(spark, tmp_path):
+    """A crash mid-compaction must never serve a corrupted as_of:
+    before the swap the fold rolls BACK; after the swap (base not yet
+    persisted) it rolls FORWARD on reopen."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "tt")
+    t = TimeTravelStateTable(spark, path, ["id"], n_buckets=4)
+    t.init(spark.createDataFrame([(1, "a")], "id long, v string"))
+    chg = "id long, v string, deleted boolean"
+    t.merge_logged(spark.createDataFrame([(2, "b", False)], chg))
+    t.merge_logged(spark.createDataFrame([(3, "c", False)], chg))
+    snap = os.path.join(path, "current")  # not the snapshot; get real paths
+    snap = t._snap_dir
+    tmp_dir = snap + "_folding"
+    pend = t._base_seq_path + ".pending"
+    expect1 = _rows(t.as_of(1))
+    expect2 = _rows(t.as_of(2))
+
+    # --- crash BEFORE the swap: tmp + marker + old snapshot on disk ---
+    t.as_of(1).write.mode("overwrite").parquet(tmp_dir)
+    with open(pend, "w") as f:
+        f.write("1")
+    re = TimeTravelStateTable(spark, path, ["id"], n_buckets=4)
+    assert not os.path.isdir(tmp_dir) and not os.path.exists(pend), "rollback"
+    assert re._base_seq == 0, "rollback must not advance the base"
+    assert _rows(re.as_of(1)) == expect1 and _rows(re.as_of(2)) == expect2
+
+    # --- crash MID-swap: snapshot dir gone, tmp + marker present ---
+    re.as_of(1).write.mode("overwrite").parquet(tmp_dir)
+    with open(pend, "w") as f:
+        f.write("1")
+    shutil.rmtree(snap)
+    re2 = TimeTravelStateTable(spark, path, ["id"], n_buckets=4)
+    assert re2._base_seq == 1, "roll-forward must persist the base"
+    assert os.path.isdir(snap) and not os.path.exists(pend)
+    assert not os.path.isdir(os.path.join(path, "log", "_batch_seq=1")), (
+        "folded partition must be dropped on roll-forward"
+    )
+    assert _rows(re2.as_of(1)) == expect1 and _rows(re2.as_of(2)) == expect2
+    with pytest.raises(ValueError, match="retention horizon"):
+        re2.as_of(0)
