@@ -29,6 +29,26 @@ from spark_streaming_with_debezium_spark.cdc.merge import (
 )
 
 
+def _durable_write(path: str, text: str) -> None:
+    """Write ``text`` to ``path`` so a crash can never leave a torn or
+    empty file: write to a sibling tmp, flush+fsync, atomic rename,
+    then fsync the directory so the rename itself is durable. A torn
+    ``_base_seq``/``.pending`` that parses as 0 would silently
+    mis-recover (serve pre-retention state); rename-only visibility
+    makes the file either absent or complete."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+    dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
 class TimeTravelStateTable:
     """ParquetStateTable + retained change log + as_of reconstruction."""
 
@@ -85,38 +105,54 @@ class TimeTravelStateTable:
         return dropped
 
     def _recover_compaction(self) -> None:
-        """Crash recovery for :meth:`compact_log`'s fold protocol.
+        """Crash recovery for :meth:`compact_log`'s rename-only fold
+        protocol, keyed on WHICH DIRECTORIES EXIST (each is complete
+        by construction — directories only ever appear/disappear via
+        atomic rename, except the aside copy deleted strictly last):
 
-        The pending marker is written BEFORE anything destructive; the
-        swap is the only destructive step before the base persists.
-        - marker + old snapshot + tmp  → crash before the swap: roll
-          BACK (drop tmp + marker; nothing was destroyed).
-        - marker + tmp, snapshot gone  → crash mid-swap: roll FORWARD
-          (finish the rename, persist the base, drop folded log).
-        - marker, no tmp               → crash after the swap: roll
-          FORWARD (persist the base, drop folded log).
+        - marker + snap + tmp, no aside → crash before the swap began:
+          roll BACK (drop tmp + marker; nothing was destroyed).
+        - marker + aside + tmp, no snap → crash between the two swap
+          renames: roll FORWARD (land tmp as snap, persist base, drop
+          folded log, drop aside).
+        - marker + aside + snap        → crash after the swap (tmp is
+          gone): roll FORWARD (persist base, drop folded log, drop
+          aside — possibly re-deleting a half-removed aside, which is
+          safe because nothing reads it).
+        - marker + snap only           → crash after cleanup, before
+          the marker was removed: re-run the idempotent tail.
         - tmp without marker           → stray from a crash before the
           marker: roll back (remove tmp).
+        The marker and ``_base_seq`` are written via
+        :func:`_durable_write` (write→fsync→rename), so a torn/empty
+        marker that would parse as 0 cannot exist.
         """
         tmp = self._snap_dir + "_folding"
+        old = self._snap_dir + "_old"
         pend = self._base_seq_path + ".pending"
         has_tmp, has_pend = os.path.isdir(tmp), os.path.exists(pend)
-        has_snap = os.path.isdir(self._snap_dir)
+        has_snap, has_old = os.path.isdir(self._snap_dir), os.path.isdir(old)
         if has_pend:
             with open(pend) as f:
                 upto = int(f.read().strip() or 0)
-            if has_snap and has_tmp:
+            if has_snap and has_tmp and not has_old:
                 shutil.rmtree(tmp, ignore_errors=True)
                 os.remove(pend)
             else:
                 if not has_snap and has_tmp:
                     os.rename(tmp, self._snap_dir)
-                with open(self._base_seq_path, "w") as f:
-                    f.write(str(upto))
+                _durable_write(self._base_seq_path, str(upto))
                 self._drop_folded_partitions(upto)
+                shutil.rmtree(old, ignore_errors=True)
                 os.remove(pend)
-        elif has_tmp:
-            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            if has_tmp:
+                shutil.rmtree(tmp, ignore_errors=True)
+            # an aside without a marker is unreachable by the protocol
+            # (aside appears after the marker, marker removed after the
+            # aside is gone) — but sweep it defensively
+            if has_old and has_snap:
+                shutil.rmtree(old, ignore_errors=True)
 
     def _recover_seq(self) -> int:
         if not os.path.isdir(self._log_dir):
@@ -234,23 +270,29 @@ class TimeTravelStateTable:
             return 0
         folded = self.as_of(upto_seq)
         tmp = self._snap_dir + "_folding"
+        old = self._snap_dir + "_old"
         pend = self._base_seq_path + ".pending"
-        # Fold protocol (crash-safe; recovery in _recover_compaction):
+        # Fold protocol (crash-safe; recovery in _recover_compaction).
+        # The swap is RENAME-ONLY: a snapshot directory is either the
+        # complete old one or the complete new one at every instant.
+        # (A rmtree-then-rename swap can crash mid-rmtree, leaving a
+        # half-deleted snapshot that recovery would then serve.)
         # 1. materialize the folded snapshot into tmp (non-destructive)
         folded.write.mode("overwrite").parquet(tmp)
-        # 2. write-ahead marker BEFORE any destructive step
-        with open(pend, "w") as f:
-            f.write(str(upto_seq))
-        # 3. swap the snapshot
-        shutil.rmtree(self._snap_dir, ignore_errors=True)
+        # 2. durable write-ahead marker BEFORE any destructive step
+        _durable_write(pend, str(upto_seq))
+        # 3. swap via two atomic renames: aside the old, land the new
+        os.rename(self._snap_dir, old)
         os.rename(tmp, self._snap_dir)
         # 4. persist the base, THEN drop the folded partitions —
         # stale partitions <= base are invisible to as_of (its filter
         # is _batch_seq > base), so a crash between these steps only
-        # leaves ignorable files, never a wrong reconstruction.
+        # leaves ignorable files, never a wrong reconstruction. The
+        # aside copy is deleted LAST: until then every crash state
+        # still holds at least one complete snapshot.
         self._base_seq = upto_seq
-        with open(self._base_seq_path, "w") as f:
-            f.write(str(upto_seq))
+        _durable_write(self._base_seq_path, str(upto_seq))
         dropped = self._drop_folded_partitions(upto_seq)
+        shutil.rmtree(old, ignore_errors=True)
         os.remove(pend)
         return dropped

@@ -134,8 +134,10 @@ def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- LEFT JOIN keeps zero-byte payloads: the Spark decoder emits
     -- (doc_id, 0, 0,0,0,0) for them, while the UNNEST range is empty
     SELECT b.doc_id, b.n_bytes,
-           COALESCE(f0, 0) AS f0, COALESCE(f1, 0) AS f1,
-           COALESCE(f2, 0) AS f2, COALESCE(f3, 0) AS f3
+           CAST(COALESCE(f0, 0) AS BIGINT) AS f0,
+           CAST(COALESCE(f1, 0) AS BIGINT) AS f1,
+           CAST(COALESCE(f2, 0) AS BIGINT) AS f2,
+           CAST(COALESCE(f3, 0) AS BIGINT) AS f3
     FROM b LEFT JOIN hist USING (doc_id)
     """,
 )

@@ -173,7 +173,8 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per_src AS (
       SELECT source,
              COUNT(*) AS n_docs,
-             SUM(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens
+             CAST(SUM(len(string_split_regex(trim(text), '\\s+')))
+                  AS BIGINT) AS n_tokens
       FROM documents
       GROUP BY source
     ),

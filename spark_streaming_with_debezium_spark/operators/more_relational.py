@@ -327,10 +327,13 @@ def fn_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_user
     )
     SELECT COUNT(*) AS n_users,
-           SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS n_view,
-           SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS n_click_after_view,
-           SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS n_signup_in_order,
-           SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS n_full_funnel,
+           CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_click_after_view,
+           CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_signup_in_order,
+           CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_full_funnel,
            round(CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS DOUBLE)
                  / SUM(CASE WHEN s1 THEN 1 ELSE 0 END), 6) AS conversion
     FROM stages

@@ -17,6 +17,15 @@ from spark_streaming_with_debezium_spark.sources.tables import TABLE_NAMES
 
 
 def run_oracle(sql: str, sf_dir: str) -> list[tuple]:
+    """Fetch the oracle result THROUGH PANDAS, exactly like the driver.
+
+    ``fetchall()`` hides a whole bug class: DuckDB returns ``SUM(int)``
+    as HUGEINT, which ``fetchall`` yields as Python int (compares equal
+    to Spark's long) but the driver's pandas fetch renders as float64
+    (``500.0`` vs ``500`` → hash mismatch; the sole cause of all three
+    red rows in CORRECTNESS_r03). Going through ``.df()`` makes the
+    same divergence fail pytest before the driver ever sees it.
+    """
     con = duckdb.connect()
     try:
         for t in TABLE_NAMES:
@@ -24,11 +33,41 @@ def run_oracle(sql: str, sf_dir: str) -> list[tuple]:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
             )
-        cur = con.execute(sql)
-        cols = [d[0] for d in cur.description]
-        return cols, cur.fetchall()
+        pdf = con.execute(sql).df()
+        cols = list(pdf.columns)
+        return cols, _rows_from_pandas(pdf)
     finally:
         con.close()
+
+
+def _rows_from_pandas(pdf) -> list[tuple]:
+    """Convert a pandas frame to plain-Python rows, keeping the dtype
+    pandas chose (float64 stays float — that's the point), while mapping
+    missing values back to None so the local Spark side (``collect()``,
+    which yields None) still lines up the way the driver's
+    both-sides-through-pandas comparison does."""
+    import numpy as np
+    import pandas as pd
+
+    rows = []
+    for rec in pdf.itertuples(index=False, name=None):
+        out = []
+        for v in rec:
+            if v is None or v is pd.NaT:
+                out.append(None)
+            elif isinstance(v, float) and math.isnan(v):
+                out.append(None)
+            elif isinstance(v, pd.Timestamp):
+                out.append(v.to_pydatetime())
+            elif isinstance(v, np.generic):
+                out.append(v.item())
+            elif isinstance(v, np.ndarray):
+                out.append([x.item() if isinstance(x, np.generic) else x
+                            for x in v])
+            else:
+                out.append(v)
+        rows.append(tuple(out))
+    return rows
 
 
 def _canon(v):
