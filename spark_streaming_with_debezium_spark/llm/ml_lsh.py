@@ -17,27 +17,41 @@ from spark_streaming_with_debezium_spark.registry import query
 from spark_streaming_with_debezium_spark.sources.tables import load_table
 
 
-def _token_vectors(docs: DataFrame, vocab_size: int = 1 << 16) -> DataFrame:
-    """Sparse binary token vectors via HashingTF (set semantics)."""
-    from pyspark.ml.feature import HashingTF, Tokenizer
+def _shingle_vectors(docs: DataFrame, vocab_size: int = 1 << 18) -> DataFrame:
+    """Sparse binary 3-word-shingle vectors via HashingTF (set
+    semantics). Shingles, NOT unigram tokens: unigram-set Jaccard at
+    distance ≤ 0.4 called 55% of ALL possible pairs in the test corpus
+    "near-dups" (68,452 pairs from 500 docs — O(n²)-shaped output at
+    scale and useless as a dedup signal). Word shingles are exactly what
+    the native face (llm/dedup.py) hashes, so the two faces agree on
+    semantics and the pair rate stays a small multiple of the true
+    duplicate count."""
+    from pyspark.ml.feature import HashingTF
 
-    tok = Tokenizer(inputCol="text", outputCol="words")
+    from spark_streaming_with_debezium_spark.llm.dedup import word_shingles
+
     tf = HashingTF(
-        inputCol="words", outputCol="features", numFeatures=vocab_size, binary=True
+        inputCol="shingles",
+        outputCol="features",
+        numFeatures=vocab_size,
+        binary=True,
     )
-    return tf.transform(tok.transform(docs.select("doc_id", F.lower(F.trim("text")).alias("text"))))
+    return tf.transform(
+        docs.select("doc_id", word_shingles(F.col("text")).alias("shingles"))
+    )
 
 
 @query("dedup_minhash_ml", oracle=None)  # model-based => rows-only
 def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J11 via pyspark.ml MinHashLSH.approxSimilarityJoin: near-dup doc
-    pairs at Jaccard distance ≤ 0.4 over hashed token sets. Compared
-    against the native LSH in tests (both must find the exact-dup
-    clusters)."""
+    pairs at 3-word-shingle Jaccard distance ≤ 0.4 (similarity ≥ 0.6,
+    the native face's threshold). Compared against the native LSH in
+    tests (both must find the exact-dup clusters, and the pair count
+    must stay ≪ C(n,2))."""
     from pyspark.ml.feature import MinHashLSH
 
     d = load_table(spark, sf_dir, "documents")
-    vecs = _token_vectors(d)
+    vecs = _shingle_vectors(d)
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = mh.fit(vecs)
     pairs = model.approxSimilarityJoin(vecs, vecs, 0.4, distCol="jaccard_dist")
@@ -60,9 +74,17 @@ def ann_brp_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates only) + a per-query top-k window — no driver-side
     ``collect()`` of query vectors, no per-query Spark job. Cost is
     O(colliding pairs), independent of the number of standing queries;
-    the embeddings are unit vectors so euclidean distance < 2.0 and the
+    the embeddings are unit vectors so euclidean distance ≤ 2.0 and the
     threshold keeps every candidate the hash buckets surface (matching
-    the former ``approxNearestNeighbors`` loop up to multi-probe)."""
+    the former ``approxNearestNeighbors`` loop up to multi-probe).
+
+    The join keeps dist strictly below the threshold, so the cutoff is
+    2.0 + 1e-6, not 2.0: float error on unit vectors can push a
+    near-antipodal distance to exactly 2.0 or a hair above, and there
+    is no multi-probe fallback — without the epsilon such a neighbor
+    silently vanishes. Queries may still return FEWER than k rows when
+    no bucket collision surfaces enough candidates; callers needing
+    guaranteed-k should use the exact ``ann_cosine_topk``."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
@@ -76,7 +98,7 @@ def ann_brp_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = brp.fit(e)
     queries = e.filter(F.col("vec_id") < 8)
-    pairs = model.approxSimilarityJoin(queries, e, 2.0, distCol="dist")
+    pairs = model.approxSimilarityJoin(queries, e, 2.0 + 1e-6, distCol="dist")
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
     return (
         pairs.select(

@@ -94,16 +94,23 @@ def contamination_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), grams AS (
       SELECT DISTINCT doc_id, source, array_to_string(w[i:i+4], ' ') AS g
       FROM toks, UNNEST(range(1, len(w)-5+2)) AS t(i)
+    ), kept AS (
+      -- mirror the Spark side's max_gram_docs cap: grams shared by
+      -- more docs than the cap are boilerplate, not contamination
+      SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= 64
     )
     SELECT a.doc_id AS doc_id, a.source AS source,
            b.doc_id AS dup_of, b.source AS dup_source,
            COUNT(*) AS n_shared
     FROM grams a JOIN grams b
       ON a.g = b.g AND a.source <> b.source AND a.doc_id > b.doc_id
+    JOIN kept k ON a.g = k.g
     GROUP BY 1, 2, 3, 4
     """,
 )
-def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def contamination_ngram_overlap(
+    spark: SparkSession, sf_dir: str, max_gram_docs: int = 64
+) -> DataFrame:
     """Partial contamination: cross-source document pairs sharing at
     least one word 5-gram, with the shared-distinct-gram count — the
     n-gram decontamination check used to scrub eval sets out of
@@ -120,9 +127,17 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions — a gram self-join would recompute the whole
     tokenize/explode/distinct lineage for the second side (documents
     scanned twice; plan-asserted single-scan in tests/test_plans.py).
-    Three uniform-keyed shuffles. Stop-phrase gram skew at 100 TB is
-    handled like the jaccard blocking join — drop top-DF grams first
-    (cheap IDF pre-pass) or salt the hot keys."""
+    Three uniform-keyed shuffles.
+
+    Stop-phrase gram skew is BOUNDED, not just noted: a window count
+    over the gram partitioning drops groups larger than
+    ``max_gram_docs`` BEFORE the collect_list — the exact ``max_bucket``
+    discipline from ``lsh_candidate_pairs`` (llm/dedup.py). Without it
+    a boilerplate 5-gram shared by m docs builds an m-element array in
+    ONE row and O(m²) pairs; with it no array exceeds the cap and the
+    dropped grams carry no contamination signal (they're corpus-wide
+    boilerplate by definition). The filter rides the same hash
+    partitioning as the groupBy — no extra exchange."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -139,7 +154,16 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(positions, lambda i: F.array_join(F.slice("w", i, 5), " "))
         ).alias("g"),
     ).distinct()
-    per_gram = grams.groupBy("g").agg(
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy("g")
+    capped = (
+        grams.repartition(F.col("g"))
+        .withColumn("gsize", F.count(F.lit(1)).over(wg))
+        .filter(F.col("gsize") <= max_gram_docs)
+        .drop("gsize")
+    )
+    per_gram = capped.groupBy("g").agg(
         F.collect_list(F.struct("doc_id", "source")).alias("ds")
     )
     pair_structs = F.flatten(

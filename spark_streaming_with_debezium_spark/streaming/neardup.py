@@ -70,6 +70,40 @@ class SignatureStore:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        self._recover_compact()
+
+    def _aside_root(self) -> str:
+        # Aside dirs must live OUTSIDE self.path: Spark's partition
+        # discovery keeps any name containing '=', so an in-place
+        # '_bdir=7.aside' would be parsed as a (bogus) partition value.
+        return self.path + "_aside"
+
+    def _recover_compact(self) -> None:
+        """Crash-recovery sweep for :meth:`compact`'s rename-aside
+        swap. For each partition parked in the aside root: if the live
+        partition exists the swap completed → drop the aside copy; if
+        it does not, the crash hit between the two renames → rename
+        the aside copy back (roll back; the rewrite is redone by the
+        next compact). Also clears orphaned ``sigcompact_`` temp dirs
+        from a crashed rewrite."""
+        aside_root = self._aside_root()
+        if os.path.isdir(aside_root):
+            for d in os.listdir(aside_root):
+                if not d.startswith("_bdir="):
+                    continue
+                live = os.path.join(self.path, d)
+                parked = os.path.join(aside_root, d)
+                if os.path.isdir(live):
+                    shutil.rmtree(parked, ignore_errors=True)
+                else:
+                    os.rename(parked, live)
+            if not os.listdir(aside_root):
+                os.rmdir(aside_root)
+        parent = os.path.dirname(self.path) or "."
+        if os.path.isdir(parent):
+            for d in os.listdir(parent):
+                if d.startswith("sigcompact_"):
+                    shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
 
     def exists(self) -> bool:
         return os.path.isdir(self.path) and any(
@@ -117,14 +151,27 @@ class SignatureStore:
         )
         sub = sub.repartition(len(fragmented), F.col("_bdir"))
         tmp = tempfile.mkdtemp(prefix="sigcompact_", dir=os.path.dirname(self.path))
+        aside_root = self._aside_root()
         try:
             sub.write.mode("overwrite").partitionBy("_bdir").parquet(tmp)
+            os.makedirs(aside_root, exist_ok=True)
             for b in fragmented:
                 src = os.path.join(tmp, f"_bdir={b}")
                 dst = os.path.join(self.path, f"_bdir={b}")
+                parked = os.path.join(aside_root, f"_bdir={b}")
                 if os.path.exists(src):
-                    shutil.rmtree(dst, ignore_errors=True)
-                    shutil.move(src, dst)
+                    # Rename-only swap (the old rmtree(dst)-then-move
+                    # could crash between the two and permanently lose
+                    # the partition's accepted-doc signatures, letting
+                    # previously accepted docs be re-admitted later):
+                    # park the old partition, land the new, delete the
+                    # parked copy last. _recover_compact rolls back or
+                    # completes from any crash point.
+                    os.rename(dst, parked)
+                    os.rename(src, dst)
+                    shutil.rmtree(parked, ignore_errors=True)
+            if os.path.isdir(aside_root) and not os.listdir(aside_root):
+                os.rmdir(aside_root)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
         return len(fragmented)
@@ -179,7 +226,14 @@ def dedup_batch_against_store(
                 .select(F.col("new.doc_id").alias("doc_id"))
                 .distinct()
             )
-            already_stored = slice_.select("doc_id").distinct()
+            # (doc_id, band) granularity, NOT doc_id: a crashed append
+            # may have committed only SOME of a doc's band rows (the
+            # multi-file parquet commit is not atomic across
+            # partitions). A doc_id-level anti-join would then skip
+            # re-inserting ALL bands forever, leaving the doc
+            # under-banded and lowering its LSH detection probability.
+            # Band-level replay re-inserts exactly the missing rows.
+            already_stored = slice_.select("doc_id", "band").distinct()
         # --- duplicates within the batch: lowest doc_id survives ---
         in_batch_pairs = lsh_candidate_pairs(sigs, bands, rows_per_band)
         sig_of = sigs.select("doc_id", "sig")
@@ -220,7 +274,9 @@ def dedup_batch_against_store(
         ).drop("_bdir")
         if already_stored is not None:
             # replay: signatures already committed must not duplicate
-            kept_banded = kept_banded.join(already_stored, "doc_id", "left_anti")
+            kept_banded = kept_banded.join(
+                already_stored, ["doc_id", "band"], "left_anti"
+            )
         store.append(kept_banded)
         return kept
     finally:

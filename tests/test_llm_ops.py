@@ -185,6 +185,20 @@ def test_ml_minhash_finds_exact_dups(spark, sf_dir):
     }
     missed = exact_pairs - ml
     assert not missed, f"ml LSH missed exact-dup pairs: {missed}"
+    # Pair-rate sanity (r3 verdict: unigram vectors flagged 55% of all
+    # C(n,2) pairs as "near-dups" — O(n²) output, useless signal). With
+    # shingle vectors the flagged pairs must stay a small multiple of
+    # the true duplicate count, far below quadratic blowup.
+    n_docs = d.count()
+    all_pairs = n_docs * (n_docs - 1) // 2
+    assert len(ml) < 0.01 * all_pairs, (
+        f"ml LSH pair rate O(n^2)-shaped: {len(ml)} of {all_pairs} "
+        f"possible pairs flagged"
+    )
+    assert len(ml) <= max(50, 20 * len(exact_pairs)), (
+        f"ml LSH pairs ({len(ml)}) not commensurate with true dup "
+        f"count ({len(exact_pairs)})"
+    )
 
 
 def test_cluster_faces_agree_on_exact_dups(spark, sf_dir):
@@ -316,3 +330,39 @@ def test_ivf_index_persistent_search(spark, sf_dir, tmp_path):
         F.col("cell").isin([1, 2])
     )
     assert "PartitionFilters: [" in plan_text(df, "simple") or "cell" in plan_text(df, "simple")
+
+
+def test_contamination_hot_gram_capped(spark, tmp_path):
+    """A stop-phrase 5-gram shared by every doc must NOT generate
+    O(m²) pairs: groups over max_gram_docs are dropped before pair
+    generation (r3 verdict #4). Docs that ALSO share a rare gram across
+    sources are still flagged."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from spark_streaming_with_debezium_spark.llm.pipeline_ops import (
+        contamination_ngram_overlap,
+    )
+
+    boiler = "all rights reserved by the publisher"  # >=5 words, shared by all
+    rare = "zephyr quokka obelisk harpsichord nimbus"
+    rows = []
+    for i in range(40):
+        src = f"src{i % 2}"
+        text = f"document number {i} unique filler content {i * 7} " + boiler
+        if i in (3, 4):  # cross-source pair sharing the rare gram
+            text += " " + rare
+        rows.append((i, src, text))
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    out = contamination_ngram_overlap(spark, sf, max_gram_docs=8).collect()
+    pairs = {(r.doc_id, r.dup_of) for r in out}
+    assert (4, 3) in pairs, f"rare-gram pair missed: {pairs}"
+    # without the cap the boilerplate gram alone yields 20*20=400
+    # cross-source pairs; with it only the rare-gram pair survives
+    assert len(pairs) <= 3, f"hot gram not capped: {len(pairs)} pairs"

@@ -438,3 +438,127 @@ def test_neardup_batch_replay_idempotent(spark, tmp_path):
     assert n_store2 == n_store1, (
         f"replay duplicated store rows: {n_store1} -> {n_store2}"
     )
+
+
+def test_neardup_partial_append_replay_heals_bands(spark, tmp_path):
+    """A crashed store.append can commit only SOME of a doc's band rows
+    (parquet multi-file commit is not atomic). Replay must re-insert the
+    MISSING bands — a doc_id-level anti-join would skip the doc forever
+    and leave it under-banded (r3 advice)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_with_debezium_spark.streaming.neardup import (
+        SignatureStore,
+        dedup_batch_against_store,
+    )
+
+    a = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda "
+        "mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    )
+    b = (
+        "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    )
+    docs = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    store = SignatureStore(spark, str(tmp_path / "sigs"))
+    dedup_batch_against_store(docs, store).collect()
+    full = spark.read.parquet(store.path)
+    bands_doc1 = full.filter(F.col("doc_id") == 1).count()
+    assert bands_doc1 == 8, f"expected 8 band rows for doc 1: {bands_doc1}"
+
+    # simulate the partial commit: drop doc 1's bands >= 4 from the store
+    pruned = full.filter(~((F.col("doc_id") == 1) & (F.col("band") >= 4)))
+    tmp_store = str(tmp_path / "sigs_rewrite")
+    pruned.repartition("_bdir").write.partitionBy("_bdir").parquet(tmp_store)
+    shutil.rmtree(store.path)
+    os.rename(tmp_store, store.path)
+    assert spark.read.parquet(store.path).filter(F.col("doc_id") == 1).count() == 4
+
+    # replay the same batch: missing bands are re-inserted, nothing dupes
+    dedup_batch_against_store(docs, store).collect()
+    healed = spark.read.parquet(store.path)
+    per_doc = {
+        r.doc_id: r.n
+        for r in healed.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_doc == {1: 8, 2: 8}, f"band rows after heal: {per_doc}"
+    assert (
+        healed.select("doc_id", "band").distinct().count() == healed.count()
+    ), "duplicate (doc_id, band) rows after replay"
+
+
+def test_signature_store_compact_and_crash_recovery(spark, tmp_path):
+    """compact() swaps partitions via rename-aside; a crash between the
+    renames leaves the old partition parked, and the next
+    SignatureStore() restores it — accepted signatures are never lost
+    (r3 advice: the old rmtree-then-move could drop a partition)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_with_debezium_spark.streaming.neardup import (
+        SignatureStore,
+        dedup_batch_against_store,
+    )
+
+    words = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda "
+        "mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega",
+        "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty",
+        "red orange yellow green blue indigo violet crimson amber teal "
+        "maroon olive navy coral salmon beige ivory pearl slate onyx",
+    ]
+    store = SignatureStore(spark, str(tmp_path / "sigs"))
+    for i, w in enumerate(words):
+        docs = spark.createDataFrame([(i * 10 + 1, w)], "doc_id long, text string")
+        dedup_batch_against_store(docs, store).collect()
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(store.path)
+        .select("doc_id", "band", "bucket").collect()
+    )
+
+    # normal compact: content identical, no aside/tmp leftovers
+    store.compact(min_files=2)
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(store.path)
+        .select("doc_id", "band", "bucket").collect()
+    )
+    assert after == before, "compact changed store content"
+    assert not os.path.isdir(store.path + "_aside")
+
+    # crash between the renames: park one live partition in the aside
+    # root (exactly the state after os.rename(dst, parked))
+    part = next(
+        d for d in os.listdir(store.path) if d.startswith("_bdir=")
+    )
+    aside_root = store.path + "_aside"
+    os.makedirs(aside_root, exist_ok=True)
+    os.rename(
+        os.path.join(store.path, part), os.path.join(aside_root, part)
+    )
+    store2 = SignatureStore(spark, store.path)  # recovery sweep runs
+    restored = sorted(
+        tuple(r) for r in spark.read.parquet(store2.path)
+        .select("doc_id", "band", "bucket").collect()
+    )
+    assert restored == before, "recovery lost the parked partition"
+    assert not os.path.isdir(aside_root)
+
+    # crash after the swap (live + stale aside copy): aside is swept
+    os.makedirs(aside_root, exist_ok=True)
+    shutil.copytree(
+        os.path.join(store.path, part), os.path.join(aside_root, part)
+    )
+    SignatureStore(spark, store.path)
+    assert not os.path.isdir(aside_root)
+    final = sorted(
+        tuple(r) for r in spark.read.parquet(store.path)
+        .select("doc_id", "band", "bucket").collect()
+    )
+    assert final == before
