@@ -67,78 +67,85 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: Explicit registration-order priority. The driver's correctness gate
 #: checks a PREFIX of the registry (50 queries per round), so the
 #: queries that most need a driver-verified row must register first.
-#: Round 1 proved the relational/join/TPC-H block; round 2 proved the
-#: CDC/streaming/dedup/text/fn block. Round 3 leads with the 17 queries
-#: NEVER driver-checked in either round (12 already have oracles), then
-#: the freshly-fixed ``fn_casts`` and every query whose code or oracle
-#: changed this round, then back-fills with the round-1 greens most
-#: worth re-confirming (TPC-H headliners, the join family, windows).
-#: Names not listed keep their module registration order after these.
+#: Evidence ledger entering round 4: 50 queries carry an r3 row, 47 are
+#: r2-newest, 24 are r1-newest. Round 4 leads with the seven queries
+#: whose code or oracle changed this round (three were r3 hash-fails,
+#: now cast-fixed; four had behavior changes), then ALL 24 r1-newest
+#: queries (three rounds stale otherwise), then the highest-value
+#: r2-newest blocks: the reference's core streaming semantics
+#: (batch-equiv), the CDC pipeline, and the dedup/ANN family including
+#: the two perf-flagged queries. The remaining r2-newest queries rotate
+#: to the front of round 5's prefix. Names not listed keep their module
+#: registration order after these.
 _PRIORITY = (
-    # --- never driver-checked (r1+r2 union gap), oracles first ---
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "fn_map_higher_order",
-    "text_corpus_stats",
-    "text_token_rarity",
-    "window_dist_functions",
-    # --- never driver-checked, declared rows-only ---
-    "ann_brp_ml",
-    "dedup_minhash_ml",
-    "dedup_clusters_ml",  # new this round: unified ml-LSH cluster face
-    "dedup_semdedup_cells",
+    # --- changed this round: cast-fixed oracles (r3 hash-fails) ---
+    "events_funnel",
+    "sample_weights_by_source",
     "multimodal_fake_decode",
-    "sample_stratified",
-    # --- changed/new this round: verify ---
-    "fn_casts",  # r2 hash-fail — decimal exterior now stringified
-    "cdc_history_per_key",  # oracle tie-break hardened (event_type)
-    "ann_ivf_topk",  # nearest_cells tie-break restored to lowest cent_id
-    "contamination_ngram_overlap",  # new: 5-gram decontamination check
-    "text_bigram_predictability",  # new: bigram-LM quality score
-    "sample_weights_by_source",  # new: temperature source rebalancing
-    "events_funnel",  # new: ordered-funnel conversion analysis
-    "events_retention_cohorts",  # new: weekly cohort retention matrix
-    "text_similar_topk",  # new: exact shingle-jaccard retrieval baseline
-    # --- round-1 greens re-confirmed: TPC-H headliners ---
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_volume",
-    "q10_returned_items",
-    "q12_shipmode_priority",
-    "q14_promo_ratio",
-    "q16_supplier_part_counts",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q22_global_sales_opportunity",
-    # --- round-1 greens re-confirmed: join family ---
-    "join_inner_equi",
-    "join_left_anti",
-    "join_left_semi",
-    "join_left_outer",
-    "join_full_outer",
-    "join_cross",
-    "join_broadcast_dims",
-    "join_range_band",
-    "join_asof",
-    # --- round-1 greens re-confirmed: windows + core relational ---
-    "window_lww_compaction",
-    "window_rank_topk_per_group",
-    "window_dense_ntile",
-    "filter_predicates",
-    # --- 50-query prefix boundary (round-3 driver window) ---
+    # --- changed this round: behavior changes ---
+    "contamination_ngram_overlap",  # hot-gram cap (max_gram_docs)
+    "dedup_minhash_ml",  # shingle vectors — plausible pair rate
+    "dedup_clusters_ml",  # downstream of dedup_minhash_ml
+    "ann_brp_ml",  # threshold 2.0+1e-6
+    # --- r1-newest (would be three rounds stale): aggregates ---
     "agg_count_distinct",
-    "agg_rollup",
     "agg_cube",
     "agg_filtered",
+    "agg_grouping_sets",
+    "agg_histogram",
+    "agg_max_by",
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_rollup",
     "agg_stats",
-    "sort_limit_topk",
+    "approx_count_distinct",
+    "distinct_rows",
+    # --- r1-newest: scalar fns + SQL subqueries + set ops ---
+    "fn_bitwise",
+    "fn_datetime_arith",
+    "fn_split_part",
+    "fn_string_split_explode",
+    "fn_try_family",
     "set_ops",
+    "sort_limit_topk",
+    "sql_correlated_exists",
+    "sql_in_subquery",
+    "sql_scalar_subquery",
+    "union_positional",
+    "unpivot_melt",
+    # --- r2-newest: reference core streaming semantics (verdict #7) ---
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_dedup",
+    # --- r2-newest: CDC pipeline ---
+    "cdc_current_state",
+    "cdc_envelope_roundtrip",
+    "cdc_state_rollup",
+    # --- r2-newest: dedup family (incl. perf-flagged exact groups) ---
+    "dedup_exact_groups",
+    "dedup_exact_keep_canonical",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_clusters",
+    # --- r2-newest: ANN + embeddings ---
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "embedding_cosine_neardup",
+    # --- r2-newest: perf-flagged + pipeline ops ---
+    "fn_json_typed_parse",
+    "multimodal_metadata_stats",
+    "split_train_eval",
+    # --- 50-query prefix boundary (round-4 driver window) ---
+    "agg_approx_percentile",
+    "agg_collect_sorted",
+    "fn_arrays",
+    "fn_maps",
+    "fn_strings",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_first_last",
 )
 
 
