@@ -32,6 +32,7 @@ _QUERY_MODULES = (
     "spark_streaming_with_debezium_spark.operators.relational",
     "spark_streaming_with_debezium_spark.operators.more_relational",
     "spark_streaming_with_debezium_spark.operators.tpch_like",
+    "spark_streaming_with_debezium_spark.operators.tpch_more",
     "spark_streaming_with_debezium_spark.operators.joins",
     "spark_streaming_with_debezium_spark.operators.windows",
     "spark_streaming_with_debezium_spark.operators.cdc_queries",
@@ -87,6 +88,11 @@ _PRIORITY = (
     "dedup_minhash_ml",  # shingle vectors — plausible pair rate
     "dedup_clusters_ml",  # downstream of dedup_minhash_ml
     "ann_brp_ml",  # threshold 2.0+1e-6
+    # --- new this round: remaining TPC-H shapes (tpch_more) ---
+    "q2_min_cost_supplier",
+    "q11_important_value_share",
+    "q20_dominant_supplier",
+    "q21_blamed_supplier",
     # --- r1-newest (would be three rounds stale): aggregates ---
     "agg_count_distinct",
     "agg_cube",
@@ -129,15 +135,14 @@ _PRIORITY = (
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_clusters",
-    # --- r2-newest: ANN + embeddings ---
+    # --- r2-newest: ANN (lsh/neardup variants carry pytest recall
+    # coverage and rotate to the r5 prefix) ---
     "ann_cosine_topk",
-    "ann_lsh_topk",
-    "embedding_cosine_neardup",
-    # --- r2-newest: perf-flagged + pipeline ops ---
+    # --- r2-newest: perf-flagged ---
     "fn_json_typed_parse",
+    # --- 50-query prefix boundary (round-4 driver window) ---
     "multimodal_metadata_stats",
     "split_train_eval",
-    # --- 50-query prefix boundary (round-4 driver window) ---
     "agg_approx_percentile",
     "agg_collect_sorted",
     "fn_arrays",

@@ -151,3 +151,37 @@ def test_q17_no_forced_part_broadcast(spark, sf_dir):
     # the logical plan must carry no user-forced broadcast hint
     assert "UnresolvedHint" not in txt and "hints=[broadcast]" not in txt.lower(), txt
     assert "LeftSemi" in txt, "branded-part pruning of the average side missing"
+
+
+def test_tpch_more_single_fact_scan(spark, sf_dir):
+    """q20/q21 use window totals over the grouped fact instead of a
+    groupBy + join-back (which recomputes the aggregate lineage and
+    scans the fact twice); q2/q11 read the fact once by construction.
+    All four must show exactly ONE lineitem scan and no cartesian or
+    nested-loop join beyond q11's broadcast 1-row scalar."""
+    from spark_streaming_with_debezium_spark.plans.explain import _single_plan
+
+    for name in (
+        "q2_min_cost_supplier",
+        "q20_dominant_supplier",
+        "q21_blamed_supplier",
+    ):
+        txt = _single_plan(QUERIES[name].fn(spark, sf_dir))
+        assert txt.count("lineitem.parquet") == 1, f"{name}: {txt}"
+        assert "CartesianProduct" not in txt, f"{name}: {txt}"
+        assert "BroadcastNestedLoopJoin" not in txt, f"{name}: {txt}"
+
+
+def test_q11_reuses_per_part_exchange(spark, sf_dir):
+    """q11 consumes the per-part aggregate twice (share rows + scalar
+    total) through byte-identical subtrees — AQE's runtime exchange
+    reuse must collapse them to ONE lineitem scan (same discipline as
+    q15). Reuse is a runtime decision, so execute first."""
+    from spark_streaming_with_debezium_spark.plans.explain import _single_plan
+
+    df = QUERIES["q11_important_value_share"].fn(spark, sf_dir)
+    df.collect()
+    final = _single_plan(df)
+    assert "ReusedExchange" in final, final
+    assert final.count("lineitem.parquet") == 1, final
+    assert "CartesianProduct" not in final, final
