@@ -104,6 +104,69 @@ def initial_load(
     state.init(snapshot)
 
 
+def batch_apply_with_neardup(
+    raw_batch: DataFrame,
+    spec: TableSpec,
+    state: ParquetStateTable,
+    store,
+    text_col: str,
+    threshold: float = 0.5,
+    seq_cols: Sequence[str] = ("partition", "offset"),
+) -> None:
+    """foreachBatch body composing CDC upsert with ingest-time
+    near-duplicate suppression: parse → LWW-compact → drop upserts that
+    near-duplicate an already-accepted document (or an earlier doc in
+    the same batch) → merge survivors + deletes.
+
+    The reference's foreachBatch upsert loop
+    (`StreamingJobExecutor.scala:47-61`) composed with the
+    ``SignatureStore`` stage from streaming/neardup.py in ONE batch
+    function — ingest and dedup share the micro-batch, the checkpoint,
+    and the replay story instead of running as two parallel pipelines.
+
+    Ordering/crash contract: the state merge runs inside the dedup
+    stage's ``sink`` callback, i.e. BEFORE the signature store mutates.
+    A crash in between replays the batch against an unchanged store,
+    re-derives the same survivors (the probe excludes the batch's own
+    doc_ids), and the LWW merge is idempotent. Semantics note: an
+    UPDATE whose new text near-duplicates another accepted document is
+    suppressed — state keeps the document's previous version; deletes
+    always pass through (a delete for a suppressed key is a no-op
+    merge).
+    """
+    from spark_streaming_with_debezium_spark.streaming.neardup import (
+        dedup_batch_against_store,
+    )
+
+    if len(spec.key_cols) != 1:
+        raise ValueError(
+            "near-dup suppression needs a single-column key to serve as "
+            f"doc_id; got key_cols={list(spec.key_cols)}"
+        )
+    key = spec.key_cols[0]
+    if text_col not in spec.data_cols:
+        raise ValueError(f"text_col {text_col!r} not in spec.data_cols")
+    seq_cols = tuple(c for c in seq_cols if c in raw_batch.columns)
+    changes = parse_envelope(raw_batch, spec, seq_cols=seq_cols)
+    order = seq_cols if seq_cols else ("ts_ms",)
+    latest = compact_latest(changes, spec.key_cols, order_cols=order)
+    data_cols = [c for c in spec.data_cols if c not in spec.key_cols]
+    deletes = latest.filter(F.col("deleted"))
+    docs = (
+        latest.filter(~F.col("deleted"))
+        .withColumnRenamed(key, "doc_id")
+        .withColumnRenamed(text_col, "text")
+    )
+
+    def sink(kept: DataFrame) -> None:
+        survivors = kept.withColumnRenamed("doc_id", key).withColumnRenamed(
+            "text", text_col
+        )
+        state.merge(survivors.unionByName(deletes), data_cols=data_cols)
+
+    dedup_batch_against_store(docs, store, threshold=threshold, sink=sink)
+
+
 def run_cdc_stream(
     raw_stream: DataFrame,
     spec: TableSpec,
@@ -112,6 +175,9 @@ def run_cdc_stream(
     available_now: bool = True,
     compact_every_n_batches: int | None = None,
     compact_min_files: int = 4,
+    neardup_store=None,
+    neardup_text_col: str | None = None,
+    neardup_threshold: float = 0.5,
 ):
     """Continuous CDC upsert: writeStream.foreachBatch(batch_apply).
 
@@ -128,16 +194,37 @@ def run_cdc_stream(
     buckets, and small files are the classic lake-scale read killer.
     Runs inside foreachBatch, so it is serialized with merges (no
     concurrent writer) and its cost amortizes over N batches.
+
+    ``neardup_store`` (a ``streaming.neardup.SignatureStore``) +
+    ``neardup_text_col`` opt the stream into ingest-time near-dup
+    suppression: each batch's upserts are LSH-probed against the
+    accepted corpus and in-batch candidates, duplicates dropped before
+    the merge (see :func:`batch_apply_with_neardup`). Store compaction
+    piggybacks on the same ``compact_every_n_batches`` cadence.
     """
+    if (neardup_store is None) != (neardup_text_col is None):
+        raise ValueError(
+            "neardup_store and neardup_text_col must be set together"
+        )
 
     def _fn(batch_df: DataFrame, batch_id: int) -> None:
-        batch_apply(project_kafka(batch_df) if "topic" in batch_df.columns else batch_df,
-                    spec, state)
+        projected = (
+            project_kafka(batch_df) if "topic" in batch_df.columns else batch_df
+        )
+        if neardup_store is not None:
+            batch_apply_with_neardup(
+                projected, spec, state, neardup_store,
+                neardup_text_col, threshold=neardup_threshold,
+            )
+        else:
+            batch_apply(projected, spec, state)
         if (
             compact_every_n_batches
             and (batch_id + 1) % compact_every_n_batches == 0
         ):
             state.compact_buckets(min_files=compact_min_files)
+            if neardup_store is not None:
+                neardup_store.compact()
 
     writer = (
         raw_stream.writeStream.foreachBatch(_fn)

@@ -562,3 +562,94 @@ def test_signature_store_compact_and_crash_recovery(spark, tmp_path):
         .select("doc_id", "band", "bucket").collect()
     )
     assert final == before
+
+
+def test_cdc_stream_with_neardup_suppression(spark, tmp_path):
+    """CDC ingest + near-dup suppression composed in ONE foreachBatch
+    (run_cdc_stream(neardup_store=...)): batch 2's near-copy of an
+    accepted batch-1 document never enters state, a novel doc does,
+    deletes pass through, and checkpoint restart applies only new
+    files."""
+    import time
+
+    from spark_streaming_with_debezium_spark.streaming.neardup import (
+        SignatureStore,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "falls gently on the quiet village roofs at dusk tonight"
+    )
+    novel = (
+        "completely different content about distributed query engines "
+        "processing parquet files with vectorized readers at scale"
+    )
+    spec = TableSpec(
+        name="docs",
+        key_cols=("id",),
+        value_schema=T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("body", T.StringType()),
+            ]
+        ),
+    )
+
+    def env(op, i, off, body=None):
+        after = None if op == "d" else {"id": i, "body": body}
+        return json.dumps(
+            {
+                "key": json.dumps({"payload": {"id": i}}),
+                "value": json.dumps(
+                    {
+                        "payload": {
+                            "before": {"id": i} if op in ("d", "u") else None,
+                            "after": after,
+                            "source": {"ts_ms": 1},
+                            "op": op,
+                            "ts_ms": 1,
+                        }
+                    }
+                ),
+                "partition": 0,
+                "offset": off,
+            }
+        )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: two distinct docs + an in-batch exact dup of doc 1
+    (src / "b1.json").write_text(
+        "\n".join(
+            [env("c", 1, 0, base), env("c", 2, 1, novel), env("c", 3, 2, base)]
+        )
+    )
+    state = ParquetStateTable(spark, str(tmp_path / "state"), ["id"], n_buckets=4)
+    state.init(spark.createDataFrame([], "id long, body string"))
+    store = SignatureStore(spark, str(tmp_path / "sigs"))
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = spark.readStream.schema(RAW_SCHEMA).json(str(src))
+    run_cdc_stream(
+        stream, spec, state, ckpt,
+        neardup_store=store, neardup_text_col="body",
+    ).awaitTermination()
+    assert sorted(r.id for r in state.read().collect()) == [1, 2]
+
+    # batch 2: near-dup of doc 1 (suppressed), novel doc (kept),
+    # delete of doc 2 (passes through)
+    near = base.replace("lazy", "sleepy")
+    fresh = (
+        "yet another unrelated document listing prime numbers and "
+        "their curious distribution across large integer ranges"
+    )
+    time.sleep(1.1)
+    (src / "b2.json").write_text(
+        "\n".join([env("c", 10, 3, near), env("c", 11, 4, fresh), env("d", 2, 5)])
+    )
+    stream2 = spark.readStream.schema(RAW_SCHEMA).json(str(src))
+    run_cdc_stream(
+        stream2, spec, state, ckpt,
+        neardup_store=store, neardup_text_col="body",
+    ).awaitTermination()
+    assert sorted(r.id for r in state.read().collect()) == [1, 11]
