@@ -8,7 +8,7 @@ splits.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_streaming_with_debezium_spark.registry import query
@@ -269,3 +269,63 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions = {"en": 0.1, "es": 0.3, "de": 0.3, "zh": 0.3, "fr": 0.3}
     s = d.sampleBy("lang", fractions, seed=42)
     return s.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@query(
+    "pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    run AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS running
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST((running - n_tokens) // 2048 AS BIGINT) AS seq_id,
+           CAST((running - n_tokens) % 2048 AS BIGINT) AS seq_offset
+    FROM run
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each document a
+    position in the fixed-length (2048-token) training sequences formed
+    by concatenating the per-source document stream in doc_id order —
+    ``seq_id`` is the sequence its first token lands in, ``seq_offset``
+    the offset there. The deterministic packing used by
+    concat-then-chunk dataloaders (vs bin-packing heuristics, which
+    need global state and aren't reproducible under re-partitioning).
+
+    One window sum per source partition — a single shuffle on source,
+    integer arithmetic end-to-end (exact on both engines). Skew note:
+    sources are few and large, so the window partitions are coarse; at
+    100 TB shard the stream key to (source, doc_id-range) buckets and
+    offset by per-bucket totals (two tiny scalar passes) if one source
+    dominates."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), "\\s+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = toks.withColumn("running", F.sum("n_tokens").over(w))
+    start = F.col("running") - F.col("n_tokens")
+    return run.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(start / 2048).cast("long").alias("seq_id"),
+        (start % 2048).cast("long").alias("seq_offset"),
+    )

@@ -421,3 +421,101 @@ def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("drop_id", "keep_id", F.round("cos", 6).alias("cos_sim"))
     )
+
+
+_DEQUANT_SQL = (
+    "list_transform({e}, x -> "
+    "CAST(round(CAST(CAST(x AS DOUBLE) / {am} * 127 AS DECIMAL(20,10))) "
+    "AS DOUBLE) * {am} / 127)"
+)
+
+
+@query(
+    "ann_int8_rescore",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id, embedding,
+             greatest(abs(CAST(list_max(embedding) AS DOUBLE)),
+                      abs(CAST(list_min(embedding) AS DOUBLE))) AS absmax
+      FROM embeddings
+    ),
+    dqc AS (
+      SELECT vec_id, embedding,
+             {_DEQUANT_SQL.format(e='embedding', am='absmax')} AS dq
+      FROM c
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe
+          FROM embeddings WHERE vec_id < {N_QUERIES}),
+    coarse AS (
+      SELECT q.query_id, d.vec_id, d.embedding, q.qe,
+             {_COSINE_SQL.format(a='q.qe', b='d.dq')} AS approx_cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {_COSINE_SQL.format(a='q.qe', b='d.dq')} DESC,
+                        d.vec_id) AS crk
+      FROM q JOIN dqc d ON d.vec_id <> q.query_id
+    ),
+    rescored AS (
+      SELECT query_id, vec_id,
+             {_COSINE_SQL.format(a='qe', b='embedding')} AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY {_COSINE_SQL.format(a='qe', b='embedding')} DESC,
+                        vec_id) AS rnk
+      FROM coarse WHERE crk <= 20
+    )
+    SELECT query_id, vec_id, round(cos, 6) AS cos_sim, rnk
+    FROM rescored WHERE rnk <= {TOP_K}
+    """,
+)
+def ann_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-coarse / exact-rescore top-k: score every candidate
+    against the int8-DEQUANTIZED corpus (absmax grid, the exact
+    ``embedding_quantize_int8`` formula including its decimal-hop
+    rounding), keep the top-20 coarse candidates per query, then
+    rescore those exactly and emit the top-5 — the standard two-stage
+    retrieval pattern where the wide scan reads 4x-smaller vectors and
+    full precision touches only the short-list.
+
+    Fully oracle-checked (unlike the LSH/IVF faces): the quantization
+    grid, both cosine folds, and both tie-broken windows are
+    deterministic on each engine. Plan: queries broadcast, corpus
+    scanned once, the only shuffles are the two per-query top-k
+    windows (q·n then q·20 rows)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    absmax = F.greatest(
+        F.abs(F.array_max("embedding").cast("double")),
+        F.abs(F.array_min("embedding").cast("double")),
+    )
+    dq = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(
+            (x.cast("double") / F.col("_am") * 127).cast("decimal(20,10)")
+        ).cast("double")
+        * F.col("_am")
+        / F.lit(127),
+    )
+    corpus = e.withColumn("_am", absmax).withColumn("dq", dq)
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("vec_id")
+    )
+    shortlist = (
+        corpus.join(q, F.col("vec_id") != F.col("query_id"))
+        .withColumn("approx_cos", cosine(F.col("qe"), F.col("dq")))
+        .withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") <= 20)
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    return (
+        shortlist.withColumn("cos", cosine(F.col("qe"), F.col("embedding")))
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos_sim"), "rnk")
+    )

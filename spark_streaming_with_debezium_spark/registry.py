@@ -71,11 +71,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: Evidence ledger entering round 4: 50 queries carry an r3 row, 47 are
 #: r2-newest, 24 are r1-newest. Round 4 leads with the seven queries
 #: whose code or oracle changed this round (three were r3 hash-fails,
-#: now cast-fixed; four had behavior changes), then ALL 24 r1-newest
-#: queries (three rounds stale otherwise), then the highest-value
-#: r2-newest blocks: the reference's core streaming semantics
-#: (batch-equiv), the CDC pipeline, and the dedup/ANN family including
-#: the two perf-flagged queries. The remaining r2-newest queries rotate
+#: now cast-fixed; four had behavior changes), the seven NEW queries
+#: (four TPC-H shapes + int8-rescore/packing/interval-join), then ALL
+#: 24 r1-newest queries (three rounds stale otherwise), then the
+#: highest-value r2-newest blocks: the reference's core streaming
+#: semantics (batch-equiv), the CDC pipeline, the exact dedup family,
+#: and the perf-flagged queries. The remaining r2-newest queries rotate
 #: to the front of round 5's prefix. Names not listed keep their module
 #: registration order after these.
 _PRIORITY = (
@@ -93,6 +94,10 @@ _PRIORITY = (
     "q11_important_value_share",
     "q20_dominant_supplier",
     "q21_blamed_supplier",
+    # --- new this round: retrieval/packing/stream-join operators ---
+    "ann_int8_rescore",
+    "pack_sequences",
+    "stream_interval_join",
     # --- r1-newest (would be three rounds stale): aggregates ---
     "agg_count_distinct",
     "agg_cube",
@@ -128,13 +133,12 @@ _PRIORITY = (
     "cdc_current_state",
     "cdc_envelope_roundtrip",
     "cdc_state_rollup",
-    # --- r2-newest: dedup family (incl. perf-flagged exact groups) ---
+    # --- r2-newest: dedup family (incl. perf-flagged exact groups;
+    # the rows-only LSH/simhash/cluster faces carry pytest property
+    # coverage + per-round bench runs and rotate to the r5 prefix) ---
     "dedup_exact_groups",
     "dedup_exact_keep_canonical",
-    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_clusters",
     # --- r2-newest: ANN (lsh/neardup variants carry pytest recall
     # coverage and rotate to the r5 prefix) ---
     "ann_cosine_topk",

@@ -138,3 +138,65 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "event_type")
         .agg(F.count(F.lit(1)).alias("n_first_events"))
     )
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT v.user_id AS user_id,
+           v.event_id AS view_id,
+           c.event_id AS click_id,
+           v.ts AS view_ts,
+           c.ts AS click_ts,
+           CAST(date_diff('second', v.ts, c.ts) AS BIGINT) AS gap_sec
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts > v.ts
+     AND c.ts <= v.ts + INTERVAL '30 minutes'
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join in batch form: every click within
+    30 minutes AFTER a view by the same user (view-attribution, the
+    canonical event-time interval join). The identical join condition
+    runs as a genuine watermarked stream-stream join in
+    ``streaming.jobs.interval_join_streams`` (tested
+    stream-equals-batch in tests/test_streaming.py).
+
+    Plan: equi join on user_id with the time band as a residual
+    predicate — one shuffle per side on a uniform key; state at
+    streaming runtime is bounded by the watermark (each side retains
+    only 30 min + watermark of per-user history)."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return (
+        v.join(
+            c,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("click_ts") > F.col("view_ts"))
+            & (
+                F.col("click_ts")
+                <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "click_id",
+            "view_ts",
+            "click_ts",
+            (
+                F.unix_timestamp("click_ts") - F.unix_timestamp("view_ts")
+            ).alias("gap_sec"),
+        )
+    )

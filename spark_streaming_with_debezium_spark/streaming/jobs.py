@@ -216,3 +216,46 @@ def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
         .option("rowsPerSecond", str(rows_per_second))
         .load()
     )
+
+
+def interval_join_streams(
+    views: DataFrame,
+    clicks: DataFrame,
+    max_gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """T-family stream-stream INNER join with event-time bounds: clicks
+    within ``max_gap`` after a view by the same user — the genuine
+    two-stream form of ``batch_equiv.stream_interval_join`` (same
+    condition, same output columns).
+
+    Both sides carry a watermark and the join condition bounds
+    click_ts relative to view_ts in BOTH directions, so Spark can
+    expire per-user state once the watermark passes view_ts + max_gap
+    — without the bounds the state store grows forever (the classic
+    unbounded stream-join failure)."""
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return v.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") > F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {max_gap}")),
+    ).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        "view_ts",
+        "click_ts",
+        (F.unix_timestamp("click_ts") - F.unix_timestamp("view_ts")).alias(
+            "gap_sec"
+        ),
+    )

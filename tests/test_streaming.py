@@ -653,3 +653,70 @@ def test_cdc_stream_with_neardup_suppression(spark, tmp_path):
         neardup_store=store, neardup_text_col="body",
     ).awaitTermination()
     assert sorted(r.id for r in state.read().collect()) == [1, 11]
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream interval join must emit exactly
+    the pairs the batch form computes over the same rows — driven as
+    two real file-source streams, multi-file so the join spans
+    micro-batches."""
+    from spark_streaming_with_debezium_spark.streaming.jobs import (
+        interval_join_streams,
+    )
+
+    rows1 = [
+        (1, "2024-01-01 00:00:00", 1, "view", 1.0),
+        (2, "2024-01-01 00:10:00", 1, "click", 1.0),  # +10m: match
+        (3, "2024-01-01 00:05:00", 2, "view", 1.0),
+        (4, "2024-01-01 01:00:00", 2, "click", 1.0),  # +55m: no match
+    ]
+    rows2 = [
+        (5, "2024-01-01 00:20:00", 1, "click", 1.0),  # +20m: 2nd match, x-batch
+        (6, "2024-01-01 00:00:00", 3, "click", 1.0),  # click before any view
+        (7, "2024-01-01 00:30:00", 3, "view", 1.0),
+        (8, "2024-01-01 09:00:00", 9, "view", 1.0),   # watermark driver
+    ]
+    src = tmp_path / "ev"
+    src.mkdir()
+    _write_events(src / "b1.json", rows1)
+    _write_events(src / "b2.json", rows2)
+
+    views = events_file_stream(spark, str(src)).filter(
+        F.col("event_type") == "view"
+    )
+    clicks = events_file_stream(spark, str(src)).filter(
+        F.col("event_type") == "click"
+    )
+    run_to_memory(
+        interval_join_streams(views, clicks), "ij_out", output_mode="append"
+    )
+    got = sorted(
+        (r.user_id, r.view_id, r.click_id, r.gap_sec)
+        for r in spark.sql("SELECT * FROM ij_out").collect()
+    )
+    # batch expectation over the same rows
+    all_rows = rows1 + rows2
+    e = spark.createDataFrame(
+        [(i, t, u, k, v, "{}") for i, t, u, k, v in all_rows],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    v = e.filter(F.col("event_type") == "view")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"),
+        F.col("ts").alias("cts"),
+    )
+    exp = sorted(
+        (r.user_id, r.event_id, r.cid, r.gap)
+        for r in v.join(
+            c,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("cts") > F.col("ts"))
+            & (F.col("cts") <= F.col("ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .withColumn(
+            "gap", F.unix_timestamp("cts") - F.unix_timestamp("ts")
+        )
+        .collect()
+    )
+    assert got == exp and len(got) == 2, f"stream={got} batch={exp}"
