@@ -223,8 +223,9 @@ def interval_join_streams(
     clicks: DataFrame,
     max_gap: str = "30 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """T-family stream-stream INNER join with event-time bounds: clicks
+    """T-family stream-stream join with event-time bounds: clicks
     within ``max_gap`` after a view by the same user — the genuine
     two-stream form of ``batch_equiv.stream_interval_join`` (same
     condition, same output columns).
@@ -233,7 +234,15 @@ def interval_join_streams(
     click_ts relative to view_ts in BOTH directions, so Spark can
     expire per-user state once the watermark passes view_ts + max_gap
     — without the bounds the state store grows forever (the classic
-    unbounded stream-join failure)."""
+    unbounded stream-join failure).
+
+    ``how='left_outer'`` additionally emits unmatched views with null
+    click columns — but only once the watermark has passed the view's
+    join window (Spark must be SURE no matching click can still
+    arrive), which happens in a batch AFTER the one that advanced the
+    watermark. Callers draining with availableNow therefore see outer
+    nulls only if at least one more micro-batch runs after the
+    watermark moved past view_ts + max_gap."""
     v = views.withWatermark("ts", watermark).select(
         F.col("user_id"),
         F.col("event_id").alias("view_id"),
@@ -249,6 +258,7 @@ def interval_join_streams(
         (F.col("user_id") == F.col("c_user_id"))
         & (F.col("click_ts") > F.col("view_ts"))
         & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {max_gap}")),
+        how,
     ).select(
         "user_id",
         "view_id",

@@ -720,3 +720,47 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         .collect()
     )
     assert got == exp and len(got) == 2, f"stream={got} batch={exp}"
+
+
+def test_stream_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    """left_outer stream-stream join: a view with no click in its
+    30-minute window emits with null click columns once the watermark
+    passes its window AND a subsequent micro-batch runs (outer-null
+    emission happens one batch after the watermark advance)."""
+    from spark_streaming_with_debezium_spark.streaming.jobs import (
+        interval_join_streams,
+    )
+
+    rows1 = [
+        (1, "2024-01-01 00:00:00", 1, "view", 1.0),
+        (2, "2024-01-01 00:10:00", 1, "click", 1.0),  # match for view 1
+        (3, "2024-01-01 00:00:00", 2, "view", 1.0),   # never clicked
+    ]
+    rows2 = [(8, "2024-01-01 09:00:00", 9, "view", 1.0)]   # watermark driver
+    rows3 = [(9, "2024-01-01 09:00:01", 9, "click", 1.0)]  # post-advance batch
+    src = tmp_path / "ev"
+    src.mkdir()
+    _write_events(src / "b1.json", rows1)
+    _write_events(src / "b2.json", rows2)
+    _write_events(src / "b3.json", rows3)
+
+    views = events_file_stream(spark, str(src)).filter(
+        F.col("event_type") == "view"
+    )
+    clicks = events_file_stream(spark, str(src)).filter(
+        F.col("event_type") == "click"
+    )
+    run_to_memory(
+        interval_join_streams(views, clicks, watermark="1 hour", how="left_outer"),
+        "ij_outer",
+        output_mode="append",
+    )
+    rows = spark.sql("SELECT * FROM ij_outer").collect()
+    matched = sorted(
+        (r.user_id, r.view_id, r.click_id) for r in rows if r.click_id is not None
+    )
+    unmatched = sorted(
+        (r.user_id, r.view_id) for r in rows if r.click_id is None
+    )
+    assert (1, 1, 2) in matched, f"inner match missing: {matched}"
+    assert (2, 3) in unmatched, f"unmatched view not emitted: {unmatched}"
