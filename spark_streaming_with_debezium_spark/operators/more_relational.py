@@ -9,7 +9,7 @@ functions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_streaming_with_debezium_spark.functions.numeric import dsum, sql_dsum
@@ -422,4 +422,103 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("week_offset"),
         )
         .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+@query(
+    "events_sessionize_gap",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_idx
+      FROM marked
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+             AS duration_sec
+    FROM numbered
+    GROUP BY user_id, session_idx
+    """,
+)
+def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is
+    idle for >30 minutes — the lag-mark + running-sum session-id
+    assignment (the ROW-level dual of the session_window AGGREGATE in
+    streaming/batch_equiv.py: this one keeps per-event session ids, so
+    downstream ops can join events to their session).
+
+    One shuffle on user_id; both windows and the final groupBy ride the
+    same hash partitioning. Ties on ts are broken by event_id so the
+    running sum is deterministic on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag("ts").over(wo).cast("long")
+    marked = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "session_idx",
+        F.sum("new_session")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts").cast("long") - F.min("ts").cast("long")).alias(
+            "duration_sec"
+        ),
+    )
+
+
+@query(
+    "agg_mode_per_group",
+    oracle="""
+    WITH counts AS (
+      SELECT l_linestatus, l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_linestatus
+               ORDER BY COUNT(*) DESC, l_returnflag
+             ) AS rk
+      FROM lineitem
+      GROUP BY l_linestatus, l_returnflag
+    )
+    SELECT l_linestatus, l_returnflag AS mode_returnflag, n
+    FROM counts WHERE rk = 1
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MODE (most frequent value, ties broken by value) via
+    count + argmax window — the portable formulation (Spark's native
+    ``mode`` aggregate is tie-nondeterministic across engines). Two
+    exchanges: the 2-key count, then the tiny per-group argmax."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_linestatus", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_linestatus").orderBy(
+        F.col("n").desc(), "l_returnflag"
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_linestatus",
+            F.col("l_returnflag").alias("mode_returnflag"),
+            "n",
+        )
     )

@@ -71,8 +71,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: Evidence ledger entering round 4: 50 queries carry an r3 row, 47 are
 #: r2-newest, 24 are r1-newest. Round 4 leads with the seven queries
 #: whose code or oracle changed this round (three were r3 hash-fails,
-#: now cast-fixed; four had behavior changes), the seven NEW queries
-#: (four TPC-H shapes + int8-rescore/packing/interval-join), then ALL
+#: now cast-fixed; four had behavior changes), the nine NEW queries
+#: (four TPC-H shapes, int8-rescore/packing/interval-join,
+#: sessionize/mode), then ALL
 #: 24 r1-newest queries (three rounds stale otherwise), then the
 #: highest-value r2-newest blocks: the reference's core streaming
 #: semantics (batch-equiv), the CDC pipeline, the exact dedup family,
@@ -98,6 +99,8 @@ _PRIORITY = (
     "ann_int8_rescore",
     "pack_sequences",
     "stream_interval_join",
+    "events_sessionize_gap",
+    "agg_mode_per_group",
     # --- r1-newest (would be three rounds stale): aggregates ---
     "agg_count_distinct",
     "agg_cube",
@@ -137,14 +140,13 @@ _PRIORITY = (
     # the rows-only LSH/simhash/cluster faces carry pytest property
     # coverage + per-round bench runs and rotate to the r5 prefix) ---
     "dedup_exact_groups",
-    "dedup_exact_keep_canonical",
     "dedup_ngram_jaccard",
     # --- r2-newest: ANN (lsh/neardup variants carry pytest recall
     # coverage and rotate to the r5 prefix) ---
     "ann_cosine_topk",
-    # --- r2-newest: perf-flagged ---
-    "fn_json_typed_parse",
     # --- 50-query prefix boundary (round-4 driver window) ---
+    "dedup_exact_keep_canonical",
+    "fn_json_typed_parse",
     "multimodal_metadata_stats",
     "split_train_eval",
     "agg_approx_percentile",
