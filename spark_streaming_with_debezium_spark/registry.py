@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "spark_streaming_with_debezium_spark.operators.joins",
     "spark_streaming_with_debezium_spark.operators.windows",
     "spark_streaming_with_debezium_spark.operators.cdc_queries",
+    "spark_streaming_with_debezium_spark.operators.sketches",
     "spark_streaming_with_debezium_spark.functions.scalar_queries",
     "spark_streaming_with_debezium_spark.streaming.batch_equiv",
     "spark_streaming_with_debezium_spark.llm.dedup",

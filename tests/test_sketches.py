@@ -1,0 +1,76 @@
+"""HLL sketch queries: accuracy vs exact counts, mergeability, and
+determinism (the properties that justify the rows-only driver check).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_with_debezium_spark.operators.sketches import (
+    LG_CONFIG_K,
+    normalized_content_hash,
+    sketch_hll_distinct_docs,
+    sketch_hll_rolling_users,
+)
+from spark_streaming_with_debezium_spark.sources.tables import load_table
+
+# lgK=12 => ~1.6% RSE; 5% is a >3-sigma bound.
+TOL = 0.05
+
+
+def test_hll_distinct_docs_accurate_and_mergeable(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    exact = {
+        r["source"]: r["n"]
+        for r in d.select("source", normalized_content_hash().alias("h"))
+        .groupBy("source")
+        .agg(F.countDistinct("h").alias("n"))
+        .collect()
+    }
+    exact["__all__"] = (
+        d.select(normalized_content_hash().alias("h"))
+        .agg(F.countDistinct("h"))
+        .collect()[0][0]
+    )
+
+    est = {r["source"]: r["est_distinct"] for r in sketch_hll_distinct_docs(spark, sf_dir).collect()}
+    assert set(est) == set(exact)
+    for src, n in exact.items():
+        assert est[src] == pytest.approx(n, rel=TOL), src
+
+    # Mergeability: union of the per-source sketches estimates the same
+    # cardinality as a single sketch built over all rows. Not bit-equal:
+    # a direct small-n sketch stays in exact sparse (coupon-list) mode,
+    # while the union promotes to dense HLL registers — so compare
+    # within the sketch's error bound, not for identity.
+    direct = (
+        d.select(normalized_content_hash().alias("h"))
+        .agg(F.hll_sketch_agg("h", F.lit(LG_CONFIG_K)).alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("e"))
+        .collect()[0]["e"]
+    )
+    assert est["__all__"] == pytest.approx(direct, rel=TOL)
+
+
+def test_hll_rolling_users_accurate_and_deterministic(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    exact = {
+        r["anchor"]: r["n"]
+        for r in e.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .select(F.col("day").alias("anchor"))
+        .distinct()
+        .join(
+            e.select(F.to_date("ts").alias("day"), "user_id").distinct(),
+            (F.col("day") <= F.col("anchor"))
+            & (F.col("day") >= F.date_sub(F.col("anchor"), 6)),
+        )
+        .groupBy("anchor")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    got1 = {r["day"]: r["est_users_7d"] for r in sketch_hll_rolling_users(spark, sf_dir).collect()}
+    got2 = {r["day"]: r["est_users_7d"] for r in sketch_hll_rolling_users(spark, sf_dir).collect()}
+    assert got1 == got2  # deterministic across runs (rows-only contract)
+    assert set(got1) == set(exact)
+    for day, n in exact.items():
+        assert got1[day] == pytest.approx(n, rel=TOL), day
