@@ -131,3 +131,111 @@ def text_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log(F.col("_n_docs") / F.col("doc_freq")), 6).alias("idf"),
         )
     )
+
+
+@query(
+    "embedding_label_cohesion",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, i AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS x
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ), s AS (
+      SELECT label, pos, CAST(SUM(x) AS BIGINT) AS s
+      FROM ex GROUP BY 1, 2
+    ), n2s AS (
+      SELECT label,
+             CAST(SUM(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)))
+                  AS DOUBLE) AS n2s
+      FROM s GROUP BY 1
+    ), per_vec AS (
+      SELECT ex.vec_id, ex.label,
+             CAST(SUM(CAST(ex.x AS DECIMAL(19,0)) * CAST(s.s AS DECIMAL(19,0)))
+                  AS DOUBLE) AS dot,
+             CAST(SUM(CAST(ex.x AS DECIMAL(19,0)) * CAST(ex.x AS DECIMAL(19,0)))
+                  AS DOUBLE) AS n2v
+      FROM ex JOIN s ON ex.label = s.label AND ex.pos = s.pos
+      GROUP BY 1, 2
+    ), cos AS (
+      SELECT p.label,
+             CASE WHEN p.n2v * n.n2s = 0 THEN NULL
+                  ELSE p.dot / (sqrt(p.n2v) * sqrt(n.n2s)) END AS c
+      FROM per_vec p JOIN n2s n ON p.label = n.label
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           round(CAST(SUM(CAST(c AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(c), 6) AS avg_cos_centroid
+    FROM cos GROUP BY 1
+    """,
+)
+def embedding_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster cohesion per label: average cosine of each vector to its
+    label centroid — the health metric for any labeled/clustered
+    embedding corpus (a label whose members barely point at their own
+    centroid is mislabeled or needs re-clustering).
+
+    Cross-engine float determinism via EXACT fixed-point arithmetic:
+    each float coordinate drops onto a 1e-6 integer grid (floor never
+    ties, unlike round-half), so the centroid sums, dot products, and
+    norms are integer/decimal EXACT and order-independent — the same
+    property that makes the result identical across partitionings,
+    retries, and engines. cosine(v, centroid) == cosine(v, sum-vector)
+    (scale invariance), so the centroid division never happens and no
+    engine-specific decimal-division scale rules apply. Only the final
+    cosine is double math — identical IEEE ops on identical inputs.
+
+    Scale shape: one posexplode pass builds the (label, pos) sums —
+    dims × labels rows, broadcast-sized for any corpus; the sum-vectors
+    are reassembled as arrays and BROADCAST back, so the per-vector
+    cosine is a single stateless pass over the fact (no 64× exploded
+    shuffle, no join shuffle on the big side); the finale aggregates
+    O(labels) rows. 1e-6 grid × 1e9-vector labels stays within
+    decimal(38) exactness by ~18 orders of magnitude."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    acc_add = lambda a, x: (a + x).cast("decimal(38,0)")  # noqa: E731
+    zero = F.lit(0).cast("decimal(38,0)")
+
+    ei = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1000000.0).cast("long")
+        ).alias("xi"),
+    )
+    s_arr = (
+        ei.select("label", F.posexplode("xi").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.sum("x").alias("s"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"))
+        .select(
+            "label",
+            F.transform("ps", lambda p: p["s"]).alias("sv"),
+        )
+        .withColumn(
+            "n2s",
+            F.aggregate(
+                F.transform("sv", lambda s: dec(s) * dec(s)), zero, acc_add
+            ).cast("double"),
+        )
+    )
+    joined = ei.join(F.broadcast(s_arr), "label")
+    dot = F.aggregate(
+        F.zip_with("xi", "sv", lambda x, s: dec(x) * dec(s)), zero, acc_add
+    ).cast("double")
+    n2v = F.aggregate(
+        F.transform("xi", lambda x: dec(x) * dec(x)), zero, acc_add
+    ).cast("double")
+    cos = F.when(
+        (n2v * F.col("n2s")) != 0, dot / (F.sqrt(n2v) * F.sqrt("n2s"))
+    )
+    per_vec = joined.select("label", cos.alias("c"))
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.col("c").cast("decimal(38,12)")).cast("double") / F.count("c"),
+            6,
+        ).alias("avg_cos_centroid"),
+    )

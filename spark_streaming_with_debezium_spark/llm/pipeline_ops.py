@@ -260,6 +260,91 @@ def sample_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_curation_funnel",
+    oracle="""
+    WITH flags AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h,
+             (n_chars BETWEEN 100 AND 520) AS f1,
+             (len(string_split_regex(trim(text), '\\s+')) >= 30) AS f2,
+             (CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                / n_chars >= 0.82) AS f3
+      FROM documents
+    ), ranked AS (
+      SELECT f1, f2, f3, (f1 AND f2 AND f3) AS passes,
+             row_number() OVER (
+               PARTITION BY h
+               ORDER BY (f1 AND f2 AND f3) DESC, doc_id
+             ) AS rn
+      FROM flags
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+             CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+             CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+             CAST(SUM(CASE WHEN passes AND rn = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s4
+      FROM ranked
+    )
+    SELECT '0_total' AS stage, s0 AS n_docs FROM s
+    UNION ALL SELECT '1_length', s1 FROM s
+    UNION ALL SELECT '2_min_words', s2 FROM s
+    UNION ALL SELECT '3_alpha_ratio', s3 FROM s
+    UNION ALL SELECT '4_dedup_canonical', s4 FROM s
+    """,
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel: per-stage survivor counts for the
+    standard pretraining filter chain — length bounds, minimum word
+    count, alphabetic-ratio quality gate, then exact-dedup canonical
+    selection among the survivors. The one-line answer to "how much
+    data is left after cleaning, and which gate ate it?" — the report
+    every corpus build starts from.
+
+    Single scan, single shuffle: all gate flags are computed in one
+    projection; the dedup stage needs a per-content-hash window, and
+    ordering that window by (passes DESC, doc_id) makes rank-1 rows
+    the canonical survivors WITHOUT a second pass over the filtered
+    subset (a filter→window plan would rescan the corpus). The final
+    stack() unpivot turns the 1-row aggregate into the 5-row funnel —
+    constant-size from there. At 100 TB: one shuffle on a uniform md5
+    key, counters all map-side-combined; nothing here is corpus-scale
+    but the scan itself."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), "\\s+", " ")
+    f1 = F.col("n_chars").between(100, 520)
+    f2 = F.size(F.split(F.trim("text"), "\\s+")) >= 30
+    f3 = (
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+        / F.col("n_chars")
+    ) >= 0.82
+    flagged = d.select(
+        "doc_id",
+        F.md5(norm).alias("h"),
+        f1.alias("f1"),
+        (f1 & f2).alias("f12"),
+        (f1 & f2 & f3).alias("passes"),
+    )
+    ranked = flagged.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("h").orderBy(F.col("passes").desc(), "doc_id")
+        ),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum(F.col("f1").cast("long")).alias("s1"),
+        F.sum(F.col("f12").cast("long")).alias("s2"),
+        F.sum(F.col("passes").cast("long")).alias("s3"),
+        F.sum((F.col("passes") & (F.col("rn") == 1)).cast("long")).alias("s4"),
+    )
+    return s.selectExpr(
+        "stack(5, '0_total', s0, '1_length', s1, '2_min_words', s2,"
+        " '3_alpha_ratio', s3, '4_dedup_canonical', s4) AS (stage, n_docs)"
+    )
+
+
 @query("sample_stratified", oracle=None)  # RNG-based => rows-only
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling: per-language fractions via sampleBy with a

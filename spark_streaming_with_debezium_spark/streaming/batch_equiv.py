@@ -200,3 +200,45 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gap_sec"),
         )
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle=f"""
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           {sql_dsum('e.value')} AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment in batch form: events joined to the
+    static customer→nation dimensions, rolled up per (nation, segment).
+    The identical join runs against a readStream side in
+    ``streaming.jobs.enrich_stream_with_dim`` (stream-equals-batch in
+    tests/test_streaming.py) — Structured Streaming re-plans the static
+    side per micro-batch, so a refreshed dim snapshot is picked up
+    without restarting the query.
+
+    Plan: both dims are broadcast (customer is the FACT side's
+    enrichment here, but at 100 TB the event stream is the big side and
+    customer/nation remain broadcast-able dimension tables) — the
+    stream side never shuffles for the join; the only exchange is the
+    final rollup on (nation, segment), a low-cardinality uniform key."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    enriched = e.join(
+        F.broadcast(c), e.user_id == c.c_custkey
+    ).join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return enriched.groupBy(
+        F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )

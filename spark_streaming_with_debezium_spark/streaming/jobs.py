@@ -269,3 +269,25 @@ def interval_join_streams(
             "gap_sec"
         ),
     )
+
+
+def enrich_stream_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "inner",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static join: enrich a streaming fact with a batch
+    dimension. Structured Streaming re-resolves the STATIC side every
+    micro-batch, so a dimension backed by a parquet/Delta path serves
+    fresh snapshots to a long-running stream without a restart — the
+    streaming twin of ``sources.csv_source.enrich``.
+
+    The static side is broadcast by default: the stream side then needs
+    NO shuffle for the join (stateless, unlike stream-stream joins — no
+    watermark or state store involved), which is the only plan that
+    holds up when the stream side is the 100 TB fact. ``how`` follows
+    batch join semantics; left joins keep unmatched stream rows."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, how)

@@ -185,3 +185,34 @@ def test_q11_reuses_per_part_exchange(spark, sf_dir):
     assert "ReusedExchange" in final, final
     assert final.count("lineitem.parquet") == 1, final
     assert "CartesianProduct" not in final, final
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Same-bucketed tables joined on the bucket key must plan with no
+    Exchange on either side (the write-once/join-many layout), and the
+    result must equal the plain shuffled join."""
+    from spark_streaming_with_debezium_spark.sources.bucketed import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed(orders, "b_orders", "o_orderkey", 8, str(tmp_path / "bo"))
+    write_bucketed(li, "b_lineitem", "o_orderkey", 8, str(tmp_path / "bl"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        txt = plan_text(joined)
+        assert "SortMergeJoin" in txt, txt
+        assert "Exchange" not in txt, txt
+        assert joined.count() == orders.join(li, "o_orderkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -764,3 +764,49 @@ def test_stream_interval_join_left_outer_emits_unmatched(spark, tmp_path):
     )
     assert (1, 1, 2) in matched, f"inner match missing: {matched}"
     assert (2, 3) in unmatched, f"unmatched view not emitted: {unmatched}"
+
+
+def test_stream_static_enrich_matches_batch(spark, tmp_path):
+    """Stream-static join: a file-source event stream enriched with a
+    static dimension must produce exactly the batch join's rows, with
+    the static side re-resolved per micro-batch (multi-file input)."""
+    from spark_streaming_with_debezium_spark.streaming.jobs import (
+        enrich_stream_with_dim,
+        events_file_stream,
+        run_to_memory,
+    )
+
+    rows1 = [
+        (1, "2024-01-01 00:00:00", 1, "view", 1.0),
+        (2, "2024-01-01 00:10:00", 2, "click", 2.0),
+        (3, "2024-01-01 00:20:00", 9, "view", 3.0),  # no dim row
+    ]
+    rows2 = [
+        (4, "2024-01-01 01:00:00", 1, "click", 4.0),
+        (5, "2024-01-01 01:10:00", 3, "view", 5.0),
+    ]
+    src = tmp_path / "ev"
+    src.mkdir()
+    _write_events(src / "b1.json", rows1)
+    _write_events(src / "b2.json", rows2)
+
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver"), (3, "bronze")], ["user_id", "tier"]
+    )
+    stream = events_file_stream(spark, str(src))
+    run_to_memory(
+        enrich_stream_with_dim(stream, dim, "user_id", how="left"),
+        "enrich_out",
+        output_mode="append",
+    )
+    got = sorted(
+        (r.event_id, r.user_id, r.tier)
+        for r in spark.sql("SELECT event_id, user_id, tier FROM enrich_out").collect()
+    )
+    assert got == [
+        (1, 1, "gold"),
+        (2, 2, "silver"),
+        (3, 9, None),
+        (4, 1, "gold"),
+        (5, 3, "bronze"),
+    ]
