@@ -175,6 +175,65 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_edit_distance",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars, substr(text, 1, 200) AS p
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist
+    FROM t a JOIN t b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 20
+    WHERE levenshtein(a.p, b.p) <= 20
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance (Levenshtein) near-dup over 200-char prefixes —
+    the dedup family member that catches single-character-edit /
+    truncated-copy duplicates that word-set Jaccard scores as distant
+    (one long word changed) and MinHash misses below its band
+    threshold.
+
+    Exactness of the prefilter: |len(a)−len(b)| lower-bounds edit
+    distance, so the |Δchars| ≤ 20 band drops NO qualifying pair — it
+    is a correctness-preserving pushdown, not an approximation. The
+    band rides the same neighbor-replicated (lang, length-bucket) equi
+    join as ``dedup_ngram_jaccard`` (bucket = n_chars div 40, Δ ≤ 20 ⇒
+    neighboring buckets), so candidates are O(n · band), not O(n²),
+    and no single hot lang key serializes the shuffle. The O(len²)
+    DP cost per pair is capped two ways: 200-char prefixes, and
+    Spark's threshold'd levenshtein (early exit once distance
+    provably exceeds 20 — returns -1, filtered)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", "n_chars", F.substring("text", 1, 200).alias("p")
+    )
+    bucket = (F.col("n_chars") / F.lit(40)).cast("long")
+    a = t.withColumn(
+        "bucket", F.explode(F.array(bucket - 1, bucket, bucket + 1))
+    ).alias("a")
+    b = t.withColumn("bucket", bucket).alias("b")
+    dist = F.levenshtein(F.col("a.p"), F.col("b.p"), 20)
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 20),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") >= 0)
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",

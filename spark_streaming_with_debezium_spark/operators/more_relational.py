@@ -522,3 +522,42 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "events_cumulative_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+      FROM events GROUP BY 1
+    ), daily AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM first_seen GROUP BY 1
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (
+             ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_users
+    FROM daily
+    """,
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-user growth curve: per day, how many users
+    appeared for the first time, and the running total — computed via
+    the first-seen-day trick (min(day) per user, then a running sum)
+    instead of a per-day COUNT(DISTINCT user) over expanding windows,
+    which would rescan the events table once per day in the range.
+
+    Scale shape: one shuffle on user_id (uniform), one on day (tiny);
+    the running-sum window orders O(days) pre-aggregated rows, so its
+    single-partition sort is over dozens of rows no matter how many
+    billions of events feed it. (For APPROXIMATE re-aggregatable
+    variants at per-hour granularity, see operators/sketches.py.)"""
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    daily = first.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.withColumn("cum_users", F.sum("new_users").over(w))
