@@ -102,6 +102,12 @@ _PRIORITY = (
     "stream_interval_join",
     "events_sessionize_gap",
     "agg_mode_per_group",
+    # --- new this round (late additions): curation/layout/cohesion ---
+    "corpus_curation_funnel",
+    "stream_static_enrich",
+    "embedding_label_cohesion",
+    "dedup_edit_distance",
+    "events_cumulative_users",
     # --- r1-newest (would be three rounds stale): aggregates ---
     "agg_count_distinct",
     "agg_cube",
@@ -116,18 +122,18 @@ _PRIORITY = (
     "approx_count_distinct",
     "distinct_rows",
     # --- r1-newest: scalar fns + SQL subqueries + set ops ---
-    "fn_bitwise",
+    # (fn_bitwise / fn_try_family rotate to the r5 prefix head: frozen
+    # one-expression queries, displaced by this round's never-checked
+    # additions — never-checked outranks stale-with-local-oracle.)
     "fn_datetime_arith",
     "fn_split_part",
     "fn_string_split_explode",
-    "fn_try_family",
     "set_ops",
     "sort_limit_topk",
     "sql_correlated_exists",
     "sql_in_subquery",
     "sql_scalar_subquery",
     "union_positional",
-    "unpivot_melt",
     # --- r2-newest: reference core streaming semantics (verdict #7) ---
     "stream_tumbling_window",
     "stream_sliding_window",
@@ -137,15 +143,16 @@ _PRIORITY = (
     "cdc_current_state",
     "cdc_envelope_roundtrip",
     "cdc_state_rollup",
-    # --- r2-newest: dedup family (incl. perf-flagged exact groups;
-    # the rows-only LSH/simhash/cluster faces carry pytest property
-    # coverage + per-round bench runs and rotate to the r5 prefix) ---
+    # --- r2-newest: dedup/ANN representatives (dedup_ngram_jaccard and
+    # ann_cosine_topk rotate to the r5 prefix: every dedup/ANN query
+    # carries pytest oracle/recall coverage + per-round bench runs) ---
     "dedup_exact_groups",
-    "dedup_ngram_jaccard",
-    # --- r2-newest: ANN (lsh/neardup variants carry pytest recall
-    # coverage and rotate to the r5 prefix) ---
-    "ann_cosine_topk",
     # --- 50-query prefix boundary (round-4 driver window) ---
+    "unpivot_melt",
+    "fn_bitwise",
+    "fn_try_family",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
     "dedup_exact_keep_canonical",
     "fn_json_typed_parse",
     "multimodal_metadata_stats",
