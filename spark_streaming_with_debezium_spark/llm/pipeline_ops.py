@@ -414,3 +414,157 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / 2048).cast("long").alias("seq_id"),
         (start % 2048).cast("long").alias("seq_offset"),
     )
+
+
+@query(
+    "curriculum_quality_tiers",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_words,
+             ntile(5) OVER (
+               PARTITION BY lang
+               ORDER BY len(string_split_regex(trim(text), '\\s+')), doc_id
+             ) AS tier
+      FROM documents
+    )
+    SELECT lang, tier,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_words) AS BIGINT) AS min_words,
+           CAST(MAX(n_words) AS BIGINT) AS max_words,
+           CAST(SUM(n_words) AS BIGINT) AS total_words
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def curriculum_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: per-language quality quintiles (here scored
+    by document word count; any deterministic score column drops in)
+    with per-tier doc and token tallies — the table a curriculum
+    dataloader samples from (short/low tiers early, long/high tiers
+    late). ntile needs a total order to be deterministic: ties on the
+    score are broken by doc_id, so the same document always lands in
+    the same tier on every engine and partitioning.
+
+    One window shuffle partitioned by lang + one tiny rollup. Lang is
+    a skewed key (en dominates); at 100 TB pre-aggregate the ntile
+    boundaries from approx quantiles instead (two scans, no giant
+    window partition) — the quintile SEMANTICS here are the contract
+    that variant must match."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim("text"), "\\s+")).cast("long")
+    w = Window.partitionBy("lang").orderBy(n_words, "doc_id")
+    scored = d.select(
+        "lang",
+        n_words.alias("n_words"),
+        F.ntile(5).over(w).alias("tier"),
+    )
+    return scored.groupBy("lang", "tier").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_words").alias("min_words"),
+        F.max("n_words").alias("max_words"),
+        F.sum("n_words").alias("total_words"),
+    )
+
+
+@query(
+    "decontaminate_train_ngram",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, source,
+             CASE WHEN substr(md5(text), 1, 2) < '14'
+                  THEN 'holdout' ELSE 'train' END AS split,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS w
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, split, array_to_string(w[i:i+4], ' ') AS g
+      FROM assigned, UNNEST(range(1, len(w)-5+2)) AS t(i)
+    ), kept AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= 64
+    ), hold_grams AS (
+      SELECT DISTINCT gr.g FROM grams gr JOIN kept k ON gr.g = k.g
+      WHERE gr.split = 'holdout'
+    ), contaminated AS (
+      SELECT DISTINCT gr.doc_id
+      FROM grams gr JOIN hold_grams h ON gr.g = h.g
+      WHERE gr.split = 'train'
+    )
+    SELECT a.source,
+           CAST(COUNT(*) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM assigned a LEFT JOIN contaminated c ON a.doc_id = c.doc_id
+    WHERE a.split = 'train'
+    GROUP BY 1
+    """,
+)
+def decontaminate_train_ngram(
+    spark: SparkSession, sf_dir: str, max_gram_docs: int = 64
+) -> DataFrame:
+    """The APPLY step of n-gram decontamination: drop from the train
+    split every document sharing any (non-boilerplate) word 5-gram
+    with the holdout split, reporting per-source removed/kept tallies.
+    ``contamination_ngram_overlap`` reports pairs; this one composes
+    split assignment (the ``split_train_eval`` hash rule) → capped
+    gram inventory → semi join against holdout grams → left-anti-style
+    rollup, i.e. the operation a pipeline actually runs before
+    training.
+
+    Scale notes: the gram group cap (same ``max_gram_docs`` discipline
+    as the other gram queries) bounds the hot-gram blowup BEFORE the
+    semi join; the holdout gram set is the small side (a few % of
+    grams) and broadcasts; 'contaminated' is a distinct doc-id set,
+    joined back to the train projection (doc_id, source — pruned
+    scan). Everything shuffles on uniform keys (gram hash, doc_id)."""
+    d = load_table(spark, sf_dir, "documents")
+    split = F.when(F.substring(F.md5("text"), 1, 2) < "14", "holdout").otherwise(
+        "train"
+    )
+    assigned = d.select(
+        "doc_id",
+        "source",
+        split.alias("split"),
+        F.split(F.regexp_replace(F.lower(F.trim("text")), "\\s+", " "), " ").alias(
+            "w"
+        ),
+    )
+    positions = F.when(
+        F.size("w") >= 5, F.sequence(F.lit(1), F.size("w") - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = assigned.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.transform(positions, lambda i: F.array_join(F.slice("w", i, 5), " "))
+        ).alias("g"),
+    ).distinct()
+    wg = Window.partitionBy("g")
+    capped = (
+        grams.repartition(F.col("g"))
+        .withColumn("gsize", F.count(F.lit(1)).over(wg))
+        .filter(F.col("gsize") <= max_gram_docs)
+        .drop("gsize")
+    )
+    hold_grams = (
+        capped.filter(F.col("split") == "holdout").select("g").distinct()
+    )
+    contaminated = (
+        capped.filter(F.col("split") == "train")
+        .join(F.broadcast(hold_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    train = assigned.filter(F.col("split") == "train").select("doc_id", "source")
+    flagged = train.join(
+        contaminated.withColumn("is_dirty", F.lit(1)), "doc_id", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum(F.when(F.col("is_dirty").isNotNull(), 1).otherwise(0)).alias(
+            "n_removed"
+        ),
+        F.sum(F.when(F.col("is_dirty").isNull(), 1).otherwise(0)).alias("n_kept"),
+    )

@@ -561,3 +561,62 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     return daily.withColumn("cum_users", F.sum("new_users").over(w))
+
+
+@query(
+    "agg_corr_exact",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+                  AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+                  AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))
+                  AS DOUBLE) AS sy2
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sx2 - sx * sx)
+                    * sqrt(CAST(n AS DOUBLE) * sy2 - sy * sy)),
+                 6) AS corr_qty_price
+    FROM s
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group via the sums formula with an exact
+    decimal interior — ``F.corr`` (and DuckDB's ``corr``) accumulate in
+    floating point, so their results depend on partitioning and row
+    order and can differ between engines, runs, and retries. The five
+    sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) accumulate in
+    DECIMAL (order-independent, exact), then combine in double once —
+    bit-identical on any cluster size. Per-row double products are
+    IEEE-deterministic; only the final combine is float math.
+
+    This is also the RE-AGGREGATABLE form: the five sums merge across
+    shards/days like the HLL sketches (operators/sketches.py), so a
+    100 TB corr is maintained incrementally from partial sums instead
+    of recomputed. One map-side-combined shuffle on a 3-value key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,6)"
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(dec)).cast("double").alias("sx"),
+        F.sum(y.cast(dec)).cast("double").alias("sy"),
+        F.sum((x * y).cast(dec)).cast("double").alias("sxy"),
+        F.sum((x * x).cast(dec)).cast("double").alias("sx2"),
+        F.sum((y * y).cast(dec)).cast("double").alias("sy2"),
+    )
+    nd = F.col("n").cast("double")
+    corr = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(nd * F.col("sx2") - F.col("sx") * F.col("sx"))
+        * F.sqrt(nd * F.col("sy2") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
+    )

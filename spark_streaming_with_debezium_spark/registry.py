@@ -108,6 +108,9 @@ _PRIORITY = (
     "embedding_label_cohesion",
     "dedup_edit_distance",
     "events_cumulative_users",
+    "agg_corr_exact",
+    "curriculum_quality_tiers",
+    "decontaminate_train_ngram",
     # --- r1-newest (would be three rounds stale): aggregates ---
     "agg_count_distinct",
     "agg_cube",
@@ -126,14 +129,11 @@ _PRIORITY = (
     # one-expression queries, displaced by this round's never-checked
     # additions — never-checked outranks stale-with-local-oracle.)
     "fn_datetime_arith",
-    "fn_split_part",
-    "fn_string_split_explode",
     "set_ops",
     "sort_limit_topk",
     "sql_correlated_exists",
     "sql_in_subquery",
     "sql_scalar_subquery",
-    "union_positional",
     # --- r2-newest: reference core streaming semantics (verdict #7) ---
     "stream_tumbling_window",
     "stream_sliding_window",
@@ -148,6 +148,9 @@ _PRIORITY = (
     # carries pytest oracle/recall coverage + per-round bench runs) ---
     "dedup_exact_groups",
     # --- 50-query prefix boundary (round-4 driver window) ---
+    "fn_split_part",
+    "fn_string_split_explode",
+    "union_positional",
     "unpivot_melt",
     "fn_bitwise",
     "fn_try_family",
