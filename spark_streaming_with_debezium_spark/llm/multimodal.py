@@ -151,3 +151,60 @@ def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     m = with_media_columns(d)
     return decode_media(m, fake=True)
+
+
+def frame_sample(
+    df: DataFrame, frame_bytes: int = 16, stride_bytes: int = 64
+) -> DataFrame:
+    """Frame sampling over opaque media payloads: emit the hex of one
+    ``frame_bytes``-sized slice every ``stride_bytes`` (the every-k-th-
+    frame shape of video sampling), only for FULL frames. Runs as
+    Arrow-batched ``mapInPandas`` like :func:`decode_media` — same
+    binary-in / rows-out plumbing a real codec-backed sampler uses,
+    with ~1/stride output amplification instead of explode-the-bytes.
+    """
+    out_schema = "doc_id bigint, frame_idx bigint, frame_hex string"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                k = 0
+                while k * stride_bytes + frame_bytes <= len(b):
+                    start = k * stride_bytes
+                    rows.append(
+                        (doc_id, k, b[start : start + frame_bytes].hex().upper())
+                    )
+                    k += 1
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_hex"]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, out_schema)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n
+      FROM documents
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+           substr(h, 1 + CAST(k AS BIGINT) * 128, 32) AS frame_hex
+    FROM b, UNNEST(range(0, 1 + (n - 16) // 64)) AS t(k)
+    WHERE n >= 16
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frame sampling through the mapInPandas media path
+    (16-byte frames, 64-byte stride). The oracle recomputes each
+    sampled frame independently by slicing the payload's hex string
+    (2 hex chars per byte ⇒ frame k starts at char 1+128k, spans 32),
+    so the driver hash-checks the byte-exact slicing of the Python
+    sampler — frame boundaries, stride arithmetic, and the full-frames-
+    only cutoff included."""
+    d = load_table(spark, sf_dir, "documents")
+    return frame_sample(with_media_columns(d))

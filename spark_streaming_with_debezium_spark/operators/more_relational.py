@@ -462,10 +462,14 @@ def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One shuffle on user_id; both windows and the final groupBy ride the
     same hash partitioning. Ties on ts are broken by event_id so the
-    running sum is deterministic on both engines."""
+    running sum is deterministic on both engines. Epoch seconds come
+    from unix_timestamp (valid for TIMESTAMP and TIMESTAMP_NTZ alike —
+    a bare cast-to-long is rejected on NTZ, which is what parquet
+    µs-timestamps written without UTC adjustment load as; the session
+    timezone is pinned to UTC so NTZ interpretation is stable)."""
     e = load_table(spark, sf_dir, "events")
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag("ts").over(wo).cast("long")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(wo))
     marked = e.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
@@ -479,7 +483,7 @@ def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numbered.groupBy("user_id", "session_idx").agg(
         F.min("ts").alias("session_start"),
         F.count(F.lit(1)).alias("n_events"),
-        (F.max("ts").cast("long") - F.min("ts").cast("long")).alias(
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
             "duration_sec"
         ),
     )
