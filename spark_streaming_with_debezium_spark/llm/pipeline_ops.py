@@ -515,10 +515,12 @@ def decontaminate_train_ngram(
 
     Scale notes: the gram group cap (same ``max_gram_docs`` discipline
     as the other gram queries) bounds the hot-gram blowup BEFORE the
-    semi join; the holdout gram set is the small side (a few % of
-    grams) and broadcasts; 'contaminated' is a distinct doc-id set,
-    joined back to the train projection (doc_id, source — pruned
-    scan). Everything shuffles on uniform keys (gram hash, doc_id)."""
+    semi join. The holdout gram set is ~8% of all grams — small at
+    test scale but NOT broadcast-safe at 100 TB, so the semi join
+    shuffles on the uniform gram key and AQE downgrades it to a
+    broadcast automatically whenever the holdout side measures small.
+    'contaminated' is a distinct doc-id set joined back to the train
+    projection (doc_id, source — pruned scan)."""
     d = load_table(spark, sf_dir, "documents")
     split = F.when(F.substring(F.md5("text"), 1, 2) < "14", "holdout").otherwise(
         "train"
@@ -553,7 +555,7 @@ def decontaminate_train_ngram(
     )
     contaminated = (
         capped.filter(F.col("split") == "train")
-        .join(F.broadcast(hold_grams), "g", "left_semi")
+        .join(hold_grams, "g", "left_semi")
         .select("doc_id")
         .distinct()
     )

@@ -172,3 +172,61 @@ def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parsed = parse_envelope(raw, spec)
     return parsed.select("id", "val", "op", "deleted")
+
+
+@query(
+    "cdc_scd2_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS valid_to,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS version
+      FROM events
+    )
+    SELECT user_id, CAST(version AS BIGINT) AS version,
+           ts AS valid_from, valid_to, value AS balance,
+           (valid_to IS NULL AND event_type <> 'error') AS is_current
+    FROM ordered
+    WHERE event_type <> 'error'
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from the change stream: every
+    upsert becomes a versioned row with a [valid_from, valid_to)
+    interval, closed by the NEXT change for the same key (delete
+    events close the prior interval without opening one — lead() runs
+    over ALL events before deletes are filtered, which is what makes a
+    post-delete interval finite). ``is_current`` marks open intervals.
+    This is the history table the reference's Delta merge overwrites
+    away — the generalization its README's analytics layer would need
+    for as-of reporting, and the batch dual of ``cdc/timetravel.py``.
+
+    One shuffle on user_id; lead, row_number, and the filter all ride
+    the same hash partitioning (single window exchange, plan-shared),
+    and event_id gives a total per-key order so versions are stable
+    under re-partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ordered = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+    )
+    return ordered.filter(F.col("event_type") != "error").select(
+        "user_id",
+        "version",
+        F.col("ts").alias("valid_from"),
+        "valid_to",
+        F.col("value").alias("balance"),
+        (F.col("valid_to").isNull() & (F.col("event_type") != "error")).alias(
+            "is_current"
+        ),
+    )
