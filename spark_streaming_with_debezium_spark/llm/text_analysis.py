@@ -448,3 +448,104 @@ def text_similar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("query_doc", "match_doc", F.round("jac", 6).alias("jaccard"), "rnk")
     )
+
+
+#: Fixed keyword query for the BM25 demo — common corpus words so tf,
+#: df, and the length normalization all do real work.
+BM25_TERMS = ("table", "spark", "merge", "window")
+
+
+@query(
+    "text_bm25_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(len(w)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM toks
+    ), tf AS (
+      SELECT doc_id, len(w) AS dl, t.tok, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM toks, UNNEST(w) AS t(tok)
+      WHERE t.tok IN ('table', 'spark', 'merge', 'window')
+      GROUP BY 1, 2, 3
+    ), df AS (
+      SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(SUM(CAST(
+               ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl))))
+               AS DECIMAL(38,12))) AS DOUBLE) AS score
+      FROM tf JOIN df ON tf.tok = df.tok, stats s
+      GROUP BY 1
+    )
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM scored
+    ORDER BY round(score, 6) DESC, doc_id
+    LIMIT 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (k1=1.2, b=0.75): the lexical scorer that
+    complements the embedding (``ann_*``) and shingle-Jaccard
+    (``text_similar_topk``) retrieval faces — the trio is the standard
+    hybrid-retrieval stack for corpus search and hard-negative mining.
+
+    Determinism: tf, df, dl, and avgdl are exact integer ratios, so
+    both engines feed IDENTICAL doubles into identical expression
+    trees; the 4 idf ln() calls see the same 4 inputs everywhere. The
+    per-term partial scores accumulate in DECIMAL before the final
+    double conversion (order-independent, like every other float
+    aggregate in this engine), and top-k orders by (rounded score,
+    doc_id) so ranking is total.
+
+    Scale shape: two scans of documents (corpus stats; tokenize+match),
+    with dl carried THROUGH the explode so no third scan or join
+    re-derives document lengths. df and the stats row broadcast; the
+    only data-sized shuffle is the (doc_id, term) tf groupBy on a
+    uniform key. Top-k plans as TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.trim("text")), "\\s+").alias("w")
+    )
+    stats = F.broadcast(
+        toks.agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            (
+                F.sum(F.size("w")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avgdl"),
+        )
+    )
+    tf = (
+        toks.select("doc_id", F.size("w").alias("dl"), F.explode("w").alias("tok"))
+        .filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_ = F.broadcast(
+        tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    j = tf.join(df_, "tok").crossJoin(stats)
+    idf = F.log(
+        F.lit(1) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = idf * (
+        F.col("tf")
+        / (
+            F.col("tf")
+            + 1.2
+            * (1 - 0.75 + 0.75 * (F.col("dl").cast("double") / F.col("avgdl")))
+        )
+    )
+    scored = j.groupBy("doc_id").agg(
+        F.sum(term_score.cast("decimal(38,12)")).cast("double").alias("score")
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )

@@ -111,18 +111,18 @@ _PRIORITY = (
     "agg_corr_exact",
     "curriculum_quality_tiers",
     "decontaminate_train_ngram",
+    "cdc_scd2_history",
+    "text_bm25_topk",
+    "multimodal_frame_sample",
     # --- r1-newest (would be three rounds stale): aggregates ---
     "agg_count_distinct",
     "agg_cube",
     "agg_filtered",
     "agg_grouping_sets",
-    "agg_histogram",
-    "agg_max_by",
     "agg_percentiles",
     "agg_pivot",
     "agg_rollup",
     "agg_stats",
-    "approx_count_distinct",
     "distinct_rows",
     # --- r1-newest: scalar fns + SQL subqueries + set ops ---
     # (fn_bitwise / fn_try_family rotate to the r5 prefix head: frozen
@@ -148,6 +148,9 @@ _PRIORITY = (
     # carries pytest oracle/recall coverage + per-round bench runs) ---
     "dedup_exact_groups",
     # --- 50-query prefix boundary (round-4 driver window) ---
+    "agg_histogram",
+    "agg_max_by",
+    "approx_count_distinct",
     "fn_split_part",
     "fn_string_split_explode",
     "union_positional",
