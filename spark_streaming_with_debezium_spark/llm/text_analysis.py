@@ -504,9 +504,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: two scans of documents (corpus stats; tokenize+match),
     with dl carried THROUGH the explode so no third scan or join
-    re-derives document lengths. df and the stats row broadcast; the
-    only data-sized shuffle is the (doc_id, term) tf groupBy on a
-    uniform key. Top-k plans as TakeOrderedAndProject."""
+    re-derives document lengths, and df computed as a window count
+    OVER the tf frame (a per-term exchange on a tiny frame) rather
+    than a second aggregation consumer, which would re-derive the
+    whole tokenize lineage — plan-asserted ≤2 scans in
+    tests/test_plans.py. The stats row broadcasts; the only data-sized
+    shuffle is the (doc_id, term) tf groupBy on a uniform key. Top-k
+    plans as TakeOrderedAndProject."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.split(F.lower(F.trim("text")), "\\s+").alias("w")
@@ -526,10 +530,11 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "dl", "tok")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
-    df_ = F.broadcast(
-        tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    )
-    j = tf.join(df_, "tok").crossJoin(stats)
+    from pyspark.sql import Window
+
+    j = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("tok")).cast("double")
+    ).crossJoin(stats)
     idf = F.log(
         F.lit(1) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )

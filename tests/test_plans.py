@@ -216,3 +216,26 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bm25_plans_take_ordered_two_scans(spark, sf_dir):
+    """BM25: top-k must plan as TakeOrderedAndProject (no global sort),
+    and the corpus must be scanned at most twice (stats + tokenize; dl
+    rides the explode and df is a window over tf, not extra scans)."""
+    from spark_streaming_with_debezium_spark.plans.explain import _single_plan
+
+    df = QUERIES["text_bm25_topk"].fn(spark, sf_dir)
+    txt = _single_plan(df)
+    assert "TakeOrderedAndProject" in txt, txt
+    assert txt.count("Scan parquet") <= 2, txt
+
+
+def test_curation_funnel_single_scan_single_window(spark, sf_dir):
+    """The funnel computes all gates in one scan; the dedup stage adds
+    exactly one hash-partitioned window exchange."""
+    from spark_streaming_with_debezium_spark.plans.explain import _single_plan
+
+    df = QUERIES["corpus_curation_funnel"].fn(spark, sf_dir)
+    txt = _single_plan(df)
+    assert txt.count("Scan parquet") == 1, txt
+    assert txt.count("Exchange hashpartitioning") <= 1, txt
