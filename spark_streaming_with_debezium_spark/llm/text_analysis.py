@@ -554,3 +554,86 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
+
+
+@query(
+    "text_keywords_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ), n AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM toks
+    ), tf AS (
+      SELECT doc_id, t.tok, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM toks, UNNEST(w) AS t(tok)
+      WHERE length(t.tok) >= 4
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT tf.doc_id, tf.tok,
+             tf.tf * ln(n.n_docs
+                        / CAST(COUNT(*) OVER (PARTITION BY tf.tok) AS DOUBLE))
+               AS score
+      FROM tf, n
+    ), ranked AS (
+      SELECT doc_id, tok, round(score, 6) AS tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY round(score, 6) DESC, tok
+             ) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, tok AS keyword, tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by raw-tf × idf
+    (ln(N/df)), the metadata-enrichment step that tags every document
+    with its most distinctive vocabulary (≥4-char terms). Rank orders
+    by the ROUNDED score with the term as tie-break, so the top-3 set
+    is total-ordered and engine-independent; df comes from a window
+    over the tf frame (no second tokenize scan — the same
+    single-consumer discipline as text_bm25_topk).
+
+    Scale: one corpus scan; shuffles on (doc_id, term), term, doc_id —
+    all uniform keys (the ≥4-char filter drops the stop-word-shaped
+    head of the term distribution before the term window)."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.trim("text")), "\\s+").alias("w")
+    )
+    n_docs = F.broadcast(
+        toks.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    )
+    tf = (
+        toks.select("doc_id", F.explode("w").alias("tok"))
+        .filter(F.length("tok") >= 4)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    scored = tf.crossJoin(n_docs).withColumn(
+        "score",
+        F.col("tf")
+        * F.log(
+            F.col("n_docs")
+            / F.count(F.lit(1)).over(Window.partitionBy("tok")).cast("double")
+        ),
+    )
+    ranked = scored.select(
+        "doc_id",
+        F.col("tok").alias("keyword"),
+        F.round("score", 6).alias("tfidf"),
+    ).withColumn(
+        "rnk",
+        F.row_number()
+        .over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("tfidf").desc(), "keyword"
+            )
+        )
+        .cast("long"),
+    )
+    return ranked.filter(F.col("rnk") <= 3)

@@ -624,3 +624,79 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
     )
+
+
+@query(
+    "orders_rfm_segments",
+    oracle="""
+    WITH ref AS (
+      SELECT CAST(MAX(o_orderdate) AS DATE) AS ref_day FROM orders
+    ), per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE), r.ref_day)
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS monetary
+      FROM orders, ref r
+      GROUP BY o_custkey, r.ref_day
+    ), tiled AS (
+      SELECT o_custkey, monetary,
+             ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_tile,
+             ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_tile,
+             ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_tile
+      FROM per_cust
+    )
+    SELECT r_tile, f_tile, m_tile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           round(CAST(SUM(monetary) AS DOUBLE), 2) AS total_monetary
+    FROM tiled
+    GROUP BY 1, 2, 3
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic warehouse customer scoring: per
+    customer recency (days since last order, vs the corpus max date),
+    frequency (order count) and monetary (decimal-exact spend), each
+    cut into quartiles (1 = best), rolled up per (R,F,M) cell with
+    customer counts and exact spend totals. Quartile ntiles get total
+    orders by (metric, o_custkey) so cell membership is deterministic
+    across engines and partitionings; monetary ORDERS as a decimal, so
+    no float-formatting ambiguity enters the sort.
+
+    Scale: one shuffle on o_custkey for the per-customer rollup; the
+    three global ntiles sort O(customers) pre-aggregated rows — at
+    100 TB replace with approx-quantile boundary lookups (two tiny
+    passes) under the same quartile semantics; the final rollup has
+    ≤64 cells."""
+    o = load_table(spark, sf_dir, "orders")
+    ref = F.broadcast(
+        o.agg(F.to_date(F.max("o_orderdate")).alias("ref_day"))
+    )
+    per_cust = (
+        o.crossJoin(ref)
+        .groupBy("o_custkey", "ref_day")
+        .agg(
+            F.datediff("ref_day", F.to_date(F.max("o_orderdate"))).alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("monetary"),
+        )
+    )
+    tiled = per_cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy("recency_days", "o_custkey"))
+        .alias("r_tile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .alias("f_tile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
+        .alias("m_tile"),
+    )
+    return tiled.groupBy("r_tile", "f_tile", "m_tile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("monetary").cast("double"), 2).alias("total_monetary"),
+    )

@@ -114,6 +114,8 @@ _PRIORITY = (
     "cdc_scd2_history",
     "text_bm25_topk",
     "multimodal_frame_sample",
+    "orders_rfm_segments",
+    "text_keywords_tfidf",
     # --- r1-newest (would be three rounds stale): aggregates ---
     "agg_count_distinct",
     "agg_cube",
@@ -128,8 +130,6 @@ _PRIORITY = (
     # (fn_bitwise / fn_try_family rotate to the r5 prefix head: frozen
     # one-expression queries, displaced by this round's never-checked
     # additions — never-checked outranks stale-with-local-oracle.)
-    "fn_datetime_arith",
-    "set_ops",
     "sort_limit_topk",
     "sql_correlated_exists",
     "sql_in_subquery",
@@ -148,6 +148,8 @@ _PRIORITY = (
     # carries pytest oracle/recall coverage + per-round bench runs) ---
     "dedup_exact_groups",
     # --- 50-query prefix boundary (round-4 driver window) ---
+    "fn_datetime_arith",
+    "set_ops",
     "agg_histogram",
     "agg_max_by",
     "approx_count_distinct",
