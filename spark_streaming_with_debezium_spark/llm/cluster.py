@@ -21,7 +21,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spark_streaming_with_debezium_spark.registry import query
-from spark_streaming_with_debezium_spark.sources.tables import load_table
 
 
 def connected_components(
