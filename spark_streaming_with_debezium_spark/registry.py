@@ -72,15 +72,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: Evidence ledger entering round 4: 50 queries carry an r3 row, 47 are
 #: r2-newest, 24 are r1-newest. Round 4 leads with the seven queries
 #: whose code or oracle changed this round (three were r3 hash-fails,
-#: now cast-fixed; four had behavior changes), the nine NEW queries
-#: (four TPC-H shapes, int8-rescore/packing/interval-join,
-#: sessionize/mode), then ALL
-#: 24 r1-newest queries (three rounds stale otherwise), then the
-#: highest-value r2-newest blocks: the reference's core streaming
-#: semantics (batch-equiv), the CDC pipeline, the exact dedup family,
-#: and the perf-flagged queries. The remaining r2-newest queries rotate
-#: to the front of round 5's prefix. Names not listed keep their module
-#: registration order after these.
+#: now cast-fixed; four had behavior changes), then the NINETEEN new
+#: round-4 queries (four TPC-H shapes; int8-rescore/packing/
+#: interval-join/sessionize/mode; and the second-pass additions:
+#: curation funnel, stream-static enrich, cohesion, edit-distance,
+#: cumulative users, exact corr, curriculum tiers, decontamination,
+#: SCD2, BM25, frame sampling, RFM, TF-IDF keywords) — never-checked
+#: outranks stale-with-local-oracle — then the surviving r1-newest
+#: block, then the highest-value r2-newest blocks: the reference's
+#: core streaming semantics (batch-equiv), the CDC pipeline, and the
+#: perf-flagged dedup_exact_groups as prefix anchor at position 50.
+#: Thirteen frozen r1 one-expression queries displaced by the new
+#: additions sit immediately after the boundary — they lead round 5's
+#: prefix. Names not listed keep module registration order after
+#: these.
 _PRIORITY = (
     # --- changed this round: cast-fixed oracles (r3 hash-fails) ---
     "events_funnel",
