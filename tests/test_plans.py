@@ -239,3 +239,35 @@ def test_curation_funnel_single_scan_single_window(spark, sf_dir):
     txt = _single_plan(df)
     assert txt.count("Scan parquet") == 1, txt
     assert txt.count("Exchange hashpartitioning") <= 1, txt
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """A day-partitioned layout must turn a day predicate into
+    PartitionFilters (directory pruning — no data files of other days
+    are even listed), with the row counts matching the unpartitioned
+    filter."""
+    from spark_streaming_with_debezium_spark.sources.partitioned import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(e, path, "day")
+
+    back = read_partitioned(spark, path)
+    one_day = back.filter(F.col("day") == "2024-01-03")
+    txt = plan_text(one_day)
+    assert "PartitionFilters" in txt, txt
+    assert "day" in txt.split("PartitionFilters")[1][:200], txt
+    expected = e.filter(F.to_date("ts") == "2024-01-03").count()
+    assert one_day.count() == expected > 0
+    # dynamic overwrite replaces only the touched partition
+    patch = e.filter(F.col("day") == "2024-01-03").limit(5)
+    write_partitioned(patch, path, "day")
+    after = read_partitioned(spark, path)
+    assert after.filter(F.col("day") == "2024-01-03").count() == 5
+    other = e.filter(F.col("day") == "2024-01-04").count()
+    assert after.filter(F.col("day") == "2024-01-04").count() == other > 0
