@@ -700,3 +700,60 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("monetary").cast("double"), 2).alias("total_monetary"),
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_id, user_id, value,
+             CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w
+                  AS DOUBLE) AS sxx
+      FROM events
+      WINDOW w AS (PARTITION BY user_id)
+    )
+    SELECT event_id, user_id, value,
+           round((value - sx / n)
+                 / sqrt((n * sxx - sx * sx) / (n * n)), 6) AS zscore
+    FROM stats
+    WHERE (n * sxx - sx * sx) > 0
+      AND abs((value - sx / n)
+              / sqrt((n * sxx - sx * sx) / (n * n))) > 2
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user anomaly flags: events whose value sits more than 2
+    population standard deviations from that user's own mean — the
+    per-entity outlier screen that catches instrumented-client and
+    fraud-shaped behavior a global threshold misses.
+
+    Mean and variance come from decimal-exact Σx / Σx² WINDOW sums
+    over the user partition (one shuffle, no join-back of a grouped
+    frame), combined in double through expressions written identically
+    in both engines — same sufficient-statistics discipline as
+    agg_corr_exact, so the flags don't flicker across partitionings
+    or retries. Zero-variance users are excluded before the division."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    x = F.col("value")
+    stats = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count(F.lit(1)).over(w).cast("double").alias("n"),
+        F.sum(x.cast("decimal(38,6)")).over(w).cast("double").alias("sx"),
+        F.sum((x * x).cast("decimal(38,6)")).over(w).cast("double").alias("sxx"),
+    )
+    var = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) / (
+        F.col("n") * F.col("n")
+    )
+    z = (x - F.col("sx") / F.col("n")) / F.sqrt(var)
+    return (
+        stats.filter(
+            ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) > 0)
+            & (F.abs(z) > 2)
+        )
+        .select("event_id", "user_id", "value", F.round(z, 6).alias("zscore"))
+    )
