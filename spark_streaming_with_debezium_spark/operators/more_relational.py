@@ -757,3 +757,135 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "value", F.round(z, 6).alias("zscore"))
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS nxt
+      FROM events
+    ), pairs AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT cur, nxt, n,
+           round(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY cur) AS DOUBLE), 6) AS p
+    FROM pairs
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over per-user event sequences:
+    P(next event type | current), the session-flow-mining summary
+    behind funnel design and next-action prediction baselines.
+
+    lead() over (user_id; ts, event_id) gives each event its successor
+    within the SAME user's stream (cross-user transitions are
+    meaningless and excluded by the partition); transition counts are
+    integers, and the row probability divides by a window total over
+    cur — exact integers into one double division, so probabilities
+    are engine-exact. One shuffle on user_id for the sequence, one on
+    (cur, nxt) for counts; the probability window runs over the
+    O(types²) aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    pairs = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy("cur")).cast("double")
+    return pairs.withColumn(
+        "p", F.round(F.col("n").cast("double") / total, 6)
+    )
+
+
+@query(
+    "basket_part_affinity",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_orders AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n FROM baskets
+    ), item_freq AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM baskets GROUP BY 1
+    ), pair_counts AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    )
+    SELECT p.part_a, p.part_b, p.n_both,
+           round((CAST(p.n_both AS DOUBLE) / o.n)
+                 / ((CAST(fa.freq AS DOUBLE) / o.n)
+                    * (CAST(fb.freq AS DOUBLE) / o.n)), 6) AS lift
+    FROM pair_counts p
+    JOIN item_freq fa ON p.part_a = fa.l_partkey
+    JOIN item_freq fb ON p.part_b = fb.l_partkey, n_orders o
+    """,
+)
+def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs co-ordered in the same order
+    with support count and lift (observed co-rate over the
+    independence expectation) — the co-occurrence shape behind
+    recommenders and assortment analysis.
+
+    The self-join keys on l_orderkey, whose group size is the lines
+    per order (bounded ~7 in TPC-H-shaped data), so pair fan-out is
+    O(orders × lines²) with a HARD data-model bound — unlike document
+    n-gram joins, no skew cap is needed; a pathological giant basket
+    at 100 TB would need the same group-size cap as the gram queries.
+    The min-support HAVING prunes before the frequency joins; lift
+    divides exact integer ratios in an expression written identically
+    in both engines. Shuffles: orderkey (pairs), partkey ×2
+    (frequencies, broadcast-joined back), all uniform."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = F.broadcast(
+        baskets.agg(
+            F.countDistinct("l_orderkey").cast("double").alias("n")
+        )
+    )
+    item_freq = baskets.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    fa = item_freq.select(
+        F.col("l_partkey").alias("part_a"), F.col("freq").alias("freq_a")
+    )
+    fb = item_freq.select(
+        F.col("l_partkey").alias("part_b"), F.col("freq").alias("freq_b")
+    )
+    joined = pair_counts.join(fa, "part_a").join(fb, "part_b").crossJoin(n_orders)
+    lift = (F.col("n_both").cast("double") / F.col("n")) / (
+        (F.col("freq_a").cast("double") / F.col("n"))
+        * (F.col("freq_b").cast("double") / F.col("n"))
+    )
+    return joined.select(
+        "part_a", "part_b", "n_both", F.round(lift, 6).alias("lift")
+    )
