@@ -889,3 +889,118 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "part_a", "part_b", "n_both", F.round(lift, 6).alias("lift")
     )
+
+
+@query(
+    "agg_linreg_exact",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+                  AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+                  AS DOUBLE) AS sx2
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sx2 - sx * sx)) * sx) / n,
+                 6) AS intercept
+    FROM s
+    """,
+)
+def agg_linreg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise OLS fit (price ~ quantity): slope and intercept from
+    the same decimal-exact sufficient statistics as ``agg_corr_exact``
+    — the regression face of the re-aggregatable-stats family
+    (regr_slope/regr_intercept accumulate in floats and are
+    partitioning-dependent; these aren't). Partial (n, Σx, Σy, Σxy,
+    Σx²) merge across shards/days, so a 100 TB trend fit maintains
+    incrementally. One map-side-combined shuffle on a 3-value key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,6)"
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast(dec)).cast("double").alias("sx"),
+        F.sum(y.cast(dec)).cast("double").alias("sy"),
+        F.sum((x * y).cast(dec)).cast("double").alias("sxy"),
+        F.sum((x * x).cast(dec)).cast("double").alias("sx2"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
+@query(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT day AS anchor FROM user_days
+    ), dau AS (
+      SELECT day AS anchor, CAST(COUNT(*) AS BIGINT) AS dau
+      FROM user_days GROUP BY 1
+    ), wau AS (
+      SELECT d.anchor, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+      FROM days d JOIN user_days u
+        ON u.day <= d.anchor AND u.day >= d.anchor - INTERVAL 6 DAY
+      GROUP BY 1
+    )
+    SELECT dau.anchor AS day, dau.dau, wau.wau,
+           round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
+             AS stickiness
+    FROM dau JOIN wau ON dau.anchor = wau.anchor
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness (DAU÷WAU) per day — the
+    engagement triple every product dashboard opens with. EXACT form:
+    the windowed distinct forces a day×window expansion of the
+    deduplicated user-day pairs (O(days × 7 × daily users) join rows).
+    That is affordable because it expands the DEDUPED pairs, not raw
+    events — but it re-touches each pair 7 times, which is exactly the
+    cost the mergeable-sketch variant (sketch_hll_rolling_users)
+    removes at 100 TB; this query is the accuracy baseline those
+    estimates are tested against. Shuffles: user-day dedup (uniform),
+    then the range join on day (tiny dimension)."""
+    e = load_table(spark, sf_dir, "events")
+    user_days = e.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = user_days.select(F.col("day").alias("anchor")).distinct()
+    dau = user_days.groupBy(F.col("day").alias("anchor")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    wau = (
+        days.join(
+            user_days,
+            (F.col("day") <= F.col("anchor"))
+            & (F.col("day") >= F.date_sub(F.col("anchor"), 6)),
+        )
+        .groupBy("anchor")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "anchor")
+        .select(
+            F.col("anchor").alias("day"),
+            "dau",
+            "wau",
+            F.round(
+                F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+    )
