@@ -637,3 +637,82 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long"),
     )
     return ranked.filter(F.col("rnk") <= 3)
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH tf AS (
+      SELECT lang, t.tok, CAST(COUNT(*) AS DOUBLE) AS freq
+      FROM (SELECT lang,
+                   string_split_regex(lower(trim(text)), '\\s+') AS w
+            FROM documents) d, UNNEST(w) AS t(tok)
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT lang,
+             ln(CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY freq DESC, tok
+             ) AS DOUBLE)) AS lx,
+             ln(freq) AS ly
+      FROM tf
+    ), s AS (
+      SELECT lang,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(lx AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ly AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(lx * ly AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(lx * lx AS DECIMAL(38,12))) AS DOUBLE) AS sx2
+      FROM ranked GROUP BY 1
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_types,
+           round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6)
+             AS zipf_slope
+    FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per language: OLS slope of ln(freq) ~ ln(rank)
+    over the token frequency table — natural text sits near −1, and a
+    corpus whose slope drifts (boilerplate floods, template spam,
+    truncation) fails this cheap distribution-level health check
+    before any per-document filter notices.
+
+    Rank ties break on the token so ranks are total-ordered; the
+    ln() inputs are then identical integers on both engines, and the
+    OLS runs on decimal-accumulated sufficient statistics (the
+    agg_linreg_exact discipline). One shuffle on (lang, token), a
+    per-lang rank window, and an O(types) fit."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tf = (
+        d.select(
+            "lang", F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("tok")
+        )
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("freq"))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.col("freq").desc(), "tok")
+    )
+    ranked = tf.select(
+        "lang",
+        F.log(rank.cast("double")).alias("lx"),
+        F.log("freq").alias("ly"),
+    )
+    dec = "decimal(38,12)"
+    s = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("lx").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("ly").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("lx") * F.col("ly")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("lx") * F.col("lx")).cast(dec)).cast("double").alias("sx2"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "lang",
+        F.col("n").cast("long").alias("n_types"),
+        F.round(slope, 6).alias("zipf_slope"),
+    )

@@ -1004,3 +1004,70 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+@query(
+    "events_pareto_concentration",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n_events) AS DOUBLE) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM per_user
+    ), ranked AS (
+      SELECT user_id, n_events,
+             CAST(SUM(n_events) OVER (
+               ORDER BY n_events DESC, user_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS DOUBLE) AS cum_events,
+             ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS rnk
+      FROM per_user
+    )
+    SELECT CAST(MIN(CASE WHEN cum_events / t.total >= 0.5 THEN rnk END)
+                AS BIGINT) AS users_for_50pct,
+           CAST(MIN(CASE WHEN cum_events / t.total >= 0.8 THEN rnk END)
+                AS BIGINT) AS users_for_80pct,
+           CAST(MIN(CASE WHEN cum_events / t.total >= 0.95 THEN rnk END)
+                AS BIGINT) AS users_for_95pct,
+           t.n_users
+    FROM ranked, tot t
+    GROUP BY t.n_users
+    """,
+)
+def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration (the Pareto/80-20 check): how many of the
+    heaviest users it takes to cover 50/80/95% of all events — the
+    one-row summary that tells you whether a handful of power users
+    (or bots) dominate the stream, and the same skew diagnostic that
+    predicts hot keys before a per-user shuffle hits them.
+
+    Per-user totals shuffle once on user_id; the cumulative window
+    then sorts O(users) aggregated rows with a total (count, user_id)
+    order, and integer cumulative sums divide a decimal-exact total —
+    thresholds compare engine-identical doubles. Output is one row."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    tot = F.broadcast(
+        per_user.agg(
+            F.sum("n_events").cast("double").alias("total"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+    )
+    w = Window.orderBy(F.col("n_events").desc(), "user_id")
+    ranked = per_user.select(
+        "user_id",
+        "n_events",
+        F.sum("n_events")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("cum_events"),
+        F.row_number().over(w).alias("rnk"),
+    ).crossJoin(tot)
+    share = F.col("cum_events") / F.col("total")
+    return ranked.groupBy("n_users").agg(
+        F.min(F.when(share >= 0.5, F.col("rnk"))).cast("long").alias("users_for_50pct"),
+        F.min(F.when(share >= 0.8, F.col("rnk"))).cast("long").alias("users_for_80pct"),
+        F.min(F.when(share >= 0.95, F.col("rnk"))).cast("long").alias("users_for_95pct"),
+    ).select("users_for_50pct", "users_for_80pct", "users_for_95pct", "n_users")
