@@ -1071,3 +1071,128 @@ def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(share >= 0.8, F.col("rnk"))).cast("long").alias("users_for_80pct"),
         F.min(F.when(share >= 0.95, F.col("rnk"))).cast("long").alias("users_for_95pct"),
     ).select("users_for_50pct", "users_for_80pct", "users_for_95pct", "n_users")
+
+
+@query(
+    "events_daily_filled",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+      FROM events
+    ), spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM bounds
+    ), daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT s.day, COALESCE(d.n_events, 0) AS n_events,
+           (d.day IS NULL) AS is_gap
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+)
+def events_daily_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling: a dense day series from min to max
+    event date, left-joined to daily counts with zeros where no events
+    landed — the step every time-series report needs before rolling
+    windows or charting (a missing day silently shortens a 7-day
+    window; an explicit zero doesn't).
+
+    The spine is generated from a 1-row bounds aggregate via
+    sequence() — O(days) rows from one broadcastable row, never a
+    driver-side loop — and the daily counts join it on day (broadcast:
+    the spine is tiny). At 100 TB the only data-sized work is the
+    per-day count shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily.withColumnRenamed("day", "dday"), spine.day == F.col("dday"), "left")
+        .select(
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.col("dday").isNull().alias("is_gap"),
+        )
+    )
+
+
+@query(
+    "dq_orders_reconcile",
+    oracle="""
+    WITH line_rev AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+               AS line_revenue
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN lr.l_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS orders_without_lines,
+           CAST(SUM(CASE WHEN lr.l_orderkey IS NOT NULL
+                          AND abs(CAST(lr.line_revenue AS DOUBLE)
+                                  - o.o_totalprice) > 0.01 * o.o_totalprice
+                         THEN 1 ELSE 0 END)
+                AS BIGINT) AS mismatched_totals,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 LEFT JOIN orders o2 ON l.l_orderkey = o2.o_orderkey
+                 WHERE o2.o_orderkey IS NULL) AS BIGINT)
+             AS orphaned_lineitems
+    FROM orders o LEFT JOIN line_rev lr ON o.o_orderkey = lr.l_orderkey
+    """,
+)
+def dq_orders_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality reconciliation, one row: orders with no lines,
+    orders whose line revenue disagrees with the order total by >1%,
+    and lineitems pointing at no order — the referential-integrity +
+    totals-tie-out audit every warehouse load runs after ingest (and
+    after every CDC merge: a bug in the merge kernel shows up here
+    first).
+
+    The revenue tie-out sums in decimal (exact, retry-stable) and
+    compares in double against a relative tolerance — synthetic totals
+    aren't expected to tie exactly; the check is structural. Two
+    shuffles on orderkey (line rollup, left join) plus one anti-join
+    scan for orphans; all counters map-side combine to ONE row."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    line_rev = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(38,6)"
+            )
+        ).alias("line_revenue")
+    )
+    joined = o.join(line_rev, o.o_orderkey == line_rev.l_orderkey, "left")
+    mismatch = (
+        F.col("l_orderkey").isNotNull()
+        & (
+            F.abs(F.col("line_revenue").cast("double") - F.col("o_totalprice"))
+            > 0.01 * F.col("o_totalprice")
+        )
+    )
+    orphans = F.broadcast(
+        li.join(
+            o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti"
+        ).agg(F.count(F.lit(1)).alias("orphaned_lineitems"))
+    )
+    return (
+        joined.agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)).alias(
+                "orders_without_lines"
+            ),
+            F.sum(F.when(mismatch, 1).otherwise(0)).alias("mismatched_totals"),
+        )
+        # 1-row × 1-row: keeps the orphan scan inside the SAME lazy plan
+        # instead of an eager driver-side count() action
+        .crossJoin(orphans)
+    )
