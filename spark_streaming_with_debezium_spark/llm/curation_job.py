@@ -122,3 +122,38 @@ def run_curation_job(
         n_train=by_split.get("train", 0),
         n_eval_holdout=by_split.get("eval", 0) + by_split.get("heldout", 0),
     )
+
+
+def main(argv: list[str] | None = None) -> CurationStats:
+    """spark-submit-able entry:
+
+        python -m spark_streaming_with_debezium_spark.llm.curation_job \\
+            --input /root/testdata/sf0.01 --output /lake/corpus_v1
+
+    Mirrors the reference's pattern of shipping runnable mains
+    (StreamingJobExecutor / StreamingJobInitialExecutor) for the
+    engine's flagship batch job."""
+    import argparse
+
+    from spark_streaming_with_debezium_spark.session import get_spark
+
+    p = argparse.ArgumentParser(description="corpus curation build")
+    p.add_argument("--input", required=True, help="sf_dir with documents.parquet")
+    p.add_argument("--output", required=True, help="partitioned corpus dir")
+    p.add_argument("--app-name", default="curation-job")
+    args = p.parse_args(argv)
+
+    spark = get_spark(args.app_name)
+    try:
+        stats = run_curation_job(spark, args.input, args.output)
+        print(
+            f"curation done: input={stats.n_input} canonical={stats.n_canonical} "
+            f"train={stats.n_train} eval+holdout={stats.n_eval_holdout}"
+        )
+        return stats
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
