@@ -223,3 +223,50 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.count(F.lit(1)).over(w).alias("events_last_hour"),
     )
+
+
+@query(
+    "window_time_range_rolling",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             AS value_7d
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts
+      RANGE BETWEEN INTERVAL 604800 SECOND PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per user, each event's trailing-7-day
+    event count and value sum — the event-time sibling of the numeric
+    RANGE frame in ``window_running_frames``. RANGE (not ROWS) is the
+    correct frame for event time: rows landing at the same timestamp
+    are all in or all out together, so results don't depend on how
+    ties happen to be ordered.
+
+    Spark's rangeBetween needs a numeric ordering column, so the frame
+    orders by epoch seconds (unix_timestamp — NTZ-safe) with bounds
+    [-604800, 0]; DuckDB states the same inclusive bounds as an
+    INTERVAL. The windowed sum accumulates in decimal — frame sums are
+    order-of-evaluation-dependent in float, and a RANGE frame
+    re-aggregates per row, so exactness matters doubly here. One
+    shuffle on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-604800, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("value_7d"),
+    )
