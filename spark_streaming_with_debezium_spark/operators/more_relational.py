@@ -1196,3 +1196,57 @@ def dq_orders_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         # instead of an eager driver-side count() action
         .crossJoin(orphans)
     )
+
+
+@query(
+    "revenue_growth_mom_yoy",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', l_shipdate) AS month,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+               AS revenue
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(month AS DATE) AS month,
+           round(CAST(revenue AS DOUBLE), 2) AS revenue,
+           round(CAST(revenue AS DOUBLE)
+                 / CAST(lag(revenue, 1) OVER (ORDER BY month) AS DOUBLE)
+                 - 1, 6) AS mom_growth,
+           round(CAST(revenue AS DOUBLE)
+                 / CAST(lag(revenue, 12) OVER (ORDER BY month) AS DOUBLE)
+                 - 1, 6) AS yoy_growth
+    FROM monthly
+    """,
+)
+def revenue_growth_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reporting: monthly revenue with
+    month-over-month and year-over-year growth rates — the first page
+    of every finance dashboard. Monthly revenue accumulates in decimal
+    (exact), and the growth ratios divide the SAME decimal-derived
+    doubles both engines see, lagged 1 and 12 months over the
+    O(months) aggregate (lag over months, not a self-join back to the
+    fact). First month's MoM and the first year's YoY are NULL by
+    construction. One map-side-combined shuffle on month; the growth
+    window sorts dozens of rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("month")
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(38,6)"
+            )
+        ).alias("revenue")
+    )
+    w = Window.orderBy("month")
+    rev = F.col("revenue").cast("double")
+    return monthly.select(
+        F.to_date("month").alias("month"),
+        F.round(rev, 2).alias("revenue"),
+        F.round(rev / F.lag("revenue", 1).over(w).cast("double") - 1, 6).alias(
+            "mom_growth"
+        ),
+        F.round(rev / F.lag("revenue", 12).over(w).cast("double") - 1, 6).alias(
+            "yoy_growth"
+        ),
+    )
