@@ -4,11 +4,11 @@ sequence packing → partitioned write, in ONE Spark job.
 
 This is the production shape of a pretraining-data build: a user of
 the engine runs this once per corpus drop and hands the output
-directory to a dataloader. Everything upstream is reused from the
-query surface (same gate expressions as ``corpus_curation_funnel``,
-same split rule as ``split_train_eval``, same packing arithmetic as
-``pack_sequences``), so the oracle-checked queries ARE the unit tests
-of this job's stages.
+directory to a dataloader. Every policy expression comes
+from ``llm.corpus_rules`` — the SAME definitions the oracle-checked
+``corpus_curation_funnel`` / ``split_train_eval`` queries use, so
+those queries ARE the unit tests of this job's stages (and a tuned
+threshold cannot silently diverge between query and job).
 
 Scale/idempotence properties (tested in test_llm_ops.py):
 - single pass over the corpus for gates + dedup (one md5 window);
@@ -29,12 +29,16 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from spark_streaming_with_debezium_spark.llm.corpus_rules import (
+    SEQ_LEN,
+    content_md5,
+    gate_passes,
+    split_expr,
+)
 from spark_streaming_with_debezium_spark.sources.partitioned import (
     write_partitioned,
 )
 from spark_streaming_with_debezium_spark.sources.tables import load_table
-
-SEQ_LEN = 2048
 
 
 @dataclass(frozen=True)
@@ -51,16 +55,14 @@ def curate(docs: DataFrame) -> DataFrame:
 
     Returns (doc_id, lang, source, split, text, n_tokens, seq_id,
     seq_offset) for surviving canonical docs."""
-    f1 = F.col("n_chars").between(100, 520)
-    f2 = F.size(F.split(F.trim("text"), "\\s+")) >= 30
-    f3 = (
-        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
-        / F.col("n_chars")
-    ) >= 0.82
-    h = F.md5(F.regexp_replace(F.lower(F.trim("text")), "\\s+", " "))
-    passes = (f1 & f2 & f3).alias("passes")
     flagged = docs.select(
-        "doc_id", "lang", "source", "text", "n_chars", h.alias("h"), passes
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        "n_chars",
+        content_md5("text").alias("h"),
+        gate_passes().alias("passes"),
     )
     canon = (
         flagged.withColumn(
@@ -72,13 +74,7 @@ def curate(docs: DataFrame) -> DataFrame:
         .filter(F.col("passes") & (F.col("rn") == 1))
         .drop("rn", "h", "passes", "n_chars")
     )
-    prefix = F.substring(F.md5("text"), 1, 2)
-    split = (
-        F.when(prefix < "0a", "eval")
-        .when(prefix < "14", "heldout")
-        .otherwise("train")
-    )
-    assigned = canon.withColumn("split", split).withColumn(
+    assigned = canon.withColumn("split", split_expr()).withColumn(
         "n_tokens", F.size(F.split(F.trim("text"), "\\s+")).cast("long")
     )
     w = (
@@ -109,6 +105,7 @@ def run_curation_job(
     write_partitioned(curated, out_path, ["split", "lang"])
 
     n_input = docs.count()
+    n_after_gates = docs.filter(gate_passes()).count()
     out = spark.read.parquet(out_path)
     by_split = {
         r["split"]: r["n"]
@@ -117,7 +114,7 @@ def run_curation_job(
     n_canonical = sum(by_split.values())
     return CurationStats(
         n_input=n_input,
-        n_after_gates=n_canonical,  # gates and dedup share the single pass
+        n_after_gates=n_after_gates,
         n_canonical=n_canonical,
         n_train=by_split.get("train", 0),
         n_eval_holdout=by_split.get("eval", 0) + by_split.get("heldout", 0),

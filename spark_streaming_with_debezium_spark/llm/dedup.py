@@ -29,7 +29,9 @@ from spark_streaming_with_debezium_spark.registry import query
 from spark_streaming_with_debezium_spark.sources.tables import load_table
 
 #: Normalization used by exact dedup: casefold + collapse whitespace.
-_NORM_SPARK = lambda c: F.regexp_replace(F.lower(F.trim(c)), "\\s+", " ")  # noqa: E731
+from spark_streaming_with_debezium_spark.llm.corpus_rules import (
+    normalize_text as _NORM_SPARK,
+)
 _NORM_SQL = "regexp_replace(lower(trim({c})), '\\s+', ' ', 'g')"
 
 

@@ -11,6 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from spark_streaming_with_debezium_spark.llm.corpus_rules import (
+    content_md5,
+    gate_passes,
+    holdout_split_expr,
+    normalize_text,
+    split_expr,
+)
 from spark_streaming_with_debezium_spark.registry import query
 from spark_streaming_with_debezium_spark.sources.tables import load_table
 
@@ -34,14 +41,8 @@ def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     train via md5 prefix ranges) — reproducible across engines, runs,
     and cluster sizes; no RNG state to manage."""
     d = load_table(spark, sf_dir, "documents")
-    prefix = F.substring(F.md5("text"), 1, 2)
-    split = (
-        F.when(prefix < "0a", "eval")
-        .when(prefix < "14", "heldout")
-        .otherwise("train")
-    )
     return (
-        d.select(split.alias("split"), "lang")
+        d.select(split_expr().alias("split"), "lang")
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -65,11 +66,7 @@ def contamination_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     also appears under a DIFFERENT source (the train/test-leak check).
     Hash join on content hash — uniform keys, no skew."""
     d = load_table(spark, sf_dir, "documents")
-    hashed = d.select(
-        "doc_id",
-        "source",
-        F.md5(F.regexp_replace(F.lower(F.trim("text")), "\\s+", " ")).alias("h"),
-    )
+    hashed = d.select("doc_id", "source", content_md5("text").alias("h"))
     a, b = hashed.alias("a"), hashed.alias("b")
     return a.join(
         b,
@@ -140,9 +137,7 @@ def contamination_ngram_overlap(
     partitioning as the groupBy — no extra exchange."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id",
-        "source",
-        F.split(F.regexp_replace(F.lower(F.trim("text")), "\\s+", " "), " ").alias("w"),
+        "doc_id", "source", F.split(normalize_text("text"), " ").alias("w")
     )
     positions = F.when(
         F.size("w") >= 5, F.sequence(F.lit(1), F.size("w") - 4)
@@ -311,20 +306,17 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-size from there. At 100 TB: one shuffle on a uniform md5
     key, counters all map-side-combined; nothing here is corpus-scale
     but the scan itself."""
+    from spark_streaming_with_debezium_spark.llm import corpus_rules as cr
+
     d = load_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim("text")), "\\s+", " ")
-    f1 = F.col("n_chars").between(100, 520)
-    f2 = F.size(F.split(F.trim("text"), "\\s+")) >= 30
-    f3 = (
-        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
-        / F.col("n_chars")
-    ) >= 0.82
+    f1 = F.col("n_chars").between(cr.GATE_MIN_CHARS, cr.GATE_MAX_CHARS)
+    f2 = F.size(F.split(F.trim("text"), "\\s+")) >= cr.GATE_MIN_WORDS
     flagged = d.select(
         "doc_id",
-        F.md5(norm).alias("h"),
+        content_md5("text").alias("h"),
         f1.alias("f1"),
         (f1 & f2).alias("f12"),
-        (f1 & f2 & f3).alias("passes"),
+        gate_passes().alias("passes"),
     )
     ranked = flagged.withColumn(
         "rn",
@@ -522,16 +514,11 @@ def decontaminate_train_ngram(
     'contaminated' is a distinct doc-id set joined back to the train
     projection (doc_id, source — pruned scan)."""
     d = load_table(spark, sf_dir, "documents")
-    split = F.when(F.substring(F.md5("text"), 1, 2) < "14", "holdout").otherwise(
-        "train"
-    )
     assigned = d.select(
         "doc_id",
         "source",
-        split.alias("split"),
-        F.split(F.regexp_replace(F.lower(F.trim("text")), "\\s+", " "), " ").alias(
-            "w"
-        ),
+        holdout_split_expr().alias("split"),
+        F.split(normalize_text("text"), " ").alias("w"),
     )
     positions = F.when(
         F.size("w") >= 5, F.sequence(F.lit(1), F.size("w") - 4)

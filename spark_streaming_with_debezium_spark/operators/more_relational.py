@@ -462,17 +462,20 @@ def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One shuffle on user_id; both windows and the final groupBy ride the
     same hash partitioning. Ties on ts are broken by event_id so the
-    running sum is deterministic on both engines. Epoch seconds come
-    from unix_timestamp (valid for TIMESTAMP and TIMESTAMP_NTZ alike —
-    a bare cast-to-long is rejected on NTZ, which is what parquet
-    µs-timestamps written without UTC adjustment load as; the session
-    timezone is pinned to UTC so NTZ interpretation is stable)."""
+    running sum is deterministic on both engines. The gap compares in
+    epoch MICROseconds (unix_micros over an NTZ→TIMESTAMP cast under
+    the pinned UTC zone): whole-second unix_timestamp would truncate a
+    1800.5 s gap to 1800 and disagree with the oracle's
+    microsecond-precise INTERVAL comparison right at the session
+    boundary. duration_sec stays in whole seconds (both engines
+    truncate identically there)."""
     e = load_table(spark, sf_dir, "events")
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(wo))
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    gap = us(F.col("ts")) - us(F.lag("ts").over(wo))
     marked = e.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
     )
     numbered = marked.withColumn(
         "session_idx",
@@ -1114,9 +1117,15 @@ def events_daily_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n_events")
     )
+    # broadcast the RIGHT side: a left outer join can only broadcast its
+    # build (non-preserved) side — a hint on the spine would be ignored
     return (
-        F.broadcast(spine)
-        .join(daily.withColumnRenamed("day", "dday"), spine.day == F.col("dday"), "left")
+        spine
+        .join(
+            F.broadcast(daily.withColumnRenamed("day", "dday")),
+            spine.day == F.col("dday"),
+            "left",
+        )
         .select(
             "day",
             F.coalesce("n_events", F.lit(0)).alias("n_events"),

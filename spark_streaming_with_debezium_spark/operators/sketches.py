@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_streaming_with_debezium_spark.llm.corpus_rules import normalize_text
 from spark_streaming_with_debezium_spark.registry import query
 from spark_streaming_with_debezium_spark.sources.tables import load_table
 
@@ -45,7 +46,7 @@ def normalized_content_hash(col: str = "text"):
     """64-bit hash of whitespace-normalized lowercased content — the
     same normalization the exact-dedup family uses (llm/dedup.py), so
     sketch estimates are comparable with exact dedup counts."""
-    return F.xxhash64(F.regexp_replace(F.lower(F.trim(col)), "\\s+", " "))
+    return F.xxhash64(normalize_text(col))
 
 
 @query("sketch_hll_distinct_docs", oracle=None)  # approximate => rows-only

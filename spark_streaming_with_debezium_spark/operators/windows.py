@@ -234,8 +234,8 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS value_7d
     FROM events
     WINDOW w AS (
-      PARTITION BY user_id ORDER BY ts
-      RANGE BETWEEN INTERVAL 604800 SECOND PRECEDING AND CURRENT ROW
+      PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
     )
     """,
 )
@@ -248,17 +248,20 @@ def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties happen to be ordered.
 
     Spark's rangeBetween needs a numeric ordering column, so the frame
-    orders by epoch seconds (unix_timestamp — NTZ-safe) with bounds
-    [-604800, 0]; DuckDB states the same inclusive bounds as an
-    INTERVAL. The windowed sum accumulates in decimal — frame sums are
+    orders by epoch MICROseconds (unix_micros over a ts cast — NTZ
+    needs the cast) with bounds [-604800000000, 0]; the oracle orders
+    by epoch_us with the same numeric bounds. Whole-second ordering
+    here is a real bug, not a style choice: two same-user events
+    inside one truncated second become RANGE peers and each pulls the
+    other into its frame (caught at sf0.1 by the oracle diff). The windowed sum accumulates in decimal — frame sums are
     order-of-evaluation-dependent in float, and a RANGE frame
     re-aggregates per row, so exactness matters doubly here. One
     shuffle on user_id."""
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-604800, 0)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-604_800_000_000, 0)
     )
     return e.select(
         "event_id",

@@ -72,7 +72,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: Evidence ledger entering round 4: 50 queries carry an r3 row, 47 are
 #: r2-newest, 24 are r1-newest. Round 4 leads with the seven queries
 #: whose code or oracle changed this round (three were r3 hash-fails,
-#: now cast-fixed; four had behavior changes), then the NINETEEN new
+#: now cast-fixed; four had behavior changes), then the TWENTY-TWO new
 #: round-4 queries (four TPC-H shapes; int8-rescore/packing/
 #: interval-join/sessionize/mode; and the second-pass additions:
 #: curation funnel, stream-static enrich, cohesion, edit-distance,
@@ -82,10 +82,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: block, then the highest-value r2-newest blocks: the reference's
 #: core streaming semantics (batch-equiv), the CDC pipeline, and the
 #: perf-flagged dedup_exact_groups as prefix anchor at position 50.
-#: Thirteen frozen r1 one-expression queries displaced by the new
-#: additions sit immediately after the boundary — they lead round 5's
-#: prefix. Names not listed keep module registration order after
-#: these.
+#: The thirteen names listed immediately after the boundary are the
+#: frozen r1 queries displaced by the new additions — they lead round
+#: 5's prefix (later r4 additions past them queue behind). Names not
+#: listed keep module registration order after these.
 _PRIORITY = (
     # --- changed this round: cast-fixed oracles (r3 hash-fails) ---
     "events_funnel",

@@ -35,10 +35,13 @@ def test_sessionize_gap_boundaries(spark, sf_dir):
     gap > 30 min; session indexes are 1..n_sessions contiguous."""
     e = load_table(spark, sf_dir, "events")
     events = sorted(
-        e.select("user_id", "event_id", F.unix_timestamp("ts").alias("sec"))
-        .collect(),
+        e.select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("usec"),
+        ).collect(),
         # mirror the operator's window ordering: (ts, event_id)
-        key=lambda r: (r.user_id, r.sec, r.event_id),
+        key=lambda r: (r.user_id, r.usec, r.event_id),
     )
     sessions = events_sessionize_gap(spark, sf_dir).collect()
 
@@ -47,12 +50,14 @@ def test_sessionize_gap_boundaries(spark, sf_dir):
     last_sec, idx = {}, {}
     for r in events:
         u = r.user_id
-        if u not in last_sec or r.sec - last_sec[u] > 1800:
+        # microsecond-precise gap, matching the operator (a whole-second
+        # reference truncates 1800.5s gaps to 1800 and misses boundaries)
+        if u not in last_sec or r.usec - last_sec[u] > 1800 * 1_000_000:
             idx[u] = idx.get(u, 0) + 1
-        last_sec[u] = r.sec
+        last_sec[u] = r.usec
         key = (u, idx[u])
-        start, n = ref.get(key, (r.sec, 0))
-        ref[key] = (min(start, r.sec), n + 1)
+        start, n = ref.get(key, (r.usec, 0))
+        ref[key] = (min(start, r.usec), n + 1)
 
     got = {(s.user_id, s.session_idx): (s.n_events, s.duration_sec) for s in sessions}
     assert set(got) == set(ref)
