@@ -1259,3 +1259,91 @@ def revenue_growth_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yoy_growth"
         ),
     )
+
+
+@query(
+    "timeseries_user_similarity",
+    oracle="""
+    WITH ud AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             CAST(COUNT(*) AS DOUBLE) AS n_days,
+             CAST(SUM(CAST(a.n AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(b.n AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(a.n * b.n AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(a.n * a.n AS DECIMAL(38,6))) AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(b.n * b.n AS DECIMAL(38,6))) AS DOUBLE) AS sy2
+      FROM ud a JOIN ud b
+        ON a.day = b.day AND a.user_id < b.user_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 20
+    )
+    SELECT user_a, user_b, CAST(n_days AS BIGINT) AS n_days,
+           round((n_days * sxy - sx * sy)
+                 / (sqrt(n_days * sx2 - sx * sx)
+                    * sqrt(n_days * sy2 - sy * sy)), 6) AS activity_corr
+    FROM pairs
+    WHERE (n_days * sx2 - sx * sx) > 0 AND (n_days * sy2 - sy * sy) > 0
+      AND (n_days * sxy - sx * sy)
+          / (sqrt(n_days * sx2 - sx * sx) * sqrt(n_days * sy2 - sy * sy))
+          >= 0.5
+    """,
+)
+def timeseries_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search over per-user daily activity: user
+    pairs whose daily event-count series correlate ≥ 0.5 across ≥ 20
+    overlapping days — the distributed correlated-pairs shape behind
+    cohort discovery, bot-ring detection, and the retrieved
+    time-series-similarity literature (PAPERS.md).
+
+    The pairwise join keys on DAY, so fan-out per day is the active
+    users that day squared — bounded here, but the skew-prone shape at
+    100 TB; the scale path is a per-series sketch/SAX prefilter (per
+    the cited papers) or user-block salting before this exact
+    verification, which is the same verify-after-candidates discipline
+    as the LSH dedup family. Correlation comes from decimal-exact
+    sufficient statistics over the overlap (pairwise-complete, like
+    the papers' z-normalized overlap windows); constant-series pairs
+    are excluded before the division. The HAVING min-overlap prunes
+    before the stats leave the aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a, b = ud.alias("a"), ud.alias("b")
+    dec = "decimal(38,6)"
+    an, bn = F.col("a.n"), F.col("b.n")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_days"),
+            F.sum(an.cast(dec)).cast("double").alias("sx"),
+            F.sum(bn.cast(dec)).cast("double").alias("sy"),
+            F.sum((an * bn).cast(dec)).cast("double").alias("sxy"),
+            F.sum((an * an).cast(dec)).cast("double").alias("sx2"),
+            F.sum((bn * bn).cast(dec)).cast("double").alias("sy2"),
+        )
+        .filter(F.col("n_days") >= 20)
+    )
+    vx = F.col("n_days") * F.col("sx2") - F.col("sx") * F.col("sx")
+    vy = F.col("n_days") * F.col("sy2") - F.col("sy") * F.col("sy")
+    corr = (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(vx) * F.sqrt(vy)
+    )
+    return pairs.filter((vx > 0) & (vy > 0) & (corr >= 0.5)).select(
+        "user_a",
+        "user_b",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(corr, 6).alias("activity_corr"),
+    )
