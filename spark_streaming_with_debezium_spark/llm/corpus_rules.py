@@ -42,10 +42,19 @@ def content_md5(c: Column | str) -> Column:
     return F.md5(normalize_text(c))
 
 
+def token_count(c: Column | str = "text") -> Column:
+    """Whitespace token count - the SAME tokenization under the
+    min-words gate, n_tokens accounting, and SEQ_LEN packing (one
+    definition: a tokenizer change cannot diverge between gate and
+    packing arithmetic)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.size(F.split(F.trim(col), "\\s+"))
+
+
 def gate_passes(text: str = "text", n_chars: str = "n_chars") -> Column:
     """The composite length/min-words/alpha-ratio quality gate."""
     f1 = F.col(n_chars).between(GATE_MIN_CHARS, GATE_MAX_CHARS)
-    f2 = F.size(F.split(F.trim(text), "\\s+")) >= GATE_MIN_WORDS
+    f2 = token_count(text) >= GATE_MIN_WORDS
     f3 = (
         F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("double")
         / F.col(n_chars)

@@ -34,6 +34,7 @@ from spark_streaming_with_debezium_spark.llm.corpus_rules import (
     content_md5,
     gate_passes,
     split_expr,
+    token_count,
 )
 from spark_streaming_with_debezium_spark.sources.partitioned import (
     write_partitioned,
@@ -75,7 +76,7 @@ def curate(docs: DataFrame) -> DataFrame:
         .drop("rn", "h", "passes", "n_chars")
     )
     assigned = canon.withColumn("split", split_expr()).withColumn(
-        "n_tokens", F.size(F.split(F.trim("text"), "\\s+")).cast("long")
+        "n_tokens", token_count().cast("long")
     )
     w = (
         Window.partitionBy("split", "source")
@@ -104,8 +105,13 @@ def run_curation_job(
     curated = curate(docs)
     write_partitioned(curated, out_path, ["split", "lang"])
 
-    n_input = docs.count()
-    n_after_gates = docs.filter(gate_passes()).count()
+    # one stats pass: total + gate survivors from a single aggregation
+    stats_row = docs.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(gate_passes().cast("long")).alias("n_after_gates"),
+    ).collect()[0]
+    n_input = stats_row["n_input"]
+    n_after_gates = stats_row["n_after_gates"]
     out = spark.read.parquet(out_path)
     by_split = {
         r["split"]: r["n"]

@@ -12,11 +12,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_streaming_with_debezium_spark.llm.corpus_rules import (
+    GATE_MAX_CHARS,
+    GATE_MIN_CHARS,
+    GATE_MIN_WORDS,
     content_md5,
     gate_passes,
     holdout_split_expr,
     normalize_text,
     split_expr,
+    token_count,
 )
 from spark_streaming_with_debezium_spark.registry import query
 from spark_streaming_with_debezium_spark.sources.tables import load_table
@@ -306,11 +310,9 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-size from there. At 100 TB: one shuffle on a uniform md5
     key, counters all map-side-combined; nothing here is corpus-scale
     but the scan itself."""
-    from spark_streaming_with_debezium_spark.llm import corpus_rules as cr
-
     d = load_table(spark, sf_dir, "documents")
-    f1 = F.col("n_chars").between(cr.GATE_MIN_CHARS, cr.GATE_MAX_CHARS)
-    f2 = F.size(F.split(F.trim("text"), "\\s+")) >= cr.GATE_MIN_WORDS
+    f1 = F.col("n_chars").between(GATE_MIN_CHARS, GATE_MAX_CHARS)
+    f2 = token_count() >= GATE_MIN_WORDS
     flagged = d.select(
         "doc_id",
         content_md5("text").alias("h"),

@@ -201,21 +201,25 @@ def window_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_frame",
     oracle="""
     SELECT event_id, user_id, ts,
-           COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
-                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
              AS events_last_hour
     FROM events
     """,
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W4 completion: RANGE frame over event-time seconds — 'how many
-    events did this user produce in the trailing hour' (value-based
-    frame, not row-count-based)."""
+    """W4 completion: RANGE frame over event time — 'how many events
+    did this user produce in the trailing hour' (value-based frame,
+    not row-count-based). Ordered by epoch MICROseconds on both sides:
+    whole-second ordering makes same-truncated-second events frame
+    peers and shifts the 1-hour boundary (the truncation class fixed
+    across all time-RANGE queries in round 4 — this one reproduced a
+    count mismatch at sf0.1)."""
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return e.select(
         "event_id",
