@@ -92,6 +92,7 @@ _PRIORITY = (
     "sample_weights_by_source",
     "multimodal_fake_decode",
     # --- changed this round: behavior changes ---
+    "window_range_frame",  # µs RANGE ordering (sub-second truncation fix)
     "contamination_ngram_overlap",  # hot-gram cap (max_gram_docs)
     "dedup_minhash_ml",  # shingle vectors — plausible pair rate
     "dedup_clusters_ml",  # downstream of dedup_minhash_ml
@@ -127,7 +128,6 @@ _PRIORITY = (
     "agg_filtered",
     "agg_grouping_sets",
     "agg_percentiles",
-    "agg_pivot",
     "agg_rollup",
     "agg_stats",
     "distinct_rows",
@@ -153,6 +153,7 @@ _PRIORITY = (
     # carries pytest oracle/recall coverage + per-round bench runs) ---
     "dedup_exact_groups",
     # --- 50-query prefix boundary (round-4 driver window) ---
+    "agg_pivot",
     "fn_datetime_arith",
     "set_ops",
     "agg_histogram",
@@ -176,7 +177,6 @@ _PRIORITY = (
     "fn_maps",
     "fn_strings",
     "window_lag_lead",
-    "window_range_frame",
     "window_first_last",
 )
 
