@@ -291,3 +291,106 @@ def enrich_stream_with_dim(
     batch join semantics; left joins keep unmatched stream rows."""
     d = F.broadcast(dim) if broadcast_dim else dim
     return stream.join(d, on, how)
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful sessionization with EVENT-TIME TIMEOUTS: emits
+    each user session exactly once, when it CLOSES — either because a
+    later event arrived past the gap (data-driven close) or because
+    the watermark passed session_end + gap with no successor
+    (timeout-driven close; an open session would otherwise never emit).
+    The streaming dual of the batch ``events_sessionize_gap`` query,
+    and the one stateful-API feature ``running_totals_stateful``
+    doesn't exercise: ``GroupStateTimeout.EventTimeTimeout`` +
+    ``setTimeoutTimestamp``, the mechanism that bounds state for keys
+    that simply stop talking (state per user is one (start, last, n)
+    triple, freed at timeout — without it, one-visit users accumulate
+    state forever).
+
+    Event times are tracked in epoch MICROseconds (the engine's
+    event-time grain; see SCALING.md §10). Timeout timestamps are
+    milliseconds per the GroupState API — the gap comparison itself
+    never truncates."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def close_row(user_id, start_us, last_us, n):
+        return (
+            user_id,
+            pd.to_datetime(start_us, unit="us"),
+            pd.to_datetime(last_us, unit="us"),
+            n,
+        )
+
+    def update(key, pdfs, state: GroupState):
+        closed = []
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            closed.append(close_row(key[0], start_us, last_us, n))
+            state.remove()
+        else:
+            ts_us = []
+            for pdf in pdfs:
+                ts_us.extend(int(v) // 1000 for v in pdf["ts"].astype("int64"))
+            ts_us.sort()
+            cur = state.get if state.exists else None
+            for t in ts_us:
+                if cur is None:
+                    cur = (t, t, 1)
+                elif t - cur[1] > gap_us:
+                    closed.append(close_row(key[0], *cur))
+                    cur = (t, t, 1)
+                else:
+                    cur = (cur[0], t, cur[2] + 1)
+            if cur is not None:
+                # fire once the WATERMARK (not the clock) passes
+                # last-event-time + gap; API takes epoch millis. If the
+                # watermark ALREADY passed that point (e.g. another key
+                # advanced it far beyond this group's events), the API
+                # rejects the stale timestamp — and the session is by
+                # definition closeable NOW, so emit it directly.
+                timeout_ms = cur[1] // 1000 + gap_minutes * 60_000
+                if timeout_ms <= state.getCurrentWatermarkMs():
+                    closed.append(close_row(key[0], *cur))
+                    if state.exists:
+                        state.remove()
+                else:
+                    state.update(cur)
+                    state.setTimeoutTimestamp(timeout_ms)
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start", "session_end", "n_events"],
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -8,6 +8,7 @@ each asserted against a batch-computed expectation over the same rows.
 from __future__ import annotations
 
 import json
+import time
 import os
 
 from pyspark.sql import functions as F
@@ -810,3 +811,58 @@ def test_stream_static_enrich_matches_batch(spark, tmp_path):
         (4, 1, "gold"),
         (5, 3, "bronze"),
     ]
+
+
+def test_stateful_sessionize_event_time_timeout(spark, tmp_path):
+    """Sessions close exactly once: by a post-gap successor event
+    (data-driven) or by the watermark passing end+gap (event-time
+    TIMEOUT — the state-expiry mechanism no other stateful test
+    exercises). Three files = three micro-batches so the watermark
+    advances between arrivals."""
+    from spark_streaming_with_debezium_spark.streaming.jobs import (
+        sessionize_stateful,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    _write_events(
+        src / "b1.json",
+        [
+            (0, "2024-01-01 00:00:00", 1, "a", 1.0),
+            (1, "2024-01-01 00:10:00", 1, "a", 1.0),  # same session
+            (2, "2024-01-01 00:05:00", 2, "a", 1.0),
+        ],
+    )
+    # the file source orders batches by modification time, not name —
+    # space the writes out or a later file can process FIRST, advance
+    # the watermark, and turn the earlier files into dropped late data
+    time.sleep(1.1)
+    _write_events(
+        src / "b2.json",
+        [
+            # >30 min after u1's last event: closes session 1 in-batch
+            (3, "2024-01-01 02:00:00", 1, "a", 1.0),
+            (4, "2024-01-01 06:00:00", 7, "a", 1.0),  # watermark driver
+        ],
+    )
+    time.sleep(1.1)
+    _write_events(
+        # wm after b2 = 06:00 - 2h = 04:00 > all open session ends + gap:
+        # u1's second session and u2's session close by TIMEOUT here
+        src / "b3.json",
+        [(5, "2024-01-01 10:00:00", 99, "a", 1.0)],
+    )
+    stream = events_file_stream(spark, str(src))
+    run_to_memory(sessionize_stateful(stream), "sess_out", output_mode="update")
+    got = sorted(
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    )
+    # u7 (06:00) also times out once b3 pushes the watermark to 08:00;
+    # u99 (10:00, timeout 10:30 > 08:00) correctly stays open/unemitted
+    assert got == [
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 2),
+        (1, "2024-01-01 02:00:00", "2024-01-01 02:00:00", 1),
+        (2, "2024-01-01 00:05:00", "2024-01-01 00:05:00", 1),
+        (7, "2024-01-01 06:00:00", "2024-01-01 06:00:00", 1),
+    ], got
