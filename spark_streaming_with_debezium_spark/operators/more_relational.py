@@ -1347,3 +1347,77 @@ def timeseries_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_days").cast("long").alias("n_days"),
         F.round(corr, 6).alias("activity_corr"),
     )
+
+
+@query(
+    "parts_abc_classification",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+               AS revenue
+      FROM lineitem GROUP BY 1
+    ), ranked AS (
+      SELECT l_partkey, revenue,
+             SUM(revenue) OVER (
+               ORDER BY revenue DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_rev,
+             SUM(revenue) OVER () AS total_rev
+      FROM per_part
+    ), classed AS (
+      SELECT l_partkey, revenue,
+             CASE WHEN CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE)
+                       <= 0.8 THEN 'A'
+                  WHEN CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE)
+                       <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           round(CAST(SUM(revenue) AS DOUBLE), 2) AS class_revenue
+    FROM classed GROUP BY 1
+    """,
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, classed A
+    (first 80% of cumulative revenue), B (to 95%), C (tail) — the
+    assortment-management dual of the user-side Pareto check
+    (``events_pareto_concentration`` asks "how many"; this assigns a
+    CLASS to every item and rolls up per class).
+
+    Determinism: the cumulative window orders by (revenue DESC,
+    partkey) over EXACT decimal revenue — a double sort key could
+    order two near-equal parts differently per engine, silently
+    swapping their classes at a boundary; decimals order identically
+    everywhere. Per-part revenue is one map-side-combined shuffle; the
+    cumulative and total windows sort O(parts) aggregated rows (at
+    100 TB: quantile-bucket the cumulative instead of one global
+    window sort — same class semantics)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(38,6)"
+            )
+        ).alias("revenue")
+    )
+    w_cum = Window.orderBy(F.col("revenue").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = per_part.select(
+        "revenue",
+        F.sum("revenue").over(w_cum).alias("cum_rev"),
+        F.sum("revenue").over(w_all).alias("total_rev"),
+    )
+    share = F.col("cum_rev").cast("double") / F.col("total_rev").cast("double")
+    classed = ranked.withColumn(
+        "abc_class",
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("revenue").cast("double"), 2).alias("class_revenue"),
+    )
