@@ -108,7 +108,10 @@ def run_curation_job(
     # one stats pass: total + gate survivors from a single aggregation
     stats_row = docs.agg(
         F.count(F.lit(1)).alias("n_input"),
-        F.sum(gate_passes().cast("long")).alias("n_after_gates"),
+        # coalesce: SUM over zero rows is NULL, and the stat is an int
+        F.coalesce(F.sum(gate_passes().cast("long")), F.lit(0)).alias(
+            "n_after_gates"
+        ),
     ).collect()[0]
     n_input = stats_row["n_input"]
     n_after_gates = stats_row["n_after_gates"]

@@ -70,9 +70,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: checks a PREFIX of the registry (50 queries per round), so the
 #: queries that most need a driver-verified row must register first.
 #: Evidence ledger entering round 4: 50 queries carry an r3 row, 47 are
-#: r2-newest, 24 are r1-newest. Round 4 leads with the seven queries
+#: r2-newest, 24 are r1-newest. Round 4 leads with the eight queries
 #: whose code or oracle changed this round (three were r3 hash-fails,
-#: now cast-fixed; four had behavior changes), then the TWENTY-TWO new
+#: now cast-fixed; five had behavior changes, incl. the late
+#: window_range_frame µs fix), then the TWENTY-TWO new
 #: round-4 queries (four TPC-H shapes; int8-rescore/packing/
 #: interval-join/sessionize/mode; and the second-pass additions:
 #: curation funnel, stream-static enrich, cohesion, edit-distance,

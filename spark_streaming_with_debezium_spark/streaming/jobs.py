@@ -314,10 +314,24 @@ def sessionize_stateful(
     Event times are tracked in epoch MICROseconds (the engine's
     event-time grain; see SCALING.md §10). Timeout timestamps are
     milliseconds per the GroupState API — the gap comparison itself
-    never truncates."""
+    never truncates. REQUIRES a UTC session timezone (enforced below):
+    Arrow hands the state function wall-clock-naive timestamps in the
+    session zone, while the GroupState watermark API speaks true UTC
+    epoch millis — under any other zone every timeout would shift by
+    the zone offset. In-watermark out-of-order arrivals reconcile
+    against stored state (start=min, end=max); a late event older than
+    the open session by more than the gap emits as its own closed
+    single-event session."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise ValueError(
+            f"sessionize_stateful requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): the state function sees session-zone wall-clock "
+            "timestamps but GroupState timeouts are UTC epoch millis"
+        )
     gap_us = gap_minutes * 60 * 1_000_000
     out_schema = T.StructType(
         [
@@ -359,10 +373,22 @@ def sessionize_stateful(
                 if cur is None:
                     cur = (t, t, 1)
                 elif t - cur[1] > gap_us:
+                    # beyond the gap after the open session: close, open new
                     closed.append(close_row(key[0], *cur))
                     cur = (t, t, 1)
+                elif cur[0] - t > gap_us:
+                    # in-watermark LATE event predating the open session by
+                    # more than the gap: a distinct, already-elapsed session
+                    # of its own — emit immediately (single-event; further
+                    # extension would need per-key multi-session state)
+                    closed.append(close_row(key[0], t, t, 1))
                 else:
-                    cur = (cur[0], t, cur[2] + 1)
+                    # within the session's gap envelope on either side:
+                    # extend, keeping start<=end even for out-of-order
+                    # arrivals across micro-batches (a plain last=t would
+                    # let a late event REGRESS session_end below
+                    # session_start and shrink the timeout)
+                    cur = (min(cur[0], t), max(cur[1], t), cur[2] + 1)
             if cur is not None:
                 # fire once the WATERMARK (not the clock) passes
                 # last-event-time + gap; API takes epoch millis. If the

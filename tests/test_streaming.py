@@ -842,6 +842,10 @@ def test_stateful_sessionize_event_time_timeout(spark, tmp_path):
         [
             # >30 min after u1's last event: closes session 1 in-batch
             (3, "2024-01-01 02:00:00", 1, "a", 1.0),
+            # in-watermark LATE arrival, older than u2's stored last
+            # event: must extend session_start backward, not regress
+            # session_end (the cross-batch out-of-order path)
+            (6, "2024-01-01 00:02:00", 2, "a", 1.0),
             (4, "2024-01-01 06:00:00", 7, "a", 1.0),  # watermark driver
         ],
     )
@@ -863,6 +867,6 @@ def test_stateful_sessionize_event_time_timeout(spark, tmp_path):
     assert got == [
         (1, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 2),
         (1, "2024-01-01 02:00:00", "2024-01-01 02:00:00", 1),
-        (2, "2024-01-01 00:05:00", "2024-01-01 00:05:00", 1),
+        (2, "2024-01-01 00:02:00", "2024-01-01 00:05:00", 2),
         (7, "2024-01-01 06:00:00", "2024-01-01 06:00:00", 1),
     ], got
