@@ -69,91 +69,49 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: Explicit registration-order priority. The driver's correctness gate
 #: checks a PREFIX of the registry (50 queries per round), so the
 #: queries that most need a driver-verified row must register first.
-#: Evidence ledger entering round 4: 50 queries carry an r3 row, 47 are
-#: r2-newest, 24 are r1-newest. Round 4 leads with the eight queries
-#: whose code or oracle changed this round (three were r3 hash-fails,
-#: now cast-fixed; five had behavior changes, incl. the late
-#: window_range_frame µs fix), then the TWENTY-TWO new
-#: round-4 queries (four TPC-H shapes; int8-rescore/packing/
-#: interval-join/sessionize/mode; and the second-pass additions:
-#: curation funnel, stream-static enrich, cohesion, edit-distance,
-#: cumulative users, exact corr, curriculum tiers, decontamination,
-#: SCD2, BM25, frame sampling, RFM, TF-IDF keywords) — never-checked
-#: outranks stale-with-local-oracle — then the surviving r1-newest
-#: block, then the highest-value r2-newest blocks: the reference's
-#: core streaming semantics (batch-equiv), the CDC pipeline, and the
-#: perf-flagged dedup_exact_groups as prefix anchor at position 50.
-#: The thirteen names listed immediately after the boundary are the
-#: frozen r1 queries displaced by the new additions — they lead round
-#: 5's prefix (later r4 additions past them queue behind). Names not
-#: listed keep module registration order after these.
+#: Evidence ledger entering round 5: 143/158 queries carry at least one
+#: driver row; the 15 never-checked are all late-round-4 additions.
+#: Round 5 leads with those fifteen (closing the ledger at 158/158 ever
+#: checked), then the five queries whose BEHAVIOR changes this round
+#: (scale fixes to the global-window family + packing, the corr
+#: zero-variance guard, the curriculum token_count unification, and the
+#: funnel extended with the decontamination stage), then the three most
+#: load-bearing round-4 semantics (versioned CDC history, BM25
+#: retrieval, the decontamination apply step) so they do not go
+#: evidence-stale through the rotation, then the frozen r1 block the
+#: round-4 comment promised (13 names), then the remaining r1/r2-stale
+#: names, with the flagship q1 and the perf-anchor dedup_exact_groups
+#: closing the window. Round-5 NEW queries displace those last two
+#: anchors as they land. Names not listed keep module registration
+#: order after these.
 _PRIORITY = (
-    # --- changed this round: cast-fixed oracles (r3 hash-fails) ---
-    "events_funnel",
-    "sample_weights_by_source",
-    "multimodal_fake_decode",
-    # --- changed this round: behavior changes ---
-    "window_range_frame",  # µs RANGE ordering (sub-second truncation fix)
-    "contamination_ngram_overlap",  # hot-gram cap (max_gram_docs)
-    "dedup_minhash_ml",  # shingle vectors — plausible pair rate
-    "dedup_clusters_ml",  # downstream of dedup_minhash_ml
-    "ann_brp_ml",  # threshold 2.0+1e-6
-    # --- new this round: remaining TPC-H shapes (tpch_more) ---
-    "q2_min_cost_supplier",
-    "q11_important_value_share",
-    "q20_dominant_supplier",
-    "q21_blamed_supplier",
-    # --- new this round: retrieval/packing/stream-join operators ---
-    "ann_int8_rescore",
-    "pack_sequences",
-    "stream_interval_join",
-    "events_sessionize_gap",
-    "agg_mode_per_group",
-    # --- new this round (late additions): curation/layout/cohesion ---
-    "corpus_curation_funnel",
-    "stream_static_enrich",
-    "embedding_label_cohesion",
-    "dedup_edit_distance",
-    "events_cumulative_users",
-    "agg_corr_exact",
-    "curriculum_quality_tiers",
-    "decontaminate_train_ngram",
+    # --- never driver-checked (late round-4 additions) ---
+    "events_anomaly_zscore",
+    "events_markov_transitions",
+    "basket_part_affinity",
+    "agg_linreg_exact",
+    "events_dau_wau_stickiness",
+    "events_pareto_concentration",  # also behavior-changed: bucketed cumsum
+    "events_daily_filled",
+    "dq_orders_reconcile",
+    "revenue_growth_mom_yoy",
+    "timeseries_user_similarity",  # also behavior-changed: candidate prefilter
+    "parts_abc_classification",  # also behavior-changed: bucketed cumsum
+    "window_time_range_rolling",
+    "text_zipf_fit",
+    "sketch_hll_distinct_docs",  # rows-only (sketch has no DuckDB dual)
+    "sketch_hll_rolling_users",  # rows-only
+    # --- behavior changes this round (re-verify under new plans) ---
+    "orders_rfm_segments",  # bucketed ntile fix
+    "pack_sequences",  # bucketed two-pass offsets
+    "agg_corr_exact",  # zero-variance guard
+    "curriculum_quality_tiers",  # corpus_rules.token_count unification
+    "corpus_curation_funnel",  # decontamination stage added to the job
+    # --- round-4 load-bearing semantics (keep evidence fresh) ---
     "cdc_scd2_history",
     "text_bm25_topk",
-    "multimodal_frame_sample",
-    "orders_rfm_segments",
-    "text_keywords_tfidf",
-    # --- r1-newest (would be three rounds stale): aggregates ---
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_filtered",
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "agg_rollup",
-    "agg_stats",
-    "distinct_rows",
-    # --- r1-newest: scalar fns + SQL subqueries + set ops ---
-    # (fn_bitwise / fn_try_family rotate to the r5 prefix head: frozen
-    # one-expression queries, displaced by this round's never-checked
-    # additions — never-checked outranks stale-with-local-oracle.)
-    "sort_limit_topk",
-    "sql_correlated_exists",
-    "sql_in_subquery",
-    "sql_scalar_subquery",
-    # --- r2-newest: reference core streaming semantics (verdict #7) ---
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_dedup",
-    # --- r2-newest: CDC pipeline ---
-    "cdc_current_state",
-    "cdc_envelope_roundtrip",
-    "cdc_state_rollup",
-    # --- r2-newest: dedup/ANN representatives (dedup_ngram_jaccard and
-    # ann_cosine_topk rotate to the r5 prefix: every dedup/ANN query
-    # carries pytest oracle/recall coverage + per-round bench runs) ---
-    "dedup_exact_groups",
-    # --- 50-query prefix boundary (round-4 driver window) ---
+    "decontaminate_train_ngram",
+    # --- frozen r1 block (displaced from the r4 window, promised r5) ---
     "agg_pivot",
     "fn_datetime_arith",
     "set_ops",
@@ -167,6 +125,7 @@ _PRIORITY = (
     "fn_bitwise",
     "fn_try_family",
     "dedup_ngram_jaccard",
+    # --- remaining r1/r2-stale names ---
     "ann_cosine_topk",
     "dedup_exact_keep_canonical",
     "fn_json_typed_parse",
@@ -179,6 +138,51 @@ _PRIORITY = (
     "fn_strings",
     "window_lag_lead",
     "window_first_last",
+    # --- window anchors (round-5 new queries displace these) ---
+    "q1_pricing_summary",
+    "dedup_exact_groups",
+    # --- 50-query prefix boundary (round-5 driver window) ---
+    "events_funnel",
+    "sample_weights_by_source",
+    "multimodal_fake_decode",
+    "window_range_frame",
+    "contamination_ngram_overlap",
+    "dedup_minhash_ml",
+    "dedup_clusters_ml",
+    "ann_brp_ml",
+    "q2_min_cost_supplier",
+    "q11_important_value_share",
+    "q20_dominant_supplier",
+    "q21_blamed_supplier",
+    "ann_int8_rescore",
+    "stream_interval_join",
+    "events_sessionize_gap",
+    "agg_mode_per_group",
+    "stream_static_enrich",
+    "embedding_label_cohesion",
+    "dedup_edit_distance",
+    "events_cumulative_users",
+    "multimodal_frame_sample",
+    "text_keywords_tfidf",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_filtered",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_stats",
+    "distinct_rows",
+    "sort_limit_topk",
+    "sql_correlated_exists",
+    "sql_in_subquery",
+    "sql_scalar_subquery",
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_dedup",
+    "cdc_current_state",
+    "cdc_envelope_roundtrip",
+    "cdc_state_rollup",
 )
 
 
