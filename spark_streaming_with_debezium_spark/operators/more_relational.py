@@ -1299,33 +1299,37 @@ def timeseries_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort discovery, bot-ring detection, and the retrieved
     time-series-similarity literature (PAPERS.md).
 
-    The pairwise join keys on DAY, so fan-out per day is the active
-    users that day squared — bounded here, but the skew-prone shape at
-    100 TB; the scale path is a per-series sketch/SAX prefilter (per
-    the cited papers) or user-block salting before this exact
-    verification, which is the same verify-after-candidates discipline
-    as the LSH dedup family. Correlation comes from decimal-exact
-    sufficient statistics over the overlap (pairwise-complete, like
-    the papers' z-normalized overlap windows); constant-series pairs
-    are excluded before the division. The HAVING min-overlap prunes
-    before the stats leave the aggregate."""
-    e = load_table(spark, sf_dir, "events")
-    ud = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    a, b = ud.alias("a"), ud.alias("b")
+    Candidates-then-verify (same discipline as the LSH dedup family),
+    with a prefilter that is PROVABLY recall-preserving, not just
+    empirically so: a pair can only reach corr ≥ 0.5 if it first has
+    ≥ 20 overlapping days, and by the prefix-filtering principle of
+    set-overlap joins (SSJoin/AllPairs), two day-sets with
+    |A ∩ B| ≥ T must share an element within the first |A|−T+1 /
+    |B|−T+1 elements under ANY fixed global ordering. We order each
+    user's days by ascending global day-frequency (rarest first,
+    ties by day), so the candidate join only explodes PREFIX days:
+    hot days — the quadratic skew key of the naive per-day self-join —
+    sort to the END of every user's ordering and almost never enter a
+    prefix, and users with < 20 active days emit no prefix rows at
+    all. (A SAX/sketch bucket prefilter, by contrast, lower-bounds
+    z-normalized distance on a COMMON window and cannot guarantee
+    recall for pairwise-complete overlap correlation.) Candidate
+    pairs are then verified exactly: decimal sufficient statistics
+    over the full overlap, constant-series pairs excluded before the
+    division — bit-identical to the all-pairs formulation, as
+    ``test_timeseries_prefilter_pair_equality`` asserts."""
+    ud = _user_day_series(spark, sf_dir)
+    cand = _similarity_candidates(ud, min_days=20)
     dec = "decimal(38,6)"
     an, bn = F.col("a.n"), F.col("b.n")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.day") == F.col("b.day"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
+        cand.join(ud.alias("a"), F.col("user_a") == F.col("a.user_id"))
+        .join(
+            ud.alias("b"),
+            (F.col("user_b") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day")),
         )
-        .groupBy(
-            F.col("a.user_id").alias("user_a"),
-            F.col("b.user_id").alias("user_b"),
-        )
+        .groupBy("user_a", "user_b")
         .agg(
             F.count(F.lit(1)).cast("double").alias("n_days"),
             F.sum(an.cast(dec)).cast("double").alias("sx"),
@@ -1346,6 +1350,64 @@ def timeseries_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_b",
         F.col("n_days").cast("long").alias("n_days"),
         F.round(corr, 6).alias("activity_corr"),
+    )
+
+
+def _user_day_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, day) event counts — the series under
+    ``timeseries_user_similarity``."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def _similarity_candidates(ud: DataFrame, min_days: int) -> DataFrame:
+    """Distinct (user_a, user_b) candidates that can have ≥ ``min_days``
+    overlapping days, via exact prefix filtering.
+
+    Global ordering = (day frequency ASC, day) — a total order shared
+    by all users, with hot days last so they stay out of prefixes. A
+    user with d active days keeps their first d − min_days + 1 days
+    (none at all when d < min_days); the candidate self-join then keys
+    on day over prefix rows only. Completeness: if |A ∩ B| ≥ T and
+    prefixes didn't intersect, each of A's ≥ T shared days would lie
+    in B's (T−1)-element suffix and vice versa — impossible.
+
+    Scale shape: day-frequency table is O(days) → broadcast; the
+    per-user ordering is one window shuffle on user_id (billions of
+    small partitions, no skew); the candidate join fan-out per day is
+    (users whose PREFIX contains that day)² — rare days by
+    construction."""
+    day_freq = ud.groupBy("day").agg(F.count(F.lit(1)).alias("day_df"))
+    w_rank = Window.partitionBy("user_id").orderBy("day_df", "day")
+    w_all = Window.partitionBy("user_id")
+    prefix = (
+        ud.join(F.broadcast(day_freq), "day")
+        .select(
+            "user_id",
+            "day",
+            F.row_number().over(w_rank).alias("rk"),
+            F.count(F.lit(1)).over(w_all).alias("d_u"),
+        )
+        .filter(
+            (F.col("d_u") >= min_days)
+            & (F.col("rk") <= F.col("d_u") - min_days + 1)
+        )
+        .select("user_id", "day")
+    )
+    return (
+        prefix.alias("pa")
+        .join(
+            prefix.alias("pb"),
+            (F.col("pa.day") == F.col("pb.day"))
+            & (F.col("pa.user_id") < F.col("pb.user_id")),
+        )
+        .select(
+            F.col("pa.user_id").alias("user_a"),
+            F.col("pb.user_id").alias("user_b"),
+        )
+        .distinct()
     )
 
 

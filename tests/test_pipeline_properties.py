@@ -69,3 +69,105 @@ def test_sessionize_gap_boundaries(spark, sf_dir):
         by_user.setdefault(u, []).append(i)
     for u, idxs in by_user.items():
         assert sorted(idxs) == list(range(1, len(idxs) + 1)), u
+
+
+def test_timeseries_prefilter_pair_equality(spark, sf_dir):
+    """The prefix-filtering candidate set must make the bucketed
+    timeseries_user_similarity bit-identical to the naive per-day
+    all-pairs formulation (recall is a THEOREM of prefix filtering,
+    but this pins the implementation: global ordering total and
+    shared, prefix length d - T + 1, verification over the FULL
+    overlap not just prefix days)."""
+    from pyspark.sql import Window
+
+    from spark_streaming_with_debezium_spark.operators.more_relational import (
+        _similarity_candidates,
+        _user_day_series,
+        timeseries_user_similarity,
+    )
+
+    ud = _user_day_series(spark, sf_dir)
+    # exact reference: per-day all-pairs, overlap >= 3 (testdata span is
+    # short, so exercise the machinery at a threshold with rich output)
+    T = 3
+    exact = (
+        ud.alias("a")
+        .join(
+            ud.alias("b"),
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub"))
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= T)
+    )
+    exact_pairs = {(r.ua, r.ub) for r in exact.collect()}
+    cand = _similarity_candidates(ud, min_days=T)
+    cand_pairs = {(r.user_a, r.user_b) for r in cand.collect()}
+    assert exact_pairs, "degenerate testdata: no qualifying pairs"
+    # completeness: every truly-overlapping pair survives the prefilter
+    assert exact_pairs <= cand_pairs
+    # effectiveness: at the production threshold the candidate join's
+    # INPUT (prefix rows) is a strict subset of the full day series —
+    # that's the quadratic-fan-out reduction (pair counts can tie on
+    # tiny dense testdata where everyone co-occurs with everyone)
+    day_freq = ud.groupBy("day").agg(F.count(F.lit(1)).alias("day_df"))
+    w_rank = Window.partitionBy("user_id").orderBy("day_df", "day")
+    w_all = Window.partitionBy("user_id")
+    prefix_rows = (
+        ud.join(F.broadcast(day_freq), "day")
+        .select(
+            "user_id",
+            F.row_number().over(w_rank).alias("rk"),
+            F.count(F.lit(1)).over(w_all).alias("d_u"),
+        )
+        .filter((F.col("d_u") >= 20) & (F.col("rk") <= F.col("d_u") - 19))
+        .count()
+    )
+    assert 0 < prefix_rows < ud.count()
+    # and the full query agrees with its oracle-shaped exact dual at the
+    # production threshold (min_days=20, corr >= 0.5) — row sets equal
+    got = {
+        tuple(r)
+        for r in timeseries_user_similarity(spark, sf_dir).collect()
+    }
+    dec = "decimal(38,6)"
+    an, bn = F.col("a.n"), F.col("b.n")
+    ref = (
+        ud.alias("a")
+        .join(
+            ud.alias("b"),
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_days"),
+            F.sum(an.cast(dec)).cast("double").alias("sx"),
+            F.sum(bn.cast(dec)).cast("double").alias("sy"),
+            F.sum((an * bn).cast(dec)).cast("double").alias("sxy"),
+            F.sum((an * an).cast(dec)).cast("double").alias("sx2"),
+            F.sum((bn * bn).cast(dec)).cast("double").alias("sy2"),
+        )
+        .filter(F.col("n_days") >= 20)
+    )
+    vx = F.col("n_days") * F.col("sx2") - F.col("sx") * F.col("sx")
+    vy = F.col("n_days") * F.col("sy2") - F.col("sy") * F.col("sy")
+    corr = (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(vx) * F.sqrt(vy)
+    )
+    want = {
+        tuple(r)
+        for r in ref.filter((vx > 0) & (vy > 0) & (corr >= 0.5))
+        .select(
+            "user_a",
+            "user_b",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.round(corr, 6).alias("activity_corr"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -271,3 +271,20 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert after.filter(F.col("day") == "2024-01-03").count() == 5
     other = e.filter(F.col("day") == "2024-01-04").count()
     assert after.filter(F.col("day") == "2024-01-04").count() == other > 0
+
+
+def test_timeseries_similarity_joins_prefix_not_all_days(spark, sf_dir):
+    """The round-5 scale fix: the candidate self-join must consume the
+    prefix-filtered day rows (row_number window + prefix-length filter
+    upstream of the join), and verification must re-join candidates on
+    user ids — not run a second per-day all-pairs."""
+    from spark_streaming_with_debezium_spark.plans.explain import _single_plan
+
+    txt = _single_plan(QUERIES["timeseries_user_similarity"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in txt
+    # prefilter present: per-user ordering window feeding the join
+    assert "row_number" in txt
+    # prefix-length filter (rk <= d_u - 20 + 1) reached the plan
+    assert "- 20) + 1" in txt, txt
+    # verification joins key on the user ids from the candidate set
+    assert "user_a" in txt and "user_b" in txt
