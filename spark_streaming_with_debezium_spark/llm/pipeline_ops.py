@@ -373,7 +373,9 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM run
     """,
 )
-def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_sequences(
+    spark: SparkSession, sf_dir: str, bucket_docs: int = 8192
+) -> DataFrame:
     """Concat-and-chunk sequence packing: assign each document a
     position in the fixed-length (2048-token) training sequences formed
     by concatenating the per-source document stream in doc_id order —
@@ -382,24 +384,48 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     concat-then-chunk dataloaders (vs bin-packing heuristics, which
     need global state and aren't reproducible under re-partitioning).
 
-    One window sum per source partition — a single shuffle on source,
-    integer arithmetic end-to-end (exact on both engines). Skew note:
-    sources are few and large, so the window partitions are coarse; at
-    100 TB shard the stream key to (source, doc_id-range) buckets and
-    offset by per-bucket totals (two tiny scalar passes) if one source
-    dominates."""
+    Scale shape (round-5 fix): sources are few and large, so a window
+    partitioned by source alone sorts an entire source in ONE task.
+    Instead the stream key is sharded to (source, doc_id-range bucket)
+    — ``floor(doc_id / bucket_docs)`` is monotonic in doc_id, so
+    ordering by doc_id within a bucket preserves the global per-source
+    order — and the running sum becomes two passes: (1) per-bucket
+    token totals (map-side-combined aggregate, O(N / bucket_docs)
+    rows) cumulated into per-bucket starting offsets by a window over
+    the TINY totals table; (2) a running sum within each bounded
+    (≤ bucket_docs rows) bucket partition, plus the joined offset.
+    Integer arithmetic end-to-end, so the result is bit-identical to
+    the single-window formulation — asserted by
+    ``test_pack_sequences_bucketed_identical``."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         "source",
         F.size(F.split(F.trim("text"), "\\s+")).cast("long").alias("n_tokens"),
+        F.floor(F.col("doc_id") / bucket_docs).alias("_bkt"),
+    )
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        toks.groupBy("source", "_bkt")
+        .agg(F.sum("n_tokens").alias("_tot"))
+        .select(
+            "source",
+            "_bkt",
+            F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off"),
+        )
     )
     w = (
-        Window.partitionBy("source")
+        Window.partitionBy("source", "_bkt")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    run = toks.withColumn("running", F.sum("n_tokens").over(w))
+    run = toks.join(F.broadcast(offsets), ["source", "_bkt"]).withColumn(
+        "running", F.sum("n_tokens").over(w) + F.col("_off")
+    )
     start = F.col("running") - F.col("n_tokens")
     return run.select(
         "doc_id",

@@ -171,3 +171,38 @@ def test_timeseries_prefilter_pair_equality(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_pack_sequences_bucketed_identical(spark, sf_dir):
+    """The two-pass (source, doc_id-bucket) packing must be
+    bit-identical to a single per-source window, at a bucket size
+    small enough that testdata actually spans many buckets."""
+    rows = sorted(
+        tuple(r) for r in pack_sequences(spark, sf_dir, bucket_docs=32).collect()
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), "\\s+")).cast("long").alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = toks.withColumn("running", F.sum("n_tokens").over(w))
+    start = F.col("running") - F.col("n_tokens")
+    want = sorted(
+        tuple(r)
+        for r in run.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor(start / 2048).cast("long").alias("seq_id"),
+            (start % 2048).cast("long").alias("seq_offset"),
+        ).collect()
+    )
+    assert rows == want

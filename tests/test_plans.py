@@ -288,3 +288,22 @@ def test_timeseries_similarity_joins_prefix_not_all_days(spark, sf_dir):
     assert "- 20) + 1" in txt, txt
     # verification joins key on the user ids from the candidate set
     assert "user_a" in txt and "user_b" in txt
+
+
+def test_pack_sequences_windows_on_composite_bucket_key(spark, sf_dir):
+    """Round-5 scale fix: the big running-sum window must partition on
+    (source, _bkt) — bounded bucket partitions — not on source alone;
+    only the TINY per-bucket-totals window may order within source."""
+    from spark_streaming_with_debezium_spark.plans.explain import _single_plan
+
+    txt = _single_plan(QUERIES["pack_sequences"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in txt
+    specs = [
+        line
+        for line in txt.splitlines()
+        if "windowspecdefinition" in line and "sum(n_tokens" in line
+    ]
+    assert specs, txt
+    composite = [s for s in specs if "_bkt" in s.split("windowspecdefinition")[1][:120]]
+    # the per-row running sum partitions on the composite key
+    assert any("source" in s and "_bkt" in s for s in composite), specs
