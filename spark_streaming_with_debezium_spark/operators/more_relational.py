@@ -666,11 +666,20 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines and partitionings; monetary ORDERS as a decimal, so
     no float-formatting ambiguity enters the sort.
 
-    Scale: one shuffle on o_custkey for the per-customer rollup; the
-    three global ntiles sort O(customers) pre-aggregated rows — at
-    100 TB replace with approx-quantile boundary lookups (two tiny
-    passes) under the same quartile semantics; the final rollup has
-    ≤64 cells."""
+    Scale (round-5 fix): one shuffle on o_custkey for the per-customer
+    rollup; each quartile is then an exact global ROW_NUMBER from the
+    bucketed-cumulative helper (range-bucket on the metric, rank
+    within bucket, add broadcast per-bucket count offsets — see
+    operators/scalable_windows.py) re-expressed as ntile by integer
+    arithmetic over the total customer count. No O(customers)
+    single-task sort remains; the three metrics share ONE
+    approxQuantile boundary pass; the final rollup has ≤64 cells."""
+    from spark_streaming_with_debezium_spark.operators.scalable_windows import (
+        global_ordered_running,
+        ntile_from_rank,
+        quantile_boundaries,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     ref = F.broadcast(
         o.agg(F.to_date(F.max("o_orderdate")).alias("ref_day"))
@@ -686,18 +695,43 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("monetary"),
         )
     )
-    tiled = per_cust.select(
+    keyed = per_cust.select(
         "o_custkey",
+        "recency_days",
+        "frequency",
         "monetary",
-        F.ntile(4)
-        .over(Window.orderBy("recency_days", "o_custkey"))
-        .alias("r_tile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
-        .alias("f_tile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
-        .alias("m_tile"),
+        F.col("recency_days").cast("double").alias("_kr"),
+        (-F.col("frequency")).cast("double").alias("_kf"),
+        (-F.col("monetary")).cast("double").alias("_km"),
+    )
+    b_r, b_f, b_m = quantile_boundaries(keyed, ["_kr", "_kf", "_km"])
+    ranked = global_ordered_running(
+        keyed,
+        key=F.col("_kr"),
+        order_cols=["recency_days", "o_custkey"],
+        rank_name="_rrk",
+        boundaries=b_r,
+    )
+    ranked = global_ordered_running(
+        ranked,
+        key=F.col("_kf"),
+        order_cols=[F.col("frequency").desc(), "o_custkey"],
+        rank_name="_frk",
+        boundaries=b_f,
+    )
+    ranked = global_ordered_running(
+        ranked,
+        key=F.col("_km"),
+        order_cols=[F.col("monetary").desc(), "o_custkey"],
+        rank_name="_mrk",
+        boundaries=b_m,
+    )
+    n_tot = F.broadcast(per_cust.agg(F.count(F.lit(1)).alias("_n")))
+    tiled = ranked.crossJoin(n_tot).select(
+        "monetary",
+        ntile_from_rank(F.col("_rrk"), F.col("_n"), 4).alias("r_tile"),
+        ntile_from_rank(F.col("_frk"), F.col("_n"), 4).alias("f_tile"),
+        ntile_from_rank(F.col("_mrk"), F.col("_n"), 4).alias("m_tile"),
     )
     return tiled.groupBy("r_tile", "f_tile", "m_tile").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -1046,10 +1080,17 @@ def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (or bots) dominate the stream, and the same skew diagnostic that
     predicts hot keys before a per-user shuffle hits them.
 
-    Per-user totals shuffle once on user_id; the cumulative window
-    then sorts O(users) aggregated rows with a total (count, user_id)
-    order, and integer cumulative sums divide a decimal-exact total —
-    thresholds compare engine-identical doubles. Output is one row."""
+    Per-user totals shuffle once on user_id; the cumulative sum and
+    rank then come from the bucketed-cumulative helper (round-5 fix:
+    range-bucket on event count, cumulate within bounded buckets, add
+    broadcast per-bucket offsets — operators/scalable_windows.py)
+    instead of one O(users) single-task window sort. Integer
+    cumulative sums divide a decimal-exact total — thresholds compare
+    engine-identical doubles. Output is one row."""
+    from spark_streaming_with_debezium_spark.operators.scalable_windows import (
+        global_ordered_running,
+    )
+
     e = load_table(spark, sf_dir, "events")
     per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     tot = F.broadcast(
@@ -1058,16 +1099,17 @@ def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_users"),
         )
     )
-    w = Window.orderBy(F.col("n_events").desc(), "user_id")
-    ranked = per_user.select(
-        "user_id",
-        "n_events",
-        F.sum("n_events")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("double")
-        .alias("cum_events"),
-        F.row_number().over(w).alias("rnk"),
-    ).crossJoin(tot)
+    ranked = (
+        global_ordered_running(
+            per_user,
+            key=(-F.col("n_events")).cast("double"),
+            order_cols=[F.col("n_events").desc(), "user_id"],
+            sums={"cum_long": F.col("n_events")},
+            rank_name="rnk",
+        )
+        .withColumn("cum_events", F.col("cum_long").cast("double"))
+        .crossJoin(tot)
+    )
     share = F.col("cum_events") / F.col("total")
     return ranked.groupBy("n_users").agg(
         F.min(F.when(share >= 0.5, F.col("rnk"))).cast("long").alias("users_for_50pct"),
@@ -1454,9 +1496,15 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     order two near-equal parts differently per engine, silently
     swapping their classes at a boundary; decimals order identically
     everywhere. Per-part revenue is one map-side-combined shuffle; the
-    cumulative and total windows sort O(parts) aggregated rows (at
-    100 TB: quantile-bucket the cumulative instead of one global
-    window sort — same class semantics)."""
+    cumulative comes from the bucketed-cumulative helper (round-5
+    fix: range-bucket on revenue, decimal cumsum within bounded
+    buckets, broadcast per-bucket offsets —
+    operators/scalable_windows.py) and the grand total from a 1-row
+    broadcast aggregate — no O(parts) single-task window sort."""
+    from spark_streaming_with_debezium_spark.operators.scalable_windows import (
+        global_ordered_running,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         F.sum(
@@ -1465,15 +1513,13 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("revenue")
     )
-    w_cum = Window.orderBy(F.col("revenue").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.partitionBy()
-    ranked = per_part.select(
-        "revenue",
-        F.sum("revenue").over(w_cum).alias("cum_rev"),
-        F.sum("revenue").over(w_all).alias("total_rev"),
-    )
+    tot = F.broadcast(per_part.agg(F.sum("revenue").alias("total_rev")))
+    ranked = global_ordered_running(
+        per_part,
+        key=(-F.col("revenue")).cast("double"),
+        order_cols=[F.col("revenue").desc(), "l_partkey"],
+        sums={"cum_rev": F.col("revenue")},
+    ).crossJoin(tot)
     share = F.col("cum_rev").cast("double") / F.col("total_rev").cast("double")
     classed = ranked.withColumn(
         "abc_class",

@@ -1,0 +1,141 @@
+"""Scalable exact global-order windows.
+
+A ``Window.orderBy(...)`` with no ``partitionBy`` funnels every row
+through ONE task — fine for frames that are tiny by construction
+(months, days, bucket tallies), a single-reducer wall when the frame is
+O(users) / O(customers) / O(parts) at 100 TB. This module computes the
+same EXACT running sums / row numbers with bounded partitions:
+
+1. range-bucket rows on a numeric sort key (boundaries from one
+   ``approxQuantile`` pass — boundary precision affects only balance,
+   never values);
+2. run the window WITHIN each bucket (partitioned shuffle, bounded
+   sort);
+3. cumulate per-bucket totals on the TINY (≤ n_buckets rows) totals
+   table and add them back as per-bucket starting offsets via a
+   broadcast join.
+
+Step 3's window is itself globally ordered, but over at most
+``n_buckets`` rows — the allowlisted tiny-frame case the repo-wide plan
+census (tests/test_plans.py) recognizes by the ``_bkt`` sort key.
+
+Exactness: integer/decimal running sums within a bucket plus an
+integer/decimal offset equal the single global window bit-for-bit;
+``test_global_running_matches_naive_window`` asserts it and the three
+rewritten queries (orders_rfm_segments, events_pareto_concentration,
+parts_abc_classification) keep their unchanged DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def quantile_boundaries(
+    df: DataFrame, key_cols: Sequence[str], n_buckets: int = 64
+) -> list[list[float]]:
+    """One-pass approximate bucket boundaries for each key column
+    (cast to double first; callers negate for DESC orders). Returns a
+    sorted, deduped boundary list per column."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    raw = df.stat.approxQuantile(list(key_cols), probs, 0.01)
+    return [sorted(set(b)) for b in raw]
+
+
+def global_ordered_running(
+    df: DataFrame,
+    key: Column,
+    order_cols: Sequence[Column | str],
+    sums: Mapping[str, Column] | None = None,
+    rank_name: str | None = None,
+    n_buckets: int = 64,
+    boundaries: Sequence[float] | None = None,
+) -> DataFrame:
+    """Add exact global running sums (``sums``: out-name → column) and/
+    or a global ``row_number`` (``rank_name``) under the total order
+    ``order_cols``, without a single-task global window.
+
+    ``key`` must be a non-null numeric expression that sorts ASC
+    consistently with ``order_cols`` (negate for DESC leading keys;
+    double-rounding ties are safe — equal doubles share a bucket and
+    the within-bucket sort still applies the exact order). Boundaries
+    may be precomputed (one multi-column approxQuantile pass) when
+    several rankings run over the same input.
+    """
+    sums = dict(sums or {})
+    df2 = df.withColumn("_key", key.cast("double"))
+    if boundaries is None:
+        boundaries = quantile_boundaries(df2, ["_key"], n_buckets)[0]
+    barr = F.array(*[F.lit(float(b)) for b in boundaries])
+    df3 = df2.withColumn(
+        "_bkt", F.size(F.filter(barr, lambda b: b < F.col("_key")))
+    )
+    w_rank = Window.partitionBy("_bkt").orderBy(*order_cols)
+    w_run = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    within = df3
+    for name, col in sums.items():
+        within = within.withColumn(f"_run_{name}", F.sum(col).over(w_run))
+    if rank_name:
+        within = within.withColumn("_rn", F.row_number().over(w_rank))
+
+    totals = df3.groupBy("_bkt").agg(
+        *[F.sum(c).alias(f"_tot_{n}") for n, c in sums.items()],
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    # tiny frame: ≤ n_buckets rows — the allowlisted global window
+    w_off = (
+        Window.orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = totals.select(
+        "_bkt",
+        *[
+            F.coalesce(F.sum(f"_tot_{n}").over(w_off), F.lit(0)).alias(
+                f"_off_{n}"
+            )
+            for n in sums
+        ],
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off_rn"),
+    )
+    out = within.join(F.broadcast(off), "_bkt")
+    for name in sums:
+        out = out.withColumn(
+            name, F.col(f"_run_{name}") + F.col(f"_off_{name}")
+        )
+    if rank_name:
+        out = out.withColumn(rank_name, F.col("_rn") + F.col("_off_rn"))
+    drop = (
+        ["_key", "_bkt", "_rn", "_off_rn"]
+        + [f"_run_{n}" for n in sums]
+        + [f"_off_{n}" for n in sums]
+    )
+    return out.drop(*drop)
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integer division for non-negative longs: ``(a - a % b)``
+    is an exact multiple of ``b``, and an IEEE division whose result is
+    an integer < 2^53 is exact — no float-floor edge cases."""
+    return ((a - a % b) / b).cast("long")
+
+
+def ntile_from_rank(rank: Column, total: Column, k: int) -> Column:
+    """SQL ``ntile(k)`` recomputed from an exact 1-based global rank and
+    the total row count: the first ``total % k`` tiles get
+    ``total div k + 1`` rows, the rest ``total div k`` — identical to
+    the window function on every engine, in pure integer arithmetic
+    (``ceil(a/b)`` as ``idiv(a + b - 1, b)``)."""
+    rk = rank.cast("long")
+    n = total.cast("long")
+    kl = F.lit(k).cast("long")
+    base = _idiv(n, kl)
+    rem = n % kl
+    thresh = rem * (base + 1)
+    in_big = _idiv(rk + base, base + 1)
+    in_small = _idiv(rk - thresh + base - 1, base)
+    return (
+        F.when(rk <= thresh, in_big).otherwise(rem + in_small).cast("int")
+    )

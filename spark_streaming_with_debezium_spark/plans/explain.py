@@ -56,3 +56,33 @@ def read_schema_columns(df: DataFrame) -> list[str]:
                 if name:
                     cols.add(name)
     return sorted(cols)
+
+
+def global_sorted_windows(df: DataFrame) -> list[str]:
+    """Order specs of Window nodes that sort WITHOUT a partition key —
+    the single-task shape the repo-wide census gates. A physical
+    Window node prints ``Window [funcs], [partSpec], [orderSpec]``;
+    with no partition the middle list is gone, leaving two top-level
+    bracket groups whose last holds ASC/DESC sort keys."""
+    out: list[str] = []
+    for line in _single_plan(df).splitlines():
+        idx = line.find("Window [")
+        if idx < 0:
+            continue
+        groups, depth, buf = [], 0, []
+        for ch in line[idx + len("Window ") :]:
+            if ch == "[":
+                depth += 1
+                if depth == 1:
+                    buf = []
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(buf))
+                    continue
+            if depth >= 1:
+                buf.append(ch)
+        if len(groups) == 2 and ("ASC" in groups[1] or "DESC" in groups[1]):
+            out.append(groups[1])
+    return out

@@ -206,3 +206,66 @@ def test_pack_sequences_bucketed_identical(spark, sf_dir):
         ).collect()
     )
     assert rows == want
+
+
+def test_global_running_matches_naive_window(spark, sf_dir):
+    """scalable_windows.global_ordered_running must equal the naive
+    single-task global window bit-for-bit (rank AND running sums, ASC
+    and DESC orders), and ntile_from_rank must equal F.ntile for
+    several k — including k > n_rows."""
+    from pyspark.sql import Window
+
+    from spark_streaming_with_debezium_spark.operators.scalable_windows import (
+        global_ordered_running,
+        ntile_from_rank,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    order = [F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"]
+    got = global_ordered_running(
+        li,
+        key=(-F.col("l_extendedprice")).cast("double"),
+        order_cols=order,
+        sums={"cum_qty": F.col("l_quantity")},
+        rank_name="rk",
+        n_buckets=16,
+    ).select("l_orderkey", "l_linenumber", "cum_qty", "rk")
+    w = Window.orderBy(*order)
+    want = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("l_quantity")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_qty"),
+        F.row_number().over(w).alias("rk"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # ntile equivalence on the exact rank, several k
+    n_rows = li.count()
+    for k in (3, 4, 7, n_rows + 5):
+        tiles = (
+            global_ordered_running(
+                li,
+                key=(-F.col("l_extendedprice")).cast("double"),
+                order_cols=order,
+                rank_name="rk",
+                n_buckets=16,
+            )
+            .select(
+                "l_orderkey",
+                "l_linenumber",
+                ntile_from_rank(F.col("rk"), F.lit(n_rows), k).alias("t"),
+            )
+        )
+        ref = li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.ntile(k).over(w).alias("t"),
+        )
+        assert sorted(map(tuple, tiles.collect())) == sorted(
+            map(tuple, ref.collect())
+        ), k

@@ -307,3 +307,43 @@ def test_pack_sequences_windows_on_composite_bucket_key(spark, sf_dir):
     composite = [s for s in specs if "_bkt" in s.split("windowspecdefinition")[1][:120]]
     # the per-row running sum partitions on the composite key
     assert any("source" in s and "_bkt" in s for s in composite), specs
+
+
+def test_repo_wide_no_global_window_census(spark, sf_dir):
+    """Round-5 gate: no registered query may sort an unbounded relation
+    through a single-task global window. Global-ordered Window nodes
+    are allowed only over frames tiny BY CONSTRUCTION: per-bucket
+    offset tables (`_bkt`/`_tot` keys from scalable_windows), or
+    calendar-grain aggregates (day/month keys over O(days) rows)."""
+    from spark_streaming_with_debezium_spark.plans.explain import (
+        global_sorted_windows,
+    )
+
+    TINY_KEYS = {"_bkt", "day", "month", "anchor", "bucket"}
+
+    def first_key(spec: str) -> str:
+        return spec.split("#")[0].strip().split("(")[-1]
+
+    offenders = {}
+    for name, q in QUERIES.items():
+        try:
+            specs = global_sorted_windows(q.fn(spark, sf_dir))
+        except Exception:
+            continue  # env-gated queries (ml, streaming duals) may not build
+        bad = [s for s in specs if first_key(s) not in TINY_KEYS]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+    # detector self-check: a deliberate global sort over a big relation
+    # must be flagged (guards against the parser silently matching
+    # nothing and the census green-lighting everything)
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = global_sorted_windows(
+        li.withColumn("cum", F.sum("l_quantity").over(w))
+    )
+    assert flagged and first_key(flagged[0]) == "l_extendedprice", flagged
