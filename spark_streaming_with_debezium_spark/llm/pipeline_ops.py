@@ -230,7 +230,7 @@ def sample_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     per_src = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split(F.trim("text"), "\\s+"))).alias("n_tokens"),
+        F.sum(token_count("text")).alias("n_tokens"),
     )
     tot = F.broadcast(
         per_src.agg(
@@ -401,7 +401,7 @@ def pack_sequences(
     toks = d.select(
         "doc_id",
         "source",
-        F.size(F.split(F.trim("text"), "\\s+")).cast("long").alias("n_tokens"),
+        token_count("text").cast("long").alias("n_tokens"),
         F.floor(F.col("doc_id") / bucket_docs).alias("_bkt"),
     )
     w_off = (
@@ -472,7 +472,9 @@ def curriculum_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     window partition) — the quintile SEMANTICS here are the contract
     that variant must match."""
     d = load_table(spark, sf_dir, "documents")
-    n_words = F.size(F.split(F.trim("text"), "\\s+")).cast("long")
+    # the ONE tokenizer definition (corpus_rules) — a tokenizer change
+    # cannot diverge between the gates/packing and the curriculum tiers
+    n_words = token_count("text").cast("long")
     w = Window.partitionBy("lang").orderBy(n_words, "doc_id")
     scored = d.select(
         "lang",

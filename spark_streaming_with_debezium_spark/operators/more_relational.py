@@ -587,10 +587,13 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY 1
     )
     SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-           round((CAST(n AS DOUBLE) * sxy - sx * sy)
-                 / (sqrt(CAST(n AS DOUBLE) * sx2 - sx * sx)
-                    * sqrt(CAST(n AS DOUBLE) * sy2 - sy * sy)),
-                 6) AS corr_qty_price
+           CASE WHEN (CAST(n AS DOUBLE) * sx2 - sx * sx) > 0
+                 AND (CAST(n AS DOUBLE) * sy2 - sy * sy) > 0
+                THEN round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                           / (sqrt(CAST(n AS DOUBLE) * sx2 - sx * sx)
+                              * sqrt(CAST(n AS DOUBLE) * sy2 - sy * sy)),
+                           6)
+                ELSE NULL END AS corr_qty_price
     FROM s
     """,
 )
@@ -607,7 +610,11 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is also the RE-AGGREGATABLE form: the five sums merge across
     shards/days like the HLL sketches (operators/sketches.py), so a
     100 TB corr is maintained incrementally from partial sums instead
-    of recomputed. One map-side-combined shuffle on a 3-value key."""
+    of recomputed. One map-side-combined shuffle on a 3-value key.
+    Degenerate (zero-variance) groups yield NULL — the same guard as
+    events_anomaly_zscore and timeseries_user_similarity, mirrored in
+    the oracle, since Spark's non-ANSI 0/0 is NULL but DuckDB's IEEE
+    ops give inf/NaN."""
     li = load_table(spark, sf_dir, "lineitem")
     dec = "decimal(38,6)"
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
@@ -620,12 +627,17 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((y * y).cast(dec)).cast("double").alias("sy2"),
     )
     nd = F.col("n").cast("double")
+    vx = nd * F.col("sx2") - F.col("sx") * F.col("sx")
+    vy = nd * F.col("sy2") - F.col("sy") * F.col("sy")
     corr = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.sqrt(nd * F.col("sx2") - F.col("sx") * F.col("sx"))
-        * F.sqrt(nd * F.col("sy2") - F.col("sy") * F.col("sy"))
+        F.sqrt(vx) * F.sqrt(vy)
     )
     return s.select(
-        "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
+        "l_returnflag",
+        "n",
+        F.when((vx > 0) & (vy > 0), F.round(corr, 6)).alias(
+            "corr_qty_price"
+        ),
     )
 
 
@@ -944,9 +956,10 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n,
-           round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6) AS slope,
-           round((sy - ((n * sxy - sx * sy) / (n * sx2 - sx * sx)) * sx) / n,
-                 6) AS intercept
+           round((n * sxy - sx * sy) / NULLIF(n * sx2 - sx * sx, 0), 6)
+             AS slope,
+           round((sy - ((n * sxy - sx * sy) / NULLIF(n * sx2 - sx * sx, 0))
+                  * sx) / n, 6) AS intercept
     FROM s
     """,
 )
@@ -957,7 +970,11 @@ def agg_linreg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (regr_slope/regr_intercept accumulate in floats and are
     partitioning-dependent; these aren't). Partial (n, Σx, Σy, Σxy,
     Σx²) merge across shards/days, so a 100 TB trend fit maintains
-    incrementally. One map-side-combined shuffle on a 3-value key."""
+    incrementally. One map-side-combined shuffle on a 3-value key.
+    Degenerate (zero-variance) groups yield NULL slope/intercept via a
+    NULLIF'd denominator in BOTH engines — Spark's non-ANSI 0/0 is
+    NULL but DuckDB's IEEE division is inf/NaN, so an unguarded
+    constant-valued group would diverge from the oracle."""
     li = load_table(spark, sf_dir, "lineitem")
     dec = "decimal(38,6)"
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
@@ -968,8 +985,8 @@ def agg_linreg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((x * y).cast(dec)).cast("double").alias("sxy"),
         F.sum((x * x).cast(dec)).cast("double").alias("sx2"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx"), F.lit(0.0)
     )
     intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
     return s.select(

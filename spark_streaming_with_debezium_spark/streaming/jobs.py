@@ -318,10 +318,17 @@ def sessionize_stateful(
     Arrow hands the state function wall-clock-naive timestamps in the
     session zone, while the GroupState watermark API speaks true UTC
     epoch millis — under any other zone every timeout would shift by
-    the zone offset. In-watermark out-of-order arrivals reconcile
-    against stored state (start=min, end=max); a late event older than
-    the open session by more than the gap emits as its own closed
-    single-event session."""
+    the zone offset. In-watermark out-of-order arrivals reconcile via
+    an interval walk: batch events and the stored (start, last, n)
+    triple sort together by start time and merge under the gap rule
+    (start=min, end=max, counts add), so multiple late events that
+    predate the stored session sessionize AMONG THEMSELVES — batch
+    08:00+08:10 against a 10:00 session emits ONE late session, the
+    same answer the batch ``events_sessionize_gap`` dual gives — and
+    only the walk's final session stays open in state. (Remaining
+    limitation: an already-EMITTED late session can't be re-opened by
+    an even-later arrival in a subsequent micro-batch; it would emit
+    as a separate session.)"""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -364,31 +371,30 @@ def sessionize_stateful(
             closed.append(close_row(key[0], start_us, last_us, n))
             state.remove()
         else:
-            ts_us = []
+            # pin the unit explicitly: pandas 2.x may hand Arrow batches
+            # back as datetime64[us]/[ms], where a bare int64 view would
+            # silently shift all session math by 1000x
+            items = []
             for pdf in pdfs:
-                ts_us.extend(int(v) // 1000 for v in pdf["ts"].astype("int64"))
-            ts_us.sort()
-            cur = state.get if state.exists else None
-            for t in ts_us:
+                ns = pdf["ts"].astype("datetime64[ns]").astype("int64")
+                items.extend((int(v) // 1000, int(v) // 1000, 1) for v in ns)
+            if state.exists:
+                items.append(tuple(state.get))
+            # interval walk: single events and the stored session triple
+            # merge in start order under the gap rule — late events
+            # sessionize among themselves instead of each emitting alone,
+            # and start<=end holds for any out-of-order interleaving
+            items.sort(key=lambda it: (it[0], it[1]))
+            cur = None
+            for it in items:
                 if cur is None:
-                    cur = (t, t, 1)
-                elif t - cur[1] > gap_us:
-                    # beyond the gap after the open session: close, open new
+                    cur = it
+                elif it[0] - cur[1] > gap_us:
+                    # next item starts beyond the gap: close, open new
                     closed.append(close_row(key[0], *cur))
-                    cur = (t, t, 1)
-                elif cur[0] - t > gap_us:
-                    # in-watermark LATE event predating the open session by
-                    # more than the gap: a distinct, already-elapsed session
-                    # of its own — emit immediately (single-event; further
-                    # extension would need per-key multi-session state)
-                    closed.append(close_row(key[0], t, t, 1))
+                    cur = it
                 else:
-                    # within the session's gap envelope on either side:
-                    # extend, keeping start<=end even for out-of-order
-                    # arrivals across micro-batches (a plain last=t would
-                    # let a late event REGRESS session_end below
-                    # session_start and shrink the timeout)
-                    cur = (min(cur[0], t), max(cur[1], t), cur[2] + 1)
+                    cur = (cur[0], max(cur[1], it[1]), cur[2] + it[2])
             if cur is not None:
                 # fire once the WATERMARK (not the clock) passes
                 # last-event-time + gap; API takes epoch millis. If the

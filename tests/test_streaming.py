@@ -833,10 +833,6 @@ def test_stateful_sessionize_event_time_timeout(spark, tmp_path):
             (2, "2024-01-01 00:05:00", 2, "a", 1.0),
         ],
     )
-    # the file source orders batches by modification time, not name —
-    # space the writes out or a later file can process FIRST, advance
-    # the watermark, and turn the earlier files into dropped late data
-    time.sleep(1.1)
     _write_events(
         src / "b2.json",
         [
@@ -846,16 +842,37 @@ def test_stateful_sessionize_event_time_timeout(spark, tmp_path):
             # event: must extend session_start backward, not regress
             # session_end (the cross-batch out-of-order path)
             (6, "2024-01-01 00:02:00", 2, "a", 1.0),
+            # TWO late events predating u8's 03:30 session (below) by
+            # more than the gap but within the gap of EACH OTHER: must
+            # emit as ONE late session, not two singletons
+            (7, "2024-01-01 00:40:00", 8, "a", 1.0),
+            (8, "2024-01-01 00:50:00", 8, "a", 1.0),
             (4, "2024-01-01 06:00:00", 7, "a", 1.0),  # watermark driver
         ],
     )
-    time.sleep(1.1)
     _write_events(
         # wm after b2 = 06:00 - 2h = 04:00 > all open session ends + gap:
         # u1's second session and u2's session close by TIMEOUT here
         src / "b3.json",
         [(5, "2024-01-01 10:00:00", 99, "a", 1.0)],
     )
+    # u8's stored session arrives in b1-position: rewrite b1 to include
+    # it (simplest deterministic placement), then pin EXPLICIT mtimes —
+    # the file source orders batches by modification time, and
+    # wall-clock sleeps break on coarse-mtime filesystems
+    _write_events(
+        src / "b1.json",
+        [
+            (0, "2024-01-01 00:00:00", 1, "a", 1.0),
+            (1, "2024-01-01 00:10:00", 1, "a", 1.0),  # same session
+            (2, "2024-01-01 00:05:00", 2, "a", 1.0),
+            (9, "2024-01-01 03:30:00", 8, "a", 1.0),
+        ],
+    )
+    now = time.time()
+    os.utime(src / "b1.json", (now - 4, now - 4))
+    os.utime(src / "b2.json", (now - 2, now - 2))
+    os.utime(src / "b3.json", (now, now))
     stream = events_file_stream(spark, str(src))
     run_to_memory(sessionize_stateful(stream), "sess_out", output_mode="update")
     got = sorted(
@@ -863,10 +880,14 @@ def test_stateful_sessionize_event_time_timeout(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sess_out").collect()
     )
     # u7 (06:00) also times out once b3 pushes the watermark to 08:00;
-    # u99 (10:00, timeout 10:30 > 08:00) correctly stays open/unemitted
+    # u99 (10:00, timeout 10:30 > 08:00) correctly stays open/unemitted;
+    # u8's two late events (00:40, 00:50) group into ONE emitted late
+    # session while its 03:30 session times out separately
     assert got == [
         (1, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 2),
         (1, "2024-01-01 02:00:00", "2024-01-01 02:00:00", 1),
         (2, "2024-01-01 00:02:00", "2024-01-01 00:05:00", 2),
         (7, "2024-01-01 06:00:00", "2024-01-01 06:00:00", 1),
+        (8, "2024-01-01 00:40:00", "2024-01-01 00:50:00", 2),
+        (8, "2024-01-01 03:30:00", "2024-01-01 03:30:00", 1),
     ], got
