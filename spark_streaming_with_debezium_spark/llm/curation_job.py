@@ -1,6 +1,7 @@
 """End-to-end corpus curation job — the composition the individual
 queries exist for: gates → exact-dedup canonical → hash split →
-sequence packing → partitioned write, in ONE Spark job.
+n-gram decontamination of train → sequence packing → partitioned
+write, in ONE Spark job.
 
 This is the production shape of a pretraining-data build: a user of
 the engine runs this once per corpus drop and hands the output
@@ -29,6 +30,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from spark_streaming_with_debezium_spark.llm.pipeline_ops import (
+    contaminated_train_ids,
+)
+
 from spark_streaming_with_debezium_spark.llm.corpus_rules import (
     SEQ_LEN,
     content_md5,
@@ -47,15 +52,23 @@ class CurationStats:
     n_input: int
     n_after_gates: int
     n_canonical: int
+    n_decontaminated: int
     n_train: int
     n_eval_holdout: int
 
 
 def curate(docs: DataFrame) -> DataFrame:
-    """Gates + canonical dedup + split + packing positions, one frame.
+    """Gates + canonical dedup + split + n-gram decontamination of the
+    train split + packing positions, one frame.
 
     Returns (doc_id, lang, source, split, text, n_tokens, seq_id,
-    seq_offset) for surviving canonical docs."""
+    seq_offset) for surviving canonical, decontaminated docs. The
+    decontamination stage applies ``contaminated_train_ids`` — the
+    same definition behind the oracle-checked
+    ``decontaminate_train_ngram`` query and the funnel's stage 5 — as
+    a left-anti join (drops TRAIN docs sharing a non-boilerplate
+    5-gram with the eval/heldout side; eval/heldout docs are never
+    dropped)."""
     flagged = docs.select(
         "doc_id",
         "lang",
@@ -78,6 +91,8 @@ def curate(docs: DataFrame) -> DataFrame:
     assigned = canon.withColumn("split", split_expr()).withColumn(
         "n_tokens", token_count().cast("long")
     )
+    dirty = contaminated_train_ids(assigned.select("doc_id", "split", "text"))
+    assigned = assigned.join(dirty, "doc_id", "left_anti")
     w = (
         Window.partitionBy("split", "source")
         .orderBy("doc_id")
@@ -120,13 +135,36 @@ def run_curation_job(
         r["split"]: r["n"]
         for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    n_canonical = sum(by_split.values())
+    n_decontaminated = sum(by_split.values())
+    n_train = by_split.get("train", 0)
+    n_eval_holdout = by_split.get("eval", 0) + by_split.get("heldout", 0)
+    # canonical count = written docs + the train docs decontamination
+    # dropped; recompute it from the pre-decontamination lineage so the
+    # stat reconciles with the funnel's stage 4
+    n_canonical = (
+        docs.select(
+            content_md5("text").alias("h"),
+            gate_passes().alias("passes"),
+            "doc_id",
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("h").orderBy(
+                    F.col("passes").desc(), "doc_id"
+                )
+            ),
+        )
+        .filter(F.col("passes") & (F.col("rn") == 1))
+        .count()
+    )
     return CurationStats(
         n_input=n_input,
         n_after_gates=n_after_gates,
         n_canonical=n_canonical,
-        n_train=by_split.get("train", 0),
-        n_eval_holdout=by_split.get("eval", 0) + by_split.get("heldout", 0),
+        n_decontaminated=n_decontaminated,
+        n_train=n_train,
+        n_eval_holdout=n_eval_holdout,
     )
 
 
@@ -154,6 +192,7 @@ def main(argv: list[str] | None = None) -> CurationStats:
         stats = run_curation_job(spark, args.input, args.output)
         print(
             f"curation done: input={stats.n_input} canonical={stats.n_canonical} "
+            f"decontaminated={stats.n_decontaminated} "
             f"train={stats.n_train} eval+holdout={stats.n_eval_holdout}"
         )
         return stats

@@ -263,7 +263,7 @@ def sample_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_curation_funnel",
     oracle="""
     WITH flags AS (
-      SELECT doc_id,
+      SELECT doc_id, text,
              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h,
              (n_chars BETWEEN 100 AND 520) AS f1,
              (len(string_split_regex(trim(text), '\\s+')) >= 30) AS f2,
@@ -271,7 +271,7 @@ def sample_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / n_chars >= 0.82) AS f3
       FROM documents
     ), ranked AS (
-      SELECT f1, f2, f3, (f1 AND f2 AND f3) AS passes,
+      SELECT doc_id, text, f1, f2, f3, (f1 AND f2 AND f3) AS passes,
              row_number() OVER (
                PARTITION BY h
                ORDER BY (f1 AND f2 AND f3) DESC, doc_id
@@ -285,36 +285,58 @@ def sample_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CASE WHEN passes AND rn = 1 THEN 1 ELSE 0 END)
                   AS BIGINT) AS s4
       FROM ranked
+    ), canon AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(text), 1, 2) < '14'
+                  THEN 'holdout' ELSE 'train' END AS split,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS w
+      FROM ranked WHERE passes AND rn = 1
+    ), grams AS (
+      SELECT DISTINCT doc_id, split, array_to_string(w[i:i+4], ' ') AS g
+      FROM canon, UNNEST(range(1, len(w)-5+2)) AS t(i)
+    ), kept AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= 64
+    ), hold_grams AS (
+      SELECT DISTINCT gr.g FROM grams gr JOIN kept k ON gr.g = k.g
+      WHERE gr.split = 'holdout'
+    ), dirty AS (
+      SELECT CAST(COUNT(DISTINCT gr.doc_id) AS BIGINT) AS n_dirty
+      FROM grams gr JOIN hold_grams h ON gr.g = h.g
+      WHERE gr.split = 'train'
     )
     SELECT '0_total' AS stage, s0 AS n_docs FROM s
     UNION ALL SELECT '1_length', s1 FROM s
     UNION ALL SELECT '2_min_words', s2 FROM s
     UNION ALL SELECT '3_alpha_ratio', s3 FROM s
     UNION ALL SELECT '4_dedup_canonical', s4 FROM s
+    UNION ALL SELECT '5_decontaminated', s4 - n_dirty FROM s, dirty
     """,
 )
 def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel: per-stage survivor counts for the
     standard pretraining filter chain — length bounds, minimum word
-    count, alphabetic-ratio quality gate, then exact-dedup canonical
-    selection among the survivors. The one-line answer to "how much
-    data is left after cleaning, and which gate ate it?" — the report
-    every corpus build starts from.
+    count, alphabetic-ratio quality gate, exact-dedup canonical
+    selection among the survivors, then n-gram decontamination of the
+    train split against the hash-holdout split (round 5). The
+    one-line answer to "how much data is left after cleaning, and
+    which gate ate it?" — the report every corpus build starts from,
+    and the count-level oracle of ``run_curation_job``.
 
-    Single scan, single shuffle: all gate flags are computed in one
-    projection; the dedup stage needs a per-content-hash window, and
-    ordering that window by (passes DESC, doc_id) makes rank-1 rows
-    the canonical survivors WITHOUT a second pass over the filtered
-    subset (a filter→window plan would rescan the corpus). The final
-    stack() unpivot turns the 1-row aggregate into the 5-row funnel —
-    constant-size from there. At 100 TB: one shuffle on a uniform md5
-    key, counters all map-side-combined; nothing here is corpus-scale
-    but the scan itself."""
+    All gate flags are computed in one projection; the dedup stage
+    needs a per-content-hash window, and ordering that window by
+    (passes DESC, doc_id) makes rank-1 rows the canonical survivors
+    WITHOUT a second pass over the filtered subset. Stage 5 reuses
+    ``contaminated_train_ids`` — the SAME definition the job applies —
+    over the canonical survivors (text rides the one md5 shuffle).
+    The final stack() unpivot turns the 1-row aggregates into the
+    6-row funnel — constant-size from there."""
     d = load_table(spark, sf_dir, "documents")
     f1 = F.col("n_chars").between(GATE_MIN_CHARS, GATE_MAX_CHARS)
     f2 = token_count() >= GATE_MIN_WORDS
     flagged = d.select(
         "doc_id",
+        "text",
         content_md5("text").alias("h"),
         f1.alias("f1"),
         (f1 & f2).alias("f12"),
@@ -333,9 +355,18 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("passes").cast("long")).alias("s3"),
         F.sum((F.col("passes") & (F.col("rn") == 1)).cast("long")).alias("s4"),
     )
-    return s.selectExpr(
-        "stack(5, '0_total', s0, '1_length', s1, '2_min_words', s2,"
-        " '3_alpha_ratio', s3, '4_dedup_canonical', s4) AS (stage, n_docs)"
+    canon = ranked.filter(F.col("passes") & (F.col("rn") == 1)).select(
+        "doc_id", holdout_split_expr().alias("split"), "text"
+    )
+    dirty = F.broadcast(
+        contaminated_train_ids(canon).agg(
+            F.count(F.lit(1)).alias("n_dirty")
+        )
+    )
+    return s.crossJoin(dirty).selectExpr(
+        "stack(6, '0_total', s0, '1_length', s1, '2_min_words', s2,"
+        " '3_alpha_ratio', s3, '4_dedup_canonical', s4,"
+        " '5_decontaminated', s4 - n_dirty) AS (stage, n_docs)"
     )
 
 
@@ -489,6 +520,56 @@ def curriculum_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def contaminated_train_ids(
+    docs_split: DataFrame, max_gram_docs: int = 64
+) -> DataFrame:
+    """doc_ids of TRAIN documents sharing any non-boilerplate word
+    5-gram with a non-train document. Input needs (doc_id, split,
+    text); any split value other than ``'train'`` counts as holdout.
+    The shared core of ``decontaminate_train_ngram`` (the standalone
+    query) and the curation job's decontamination stage — one
+    definition, so job and oracle cannot drift.
+
+    Shape: tokenize once, explode distinct grams per doc, cap gram
+    groups at ``max_gram_docs`` BEFORE any join (boilerplate grams
+    carry no contamination signal), then semi-join train grams
+    against the distinct holdout-gram set on the uniform gram key."""
+    assigned = docs_split.select(
+        "doc_id",
+        F.when(F.col("split") == "train", "train")
+        .otherwise("holdout")
+        .alias("split"),
+        F.split(normalize_text("text"), " ").alias("w"),
+    )
+    positions = F.when(
+        F.size("w") >= 5, F.sequence(F.lit(1), F.size("w") - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = assigned.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.transform(positions, lambda i: F.array_join(F.slice("w", i, 5), " "))
+        ).alias("g"),
+    ).distinct()
+    wg = Window.partitionBy("g")
+    capped = (
+        grams.repartition(F.col("g"))
+        .withColumn("gsize", F.count(F.lit(1)).over(wg))
+        .filter(F.col("gsize") <= max_gram_docs)
+        .drop("gsize")
+    )
+    hold_grams = (
+        capped.filter(F.col("split") == "holdout").select("g").distinct()
+    )
+    return (
+        capped.filter(F.col("split") == "train")
+        .join(hold_grams, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
+
 @query(
     "decontaminate_train_ngram",
     oracle="""
@@ -545,37 +626,9 @@ def decontaminate_train_ngram(
     projection (doc_id, source — pruned scan)."""
     d = load_table(spark, sf_dir, "documents")
     assigned = d.select(
-        "doc_id",
-        "source",
-        holdout_split_expr().alias("split"),
-        F.split(normalize_text("text"), " ").alias("w"),
+        "doc_id", "source", holdout_split_expr().alias("split"), "text"
     )
-    positions = F.when(
-        F.size("w") >= 5, F.sequence(F.lit(1), F.size("w") - 4)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = assigned.select(
-        "doc_id",
-        "split",
-        F.explode(
-            F.transform(positions, lambda i: F.array_join(F.slice("w", i, 5), " "))
-        ).alias("g"),
-    ).distinct()
-    wg = Window.partitionBy("g")
-    capped = (
-        grams.repartition(F.col("g"))
-        .withColumn("gsize", F.count(F.lit(1)).over(wg))
-        .filter(F.col("gsize") <= max_gram_docs)
-        .drop("gsize")
-    )
-    hold_grams = (
-        capped.filter(F.col("split") == "holdout").select("g").distinct()
-    )
-    contaminated = (
-        capped.filter(F.col("split") == "train")
-        .join(hold_grams, "g", "left_semi")
-        .select("doc_id")
-        .distinct()
-    )
+    contaminated = contaminated_train_ids(assigned, max_gram_docs)
     train = assigned.filter(F.col("split") == "train").select("doc_id", "source")
     flagged = train.join(
         contaminated.withColumn("is_dirty", F.lit(1)), "doc_id", "left"

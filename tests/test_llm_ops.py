@@ -385,7 +385,9 @@ def test_curation_job_end_to_end(spark, sf_dir, tmp_path):
     funnel = {r.stage: r.n_docs for r in corpus_curation_funnel(spark, sf_dir).collect()}
     assert stats.n_input == funnel["0_total"]
     assert stats.n_canonical == funnel["4_dedup_canonical"]
-    assert stats.n_train + stats.n_eval_holdout == stats.n_canonical
+    assert stats.n_decontaminated == funnel["5_decontaminated"]
+    assert stats.n_decontaminated < stats.n_canonical  # stage bites on testdata
+    assert stats.n_train + stats.n_eval_holdout == stats.n_decontaminated
 
     back = spark.read.parquet(out)
     # partition columns materialize, packing is contiguous per stream
@@ -403,4 +405,4 @@ def test_curation_job_end_to_end(spark, sf_dir, tmp_path):
     # idempotent re-run: same partitions replaced, same total
     stats2 = run_curation_job(spark, sf_dir, out)
     assert stats2 == stats
-    assert spark.read.parquet(out).count() == stats.n_canonical
+    assert spark.read.parquet(out).count() == stats.n_decontaminated
