@@ -640,3 +640,42 @@ def decontaminate_train_ngram(
         ),
         F.sum(F.when(F.col("is_dirty").isNull(), 1).otherwise(0)).alias("n_kept"),
     )
+
+
+@query(
+    "sample_hash_topk_per_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(sample_rank AS INT) AS sample_rank
+    FROM ranked WHERE sample_rank <= 5
+    """,
+)
+def sample_hash_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group uniform sample: the k docs per language
+    with the smallest content-independent hash rank — the reproducible
+    dual of a per-group reservoir sample (same k docs on every run,
+    engine, partitioning, and cluster size; no RNG state, no seed
+    drift between Spark versions — unlike ``sample_stratified``, which
+    is pinned to Spark's sampleBy implementation). The eval-set
+    carving shape: "give me 5 random-but-stable docs per language".
+
+    One window shuffle partitioned by lang; rank ≤ k filters inside
+    the window stage. At 100 TB with skewed langs, swap row_number for
+    an approx-quantile threshold on the hash (same discipline as the
+    scalable_windows family) — the hash is uniform, so the k-th
+    smallest is a predictable cutoff."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= 5)
+    )

@@ -511,7 +511,20 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py. The stats row broadcasts; the only data-sized
     shuffle is the (doc_id, term) tf groupBy on a uniform key. Top-k
     plans as TakeOrderedAndProject."""
-    d = load_table(spark, sf_dir, "documents")
+    scored = _bm25_scored(load_table(spark, sf_dir, "documents"))
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+def _bm25_scored(d: DataFrame) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) scores over ``BM25_TERMS`` — the shared
+    scorer of ``text_bm25_topk`` and ``retrieval_rrf_hybrid``. Returns
+    (doc_id, score) for docs matching at least one term; see
+    text_bm25_topk's docstring for the determinism + plan-shape
+    rationale."""
     toks = d.select(
         "doc_id", F.split(F.lower(F.trim("text")), "\\s+").alias("w")
     )
@@ -546,13 +559,8 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (1 - 0.75 + 0.75 * (F.col("dl").cast("double") / F.col("avgdl")))
         )
     )
-    scored = j.groupBy("doc_id").agg(
+    return j.groupBy("doc_id").agg(
         F.sum(term_score.cast("decimal(38,12)")).cast("double").alias("score")
-    )
-    return (
-        scored.select("doc_id", F.round("score", 6).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(10)
     )
 
 
@@ -715,4 +723,190 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.col("n").cast("long").alias("n_types"),
         F.round(slope, 6).alias("zipf_slope"),
+    )
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS w
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+      FROM toks, UNNEST(range(1, len(w)-8+2)) AS t(i)
+    ), counted AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM grams GROUP BY g HAVING COUNT(*) >= 2
+    )
+    SELECT g AS ngram, n_docs FROM counted
+    ORDER BY n_docs DESC, g LIMIT 20
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining: the word 8-grams repeated across the most
+    documents — headers, footers, license blurbs, navigation chrome —
+    the report a cleaning pipeline uses to build its strip-list
+    (``contamination_ngram_overlap`` finds cross-source PAIRS; this
+    finds the phrases themselves, ranked by spread).
+
+    Shape: tokenize once, per-doc DISTINCT grams (a doc repeating its
+    own header counts once), one map-side-combined groupBy(gram) on a
+    uniform key, HAVING ≥ 2 inside the aggregate, top-k as
+    TakeOrderedAndProject. No pair generation anywhere — the output
+    is O(distinct grams) pre-limit, and the hot-gram skew the pair
+    queries must cap is exactly the signal ranked here."""
+    d = load_table(spark, sf_dir, "documents")
+    from spark_streaming_with_debezium_spark.llm.corpus_rules import (
+        normalize_text,
+    )
+
+    toks = d.select("doc_id", F.split(normalize_text("text"), " ").alias("w"))
+    positions = F.when(
+        F.size("w") >= 8, F.sequence(F.lit(1), F.size("w") - 7)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(positions, lambda i: F.array_join(F.slice("w", i, 8), " "))
+        ).alias("ngram"),
+    ).distinct()
+    counted = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        counted.filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "ngram")
+        .limit(20)
+    )
+
+
+@query(
+    "retrieval_rrf_hybrid",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(len(w)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM toks
+    ), tf AS (
+      SELECT doc_id, len(w) AS dl, t.tok, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM toks, UNNEST(w) AS t(tok)
+      WHERE t.tok IN ('table', 'spark', 'merge', 'window')
+      GROUP BY 1, 2, 3
+    ), df AS (
+      SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(SUM(CAST(
+               ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl))))
+               AS DECIMAL(38,12))) AS DOUBLE) AS score
+      FROM tf JOIN df ON tf.tok = df.tok, stats s
+      GROUP BY 1
+    ), lex20 AS (
+      SELECT doc_id, round(score, 6) AS bm FROM scored
+      ORDER BY bm DESC, doc_id LIMIT 20
+    ), lexr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm DESC, doc_id) AS r_lex
+      FROM lex20
+    ), q AS (
+      SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    ), sem AS (
+      SELECT e.vec_id AS doc_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qe AS DOUBLE[])) AS cos
+      FROM embeddings e, q
+    ), sem20 AS (
+      SELECT doc_id, cos FROM sem ORDER BY cos DESC, doc_id LIMIT 20
+    ), semr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r_sem
+      FROM sem20
+    )
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           CAST(COALESCE(l.r_lex, 0) AS INT) AS r_lex,
+           CAST(COALESCE(s.r_sem, 0) AS INT) AS r_sem,
+           round(COALESCE(1.0 / (60 + l.r_lex), 0)
+                 + COALESCE(1.0 / (60 + s.r_sem), 0), 6) AS rrf_score
+    FROM lexr l FULL JOIN semr s ON l.doc_id = s.doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (k=60): fuse the
+    BM25 lexical top-20 with the embedding-cosine top-20 (query =
+    vector 0) into one ranking — the standard two-tower + keyword
+    stack for corpus search and hard-negative mining, and the query
+    that exercises lexical and semantic retrieval TOGETHER.
+
+    Determinism: both source rankings order by (score, doc_id) totals;
+    RRF scores are sums of 1/(60+rank) over INTEGER ranks, so both
+    engines fuse identical doubles. Scale: each side truncates to its
+    top-20 BEFORE ranking (TakeOrderedAndProject — no global sort),
+    the rank windows run on ≤20-row frames (the ``_tiny`` census
+    convention), and the fusion join touches ≤40 rows. The corpus-
+    scale work is exactly one BM25 pass + one brute-force cosine scan
+    (swap in the IvfIndex probe for the semantic side at 100 TB)."""
+    from pyspark.sql import Window
+
+    from spark_streaming_with_debezium_spark.llm.similarity import (
+        cosine_prenormed,
+        norm,
+    )
+
+    scored = _bm25_scored(load_table(spark, sf_dir, "documents"))
+    lex20 = (
+        scored.select("doc_id", F.round("score", 6).alias("_tiny_bm"))
+        .orderBy(F.col("_tiny_bm").desc(), "doc_id")
+        .limit(20)
+    )
+    lexr = lex20.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("_tiny_bm").desc(), "doc_id"))
+        .alias("r_lex"),
+    )
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qe"), F.col("nrm").alias("qnrm")
+        )
+    )
+    sem20 = (
+        e.crossJoin(qv)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_prenormed(
+                F.col("qe"), F.col("embedding"), F.col("qnrm"), F.col("nrm")
+            ).alias("_tiny_cos"),
+        )
+        .orderBy(F.col("_tiny_cos").desc(), "doc_id")
+        .limit(20)
+    )
+    semr = sem20.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("_tiny_cos").desc(), "doc_id"))
+        .alias("r_sem"),
+    )
+    fused = lexr.join(semr, "doc_id", "full")
+    rrf = F.coalesce(F.lit(1.0) / (60 + F.col("r_lex")), F.lit(0.0)) + F.coalesce(
+        F.lit(1.0) / (60 + F.col("r_sem")), F.lit(0.0)
+    )
+    # rank 0 = absent from that side's top-20 (NULL ints would come
+    # back from the oracle as pandas float64 and hash-mismatch)
+    return (
+        fused.select(
+            "doc_id",
+            F.coalesce(F.col("r_lex"), F.lit(0)).alias("r_lex"),
+            F.coalesce(F.col("r_sem"), F.lit(0)).alias("r_sem"),
+            F.round(rrf, 6).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(10)
     )

@@ -1546,3 +1546,159 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.round(F.sum("revenue").cast("double"), 2).alias("class_revenue"),
     )
+
+
+@query(
+    "ab_welch_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, user_id % 2 = 0 AS grp,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,9))) AS DOUBLE) AS sxx
+      FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT a.event_type,
+             a.n AS nx, b.n AS ny,
+             a.sx / a.n AS mx, b.sx / b.n AS my,
+             (a.sxx - a.sx * a.sx / a.n) / (a.n - 1) AS vx,
+             (b.sxx - b.sx * b.sx / b.n) / (b.n - 1) AS vy
+      FROM s a JOIN s b ON a.event_type = b.event_type
+      WHERE a.grp AND NOT b.grp AND a.n > 1 AND b.n > 1
+    )
+    SELECT event_type,
+           CAST(nx AS BIGINT) AS n_treat,
+           CAST(ny AS BIGINT) AS n_control,
+           round(mx - my, 6) AS mean_diff,
+           CASE WHEN (vx / nx + vy / ny) > 0
+                THEN round((mx - my) / sqrt(vx / nx + vy / ny), 6)
+                ELSE NULL END AS t_stat,
+           CASE WHEN (vx / nx + vy / ny) > 0
+                THEN round(pow(vx / nx + vy / ny, 2)
+                           / (pow(vx / nx, 2) / (nx - 1)
+                              + pow(vy / ny, 2) / (ny - 1)), 2)
+                ELSE NULL END AS welch_df
+    FROM w
+    """,
+)
+def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test per event_type (treatment = even
+    user_id, control = odd — the deterministic stand-in for an
+    assignment column): mean difference, t statistic, and
+    Welch-Satterthwaite degrees of freedom — the experiment-readout
+    query of an A/B platform, in the engine's exact-stats discipline:
+    sums accumulate in DECIMAL (order/partitioning-independent), the
+    t and df combine in double once, and zero-variance arms yield NULL
+    through the same guard as agg_corr_exact. One map-side-combined
+    shuffle on (event_type, arm) — six numbers per arm re-aggregate
+    across shards/days, so a 100 TB experiment reads out
+    incrementally."""
+    e = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,9)"
+    v = F.col("value")
+    s = e.groupBy(
+        "event_type", (F.col("user_id") % 2 == 0).alias("grp")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(v.cast(dec)).cast("double").alias("sx"),
+        F.sum((v * v).cast(dec)).cast("double").alias("sxx"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & F.col("a.grp")
+        & ~F.col("b.grp")
+        & (F.col("a.n") > 1)
+        & (F.col("b.n") > 1),
+    )
+    nx, ny = F.col("a.n"), F.col("b.n")
+    mx, my = F.col("a.sx") / nx, F.col("b.sx") / ny
+    vx = (F.col("a.sxx") - F.col("a.sx") * F.col("a.sx") / nx) / (nx - 1)
+    vy = (F.col("b.sxx") - F.col("b.sx") * F.col("b.sx") / ny) / (ny - 1)
+    se2 = vx / nx + vy / ny
+    t = (mx - my) / F.sqrt(se2)
+    df = F.pow(se2, 2) / (
+        F.pow(vx / nx, 2) / (nx - 1) + F.pow(vy / ny, 2) / (ny - 1)
+    )
+    return j.select(
+        F.col("a.event_type").alias("event_type"),
+        nx.cast("long").alias("n_treat"),
+        ny.cast("long").alias("n_control"),
+        F.round(mx - my, 6).alias("mean_diff"),
+        F.when(se2 > 0, F.round(t, 6)).alias("t_stat"),
+        F.when(se2 > 0, F.round(df, 2)).alias("welch_df"),
+    )
+
+
+@query(
+    "agg_skew_kurtosis_exact",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+                  AS DOUBLE) AS s2,
+             CAST(SUM(CAST(l_quantity * l_quantity * l_quantity
+                           AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+                           AS DECIMAL(38,6))) AS DOUBLE) AS s4
+      FROM lineitem GROUP BY 1
+    ), m AS (
+      SELECT l_returnflag, n,
+             s1 / n AS mean,
+             s2 / n - pow(s1 / n, 2) AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * pow(s1 / n, 3) AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n)
+               + 6 * pow(s1 / n, 2) * (s2 / n) - 3 * pow(s1 / n, 4) AS m4
+      FROM s
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round(mean, 6) AS mean_qty,
+           CASE WHEN m2 > 0 THEN round(m3 / pow(m2, 1.5), 6)
+                ELSE NULL END AS skewness,
+           CASE WHEN m2 > 0 THEN round(m4 / pow(m2, 2) - 3, 6)
+                ELSE NULL END AS excess_kurtosis
+    FROM m
+    """,
+)
+def agg_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per group from exact
+    decimal power sums (Σx..Σx⁴) — the 3rd/4th-moment extension of the
+    re-aggregatable stats family (F.skewness/F.kurtosis accumulate in
+    floats and depend on partitioning; these four sums merge across
+    shards exactly). Central moments and the final ratios combine in
+    double once from identical inputs on both engines; zero-variance
+    groups yield NULL through the m2 guard. Decimal headroom: quantity
+    ≤ 51, so Σx⁴ ≤ rows·6.8e6 — within decimal(38,6) until ~10^25
+    rows. One map-side-combined shuffle on a 3-value key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,6)"
+    x = F.col("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast(dec)).cast("double").alias("s1"),
+        F.sum((x * x).cast(dec)).cast("double").alias("s2"),
+        F.sum((x * x * x).cast(dec)).cast("double").alias("s3"),
+        F.sum((x * x * x * x).cast(dec)).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    mean = F.col("s1") / n
+    m2 = F.col("s2") / n - F.pow(mean, 2)
+    m3 = F.col("s3") / n - 3 * mean * (F.col("s2") / n) + 2 * F.pow(mean, 3)
+    m4 = (
+        F.col("s4") / n
+        - 4 * mean * (F.col("s3") / n)
+        + 6 * F.pow(mean, 2) * (F.col("s2") / n)
+        - 3 * F.pow(mean, 4)
+    )
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        F.round(mean, 6).alias("mean_qty"),
+        F.when(m2 > 0, F.round(m3 / F.pow(m2, 1.5), 6)).alias("skewness"),
+        F.when(m2 > 0, F.round(m4 / F.pow(m2, 2) - 3, 6)).alias(
+            "excess_kurtosis"
+        ),
+    )

@@ -80,10 +80,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: retrieval, the decontamination apply step) so they do not go
 #: evidence-stale through the rotation, then the frozen r1 block the
 #: round-4 comment promised (13 names), then the remaining r1/r2-stale
-#: names, with the flagship q1 and the perf-anchor dedup_exact_groups
-#: closing the window. Round-5 NEW queries displace those last two
-#: anchors as they land. Names not listed keep module registration
-#: order after these.
+#: names, with two of the five round-5 NEW queries (the RRF hybrid
+#: fusion and the Welch t-test — the most composite new semantics)
+#: closing the window; the other three new queries queue just past the
+#: boundary for the r6 rotation. Names not listed keep module
+#: registration order after these.
 _PRIORITY = (
     # --- never driver-checked (late round-4 additions) ---
     "events_anomaly_zscore",
@@ -138,10 +139,14 @@ _PRIORITY = (
     "fn_strings",
     "window_lag_lead",
     "window_first_last",
-    # --- window anchors (round-5 new queries displace these) ---
-    "q1_pricing_summary",
-    "dedup_exact_groups",
+    # --- round-5 NEW queries (displaced the q1/dedup anchors) ---
+    "retrieval_rrf_hybrid",
+    "ab_welch_ttest",
     # --- 50-query prefix boundary (round-5 driver window) ---
+    # (remaining round-5 additions queue here for the r6 rotation)
+    "agg_skew_kurtosis_exact",
+    "sample_hash_topk_per_group",
+    "text_boilerplate_ngrams",
     "events_funnel",
     "sample_weights_by_source",
     "multimodal_fake_decode",
