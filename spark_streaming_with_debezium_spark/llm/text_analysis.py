@@ -910,3 +910,78 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_score").desc(), "doc_id")
         .limit(10)
     )
+
+
+@query(
+    "text_heavy_hitter_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT t.tok
+      FROM (SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                               'g'), ' ') AS w
+            FROM documents), UNNEST(w) AS t(tok)
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks
+    ), c AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY tok
+    )
+    SELECT c.tok AS token, c.freq
+    FROM c, tot WHERE c.freq * 512 >= tot.n
+    """,
+)
+def text_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy-hitter vocabulary: every token holding ≥ 1/512 of
+    all token occurrences, with exact counts — the frequency dual of
+    the HLL family (operators/sketches.py), and the vocab/stop-list
+    report a tokenizer pipeline mines before training.
+
+    The result is exact, but the PLAN is the sketch discipline: a
+    mergeable Misra-Gries summary (k=4096 counters) runs per
+    partition in one Arrow-batched ``mapInPandas`` pass — per batch a
+    vectorized value_counts merges into the counter table, and
+    overflow prunes by subtracting the (k+1)-th largest count
+    (Agarwal et al.'s mergeable-summaries rule), so any token absent
+    from a partition's summary has local count ≤ local_N/4096. The
+    union of partition summaries is therefore a PROVABLE superset of
+    every global ≥ N/4096 token (⊇ the reported ≥ N/512 set), and the
+    exact recount touches only candidates via a semi join. At 100 TB
+    the full-vocabulary groupBy would shuffle billions of distinct
+    (token, count) pairs; this shuffles ≤ 4096 × partitions candidate
+    rows plus their recount. Guarantee asserted against the full
+    groupBy in ``test_heavy_hitter_candidates_superset``."""
+    import pandas as pd
+
+    from spark_streaming_with_debezium_spark.llm.corpus_rules import (
+        normalize_text,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(normalize_text("text"), " ")).alias("token")
+    )
+    k_mg = 4096
+
+    def mg_summary(batches):
+        counts: pd.Series = pd.Series(dtype="int64")
+        for pdf in batches:
+            counts = counts.add(pdf["token"].value_counts(), fill_value=0)
+            if len(counts) > k_mg:
+                # mergeable-MG prune: subtract the (k+1)-th largest
+                # count from everything, keep strictly positive
+                cut = counts.nlargest(k_mg + 1).iloc[-1]
+                counts = counts - cut
+                counts = counts[counts > 0]
+        yield pd.DataFrame({"token": counts.index.astype(str)})
+
+    cand = toks.mapInPandas(mg_summary, "token string").distinct()
+    tot = F.broadcast(toks.agg(F.count(F.lit(1)).alias("n")))
+    exact = (
+        toks.join(cand, "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        exact.crossJoin(tot)
+        .filter(F.col("freq") * 512 >= F.col("n"))
+        .select("token", "freq")
+    )

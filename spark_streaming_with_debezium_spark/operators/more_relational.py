@@ -1702,3 +1702,50 @@ def agg_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "excess_kurtosis"
         ),
     )
+
+
+@query(
+    "dq_profile_orders",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS custkey_nulls,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS custkey_distinct,
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT) AS price_nulls,
+           round(MIN(o_totalprice), 2) AS price_min,
+           round(MAX(o_totalprice), 2) AS price_max,
+           CAST(MIN(o_orderdate) AS DATE) AS orderdate_min,
+           CAST(MAX(o_orderdate) AS DATE) AS orderdate_max,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+             AS priority_distinct,
+           MIN(o_orderpriority) AS priority_min,
+           MAX(o_orderpriority) AS priority_max
+    FROM orders
+    """,
+)
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the data-quality report a warehouse runs on
+    every new table drop: row count, per-column null counts, exact
+    distinct cardinalities, typed min/max (numeric, date, and
+    lexicographic string ranges). One wide aggregate row, all columns
+    kept in their NATIVE types so no engine-specific string formatting
+    enters the contract.
+
+    Scale: a single pass; the exact COUNT(DISTINCT)s expand to
+    per-column partial distincts (Spark's Expand + two-phase agg —
+    n_cols× map-side data, still one shuffle). At 100 TB swap exact
+    distincts for approx_count_distinct / the HLL sketch family
+    (operators/sketches.py) column-wise — same report shape."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("custkey_nulls"),
+        F.count_distinct(F.col("o_custkey")).alias("custkey_distinct"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).alias("price_nulls"),
+        F.round(F.min("o_totalprice"), 2).alias("price_min"),
+        F.round(F.max("o_totalprice"), 2).alias("price_max"),
+        F.to_date(F.min("o_orderdate")).alias("orderdate_min"),
+        F.to_date(F.max("o_orderdate")).alias("orderdate_max"),
+        F.count_distinct(F.col("o_orderpriority")).alias("priority_distinct"),
+        F.min("o_orderpriority").alias("priority_min"),
+        F.max("o_orderpriority").alias("priority_max"),
+    )

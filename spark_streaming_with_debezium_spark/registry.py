@@ -147,6 +147,8 @@ _PRIORITY = (
     "agg_skew_kurtosis_exact",
     "sample_hash_topk_per_group",
     "text_boilerplate_ngrams",
+    "dq_profile_orders",
+    "text_heavy_hitter_tokens",
     "events_funnel",
     "sample_weights_by_source",
     "multimodal_fake_decode",
