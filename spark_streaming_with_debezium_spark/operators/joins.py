@@ -217,21 +217,32 @@ def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_asof",
     oracle="""
-    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
-    FROM events e
-    ASOF LEFT JOIN orders o
-      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    WITH ranked AS (
+      SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+             ) AS rn
+      FROM events e
+      LEFT JOIN orders o
+        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    )
+    SELECT event_id, user_id, ts, o_orderkey, o_totalprice
+    FROM ranked WHERE rn = 1
     """,
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J10: as-of join — for each event, the latest order of that user
-    with o_orderdate <= event ts.
+    with o_orderdate <= event ts; same-date orders tie-break to the
+    HIGHEST orderkey (explicit in both engines — DuckDB's native ASOF
+    JOIN leaves duplicate right-side timestamps unspecified, which
+    surfaced as a run-dependent sf0.1 mismatch in round 5, so the
+    oracle pins the tie with a ranked LEFT JOIN instead).
 
     Spark lacks a native as-of join; this is the union+window plan:
     tag both sides, union on (key, time), window-carry the most recent
     order forward, keep event rows. ONE shuffle on the key, O(n log n)
-    per key — versus a range BNLJ's O(n·m). DuckDB oracle uses its
-    native ASOF JOIN.
+    per key — versus a range BNLJ's O(n·m).
     """
     e = load_table(spark, sf_dir, "events")
     o = load_table(spark, sf_dir, "orders")

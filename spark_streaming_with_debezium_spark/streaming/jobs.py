@@ -426,3 +426,78 @@ def sessionize_stateful(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_heavy_hitters(
+    events: DataFrame,
+    token_col: str = "event_type",
+    n_buckets: int = 64,
+    k_per_bucket: int = 1024,
+) -> DataFrame:
+    """Streaming heavy hitters with BOUNDED state: per hash-bucket of
+    tokens, a mergeable Misra-Gries summary (k counters) lives in
+    ``applyInPandasWithState`` state and absorbs each micro-batch via
+    a vectorized value_counts merge + overflow prune — the streaming
+    dual of ``text_heavy_hitter_tokens`` (llm/text_analysis.py), and
+    the one sketch shape windowed aggregations cannot express (a
+    per-token groupBy would grow state with vocabulary size forever;
+    this holds ≤ n_buckets × k counters TOTAL, no timeouts needed).
+
+    A token maps to exactly one bucket, so the MG bound applies per
+    bucket: any token absent from its bucket's summary has true count
+    ≤ bucket_count/k, and every token with global count above that is
+    guaranteed present (emitted counts are MG lower bounds; they are
+    EXACT while a bucket's vocabulary fits in k). Each batch emits
+    the updated summary for buckets that saw data (update mode)."""
+    import pandas as pd
+
+    def mg_update(key, pdfs, state):
+        if state.exists:
+            toks, counts = state.get
+            acc = pd.Series(list(counts), index=list(toks), dtype="int64")
+        else:
+            acc = pd.Series(dtype="int64")
+        for pdf in pdfs:
+            acc = acc.add(pdf["tok"].value_counts(), fill_value=0)
+            if len(acc) > k_per_bucket:
+                cut = acc.nlargest(k_per_bucket + 1).iloc[-1]
+                acc = acc - cut
+                acc = acc[acc > 0]
+        acc = acc.astype("int64")
+        state.update((list(acc.index.astype(str)), [int(v) for v in acc]))
+        yield pd.DataFrame(
+            {
+                "bucket": key[0],
+                "token": acc.index.astype(str),
+                "min_count": acc.to_numpy(),
+            }
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("bucket", T.IntegerType()),
+            T.StructField("token", T.StringType()),
+            T.StructField("min_count", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("toks", T.ArrayType(T.StringType())),
+            T.StructField("counts", T.ArrayType(T.LongType())),
+        ]
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    toks = events.select(
+        F.pmod(F.xxhash64(F.col(token_col)), F.lit(n_buckets))
+        .cast("int")
+        .alias("bucket"),
+        F.col(token_col).cast("string").alias("tok"),
+    )
+    return toks.groupBy("bucket").applyInPandasWithState(
+        mg_update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

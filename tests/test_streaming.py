@@ -891,3 +891,64 @@ def test_stateful_sessionize_event_time_timeout(spark, tmp_path):
         (8, "2024-01-01 00:40:00", "2024-01-01 00:50:00", 2),
         (8, "2024-01-01 03:30:00", "2024-01-01 03:30:00", 1),
     ], got
+
+
+def test_streaming_heavy_hitters_bounded_state(spark, tmp_path):
+    """Bucketed Misra-Gries in stream state: counts are exact while a
+    bucket's vocabulary fits in k (batch 1+2 accumulate across
+    micro-batches), and under overflow (k=2, 1 bucket) the summary
+    keeps the true majority token with a lower-bound count — bounded
+    state regardless of vocabulary size."""
+    from spark_streaming_with_debezium_spark.streaming.jobs import (
+        streaming_heavy_hitters,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    # exact phase: 3 distinct types, plenty of counter room
+    _write_events(
+        src / "b1.json",
+        [(i, "2024-01-01 00:00:00", 1, t, 1.0)
+         for i, t in enumerate(["a", "a", "b", "c"])],
+    )
+    _write_events(
+        src / "b2.json",
+        [(10 + i, "2024-01-01 00:01:00", 1, t, 1.0)
+         for i, t in enumerate(["a", "b"])],
+    )
+    now = time.time()
+    os.utime(src / "b1.json", (now - 2, now - 2))
+    os.utime(src / "b2.json", (now, now))
+    stream = events_file_stream(spark, str(src))
+    run_to_memory(
+        streaming_heavy_hitters(stream, n_buckets=1, k_per_bucket=16),
+        "hh_out",
+        output_mode="update",
+    )
+    rows = spark.sql("SELECT * FROM hh_out").collect()
+    # last emission per token (update mode re-emits the summary)
+    final = {}
+    for r in rows:
+        final[r.token] = max(final.get(r.token, 0), r.min_count)
+    assert final == {"a": 3, "b": 2, "c": 1}
+
+    # overflow phase: k=2 with 4 distinct types; majority token must
+    # survive with a positive lower bound <= true count
+    src2 = tmp_path / "ev2"
+    src2.mkdir()
+    seq = ["x"] * 8 + ["y", "z", "w", "y", "z", "w"]
+    _write_events(
+        src2 / "b1.json",
+        [(i, "2024-01-01 00:00:00", 1, t, 1.0) for i, t in enumerate(seq)],
+    )
+    stream2 = events_file_stream(spark, str(src2))
+    run_to_memory(
+        streaming_heavy_hitters(stream2, n_buckets=1, k_per_bucket=2),
+        "hh_out2",
+        output_mode="update",
+    )
+    got = {
+        r.token: r.min_count for r in spark.sql("SELECT * FROM hh_out2").collect()
+    }
+    assert "x" in got and 0 < got["x"] <= 8
+    assert len(got) <= 2  # state bounded at k counters
