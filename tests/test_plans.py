@@ -360,3 +360,52 @@ def test_repo_wide_no_global_window_census(spark, sf_dir):
         li.withColumn("cum", F.sum("l_quantity").over(w))
     )
     assert flagged and first_key(flagged[0]) == "l_extendedprice", flagged
+
+
+def test_zorder_layout_skips_files(spark, sf_dir, tmp_path):
+    """Z-ordered layout must let a 2-d predicate box skip most files on
+    parquet footer min/max stats, where an unclustered layout of the
+    SAME data overlaps nearly all of them — measured exactly the way a
+    scan planner decides (pyarrow metadata, no Spark in the check)."""
+    from spark_streaming_with_debezium_spark.sources.zorder import (
+        files_overlapping_box,
+        write_zordered,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    zpath = str(tmp_path / "zorder")
+    rpath = str(tmp_path / "plain")
+    write_zordered(li, zpath, "l_orderkey", "l_partkey", n_files=16)
+    li.repartition(16).write.mode("overwrite").parquet(rpath)
+
+    # same rows in both layouts
+    assert (
+        spark.read.parquet(zpath).count()
+        == spark.read.parquet(rpath).count()
+        == li.count()
+    )
+    # a small box: bottom ~12% of orderkeys × bottom ~12% of partkeys
+    kmax = li.agg(
+        F.max("l_orderkey").alias("ko"), F.max("l_partkey").alias("kp")
+    ).collect()[0]
+    box = dict(
+        col_a="l_orderkey", lo_a=0, hi_a=kmax.ko // 8,
+        col_b="l_partkey", lo_b=0, hi_b=kmax.kp // 8,
+    )
+    z_hit, z_tot = files_overlapping_box(zpath, **box)
+    r_hit, r_tot = files_overlapping_box(rpath, **box)
+    assert z_tot >= 8 and r_tot >= 8
+    # unclustered: the box hits (almost) every file
+    assert r_hit >= r_tot - 1
+    # z-ordered: the box hits a small corner of the layout
+    assert z_hit <= z_tot // 2, (z_hit, z_tot, r_hit, r_tot)
+    # and the filtered read returns identical results from both layouts
+    pred = (
+        (F.col("l_orderkey") <= kmax.ko // 8)
+        & (F.col("l_partkey") <= kmax.kp // 8)
+    )
+    a = sorted(map(tuple, spark.read.parquet(zpath).filter(pred).collect()))
+    b = sorted(map(tuple, spark.read.parquet(rpath).filter(pred).collect()))
+    assert a == b
