@@ -296,3 +296,58 @@ class TimeTravelStateTable:
         shutil.rmtree(old, ignore_errors=True)
         os.remove(pend)
         return dropped
+
+
+def changes_between(
+    table: TimeTravelStateTable, seq_a: int, seq_b: int
+) -> DataFrame:
+    """Change feed between two retained versions — the "table changes"
+    API (Delta CDF / Debezium snapshot-diff shape): one row per key
+    whose state differs between ``as_of(seq_a)`` and ``as_of(seq_b)``,
+    tagged ``_change_type`` ∈ insert/delete/update, with the NEW image
+    for inserts/updates and the OLD image for deletes.
+
+    Plan: one full outer join on the key columns (both sides already
+    reconstruct through bucket-pruned snapshot+log merges); equality
+    compares the data columns null-safely. No per-version log scans
+    beyond what as_of itself needs. At 100 TB the join co-partitions
+    on the same key both state tables bucket by."""
+    a = table.as_of(seq_a)
+    b = table.as_of(seq_b)
+    data_cols = [c for c in b.columns if c not in table.key_cols]
+    aa = a.select(
+        *[F.col(c).alias(f"_a_{c}") for c in a.columns]
+    )
+    join_cond = [
+        F.col(f"_a_{k}").eqNullSafe(F.col(k)) for k in table.key_cols
+    ]
+    j = aa.join(b, on=reduce_and(join_cond), how="full")
+    in_a = F.col(f"_a_{table.key_cols[0]}").isNotNull()
+    in_b = F.col(table.key_cols[0]).isNotNull()
+    same = reduce_and(
+        [F.col(f"_a_{c}").eqNullSafe(F.col(c)) for c in data_cols]
+    )
+    change = (
+        F.when(~in_a & in_b, "insert")
+        .when(in_a & ~in_b, "delete")
+        .when(~same, "update")
+    )
+    keyed = [
+        F.coalesce(F.col(k), F.col(f"_a_{k}")).alias(k)
+        for k in table.key_cols
+    ]
+    imaged = [
+        F.when(in_b, F.col(c)).otherwise(F.col(f"_a_{c}")).alias(c)
+        for c in data_cols
+    ]
+    return (
+        j.withColumn("_change_type", change)
+        .filter(F.col("_change_type").isNotNull())
+        .select(*keyed, *imaged, "_change_type")
+    )
+
+
+def reduce_and(conds):
+    from functools import reduce
+
+    return reduce(lambda x, y: x & y, conds)

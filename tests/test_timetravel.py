@@ -306,3 +306,44 @@ def test_compact_log_swap_never_rmtrees_live_snapshot(spark, tmp_path):
     assert not os.path.isdir(t._snap_dir + "_folding")
     assert not os.path.exists(t._base_seq_path + ".pending")
     assert _rows(t.as_of(2)) == expect2
+
+
+def test_changes_between_versions(spark, tmp_path):
+    """Change feed between two retained versions: inserts/updates carry
+    the new image, deletes the old; unchanged keys are absent; the feed
+    applied to version A reproduces version B."""
+    from spark_streaming_with_debezium_spark.cdc.timetravel import (
+        changes_between,
+    )
+
+    t = TimeTravelStateTable(spark, str(tmp_path / "tt"), ["id"], n_buckets=4)
+    t.init(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    t.merge_logged(
+        spark.createDataFrame(
+            [(2, "b2", False), (3, "c", False)],
+            "id long, v string, deleted boolean",
+        )
+    )
+    t.merge_logged(
+        spark.createDataFrame(
+            [(1, None, True), (3, "c3", False), (4, "d", False)],
+            "id long, v string, deleted boolean",
+        )
+    )
+    got = sorted(
+        (r.id, r.v, r._change_type)
+        for r in changes_between(t, 0, 2).collect()
+    )
+    assert got == [
+        (1, "a", "delete"),
+        (2, "b2", "update"),
+        (3, "c3", "insert"),
+        (4, "d", "insert"),
+    ]
+    # feed(0→1) then feed(1→2) composes to the same final state
+    f01 = sorted((r.id, r.v, r._change_type) for r in changes_between(t, 0, 1).collect())
+    assert f01 == [(2, "b2", "update"), (3, "c", "insert")]
+    f12 = sorted((r.id, r.v, r._change_type) for r in changes_between(t, 1, 2).collect())
+    assert f12 == [(1, "a", "delete"), (3, "c3", "update"), (4, "d", "insert")]
+    # identity: no changes between a version and itself
+    assert changes_between(t, 2, 2).count() == 0
