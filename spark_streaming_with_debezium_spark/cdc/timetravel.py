@@ -351,3 +351,59 @@ def reduce_and(conds):
     from functools import reduce
 
     return reduce(lambda x, y: x & y, conds)
+
+
+def purge_keys(table: TimeTravelStateTable, keys: DataFrame) -> dict[str, int]:
+    """Right-to-be-forgotten: scrub every row matching ``keys`` (on the
+    table's key columns) from the CURRENT state, the base SNAPSHOT, and
+    every retained LOG partition — after this, no ``read()``, ``as_of``
+    or ``changes_between`` at any version can reproduce the keys.
+    Unlike a tombstone merge (which deletes forward but leaves history
+    replayable), purge rewrites history itself — the GDPR/erasure
+    semantics a lake table needs out-of-band of normal CDC flow.
+
+    Keys are a broadcast anti-join side (erasure requests are small by
+    nature). Each directory is rewritten with the same RENAME-ONLY
+    swap discipline as ``compact_log`` (materialize aside → two atomic
+    renames → delete aside last), applied snapshot → log → current:
+    every crash state holds at least one complete copy of each
+    directory, and re-invoking purge with the same keys completes an
+    interrupted scrub (each step is idempotent — an anti join of
+    already-purged data is a no-op rewrite). Returns rows dropped per
+    store. At 100 TB: one bounded rewrite per store; the log rewrite
+    preserves ``_batch_seq`` partitioning so as_of pruning is intact."""
+    spark = table.spark
+    k = F.broadcast(keys.select(*table.key_cols).distinct())
+
+    def swap_in(dir_path: str, purged: DataFrame, part_col: str | None) -> None:
+        tmp, old = dir_path + "_purging", dir_path + "_purged_old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        w = purged.write.mode("overwrite")
+        if part_col:
+            w = w.partitionBy(part_col)
+        w.parquet(tmp)
+        os.rename(dir_path, old)
+        os.rename(tmp, dir_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    dropped: dict[str, int] = {}
+    # snapshot (plain parquet)
+    snap = spark.read.parquet(table._snap_dir)
+    keep = snap.join(k, table.key_cols, "left_anti")
+    dropped["snapshot"] = snap.count() - keep.count()
+    swap_in(table._snap_dir, keep, None)
+    # log (partitioned by _batch_seq) — may not exist yet
+    if os.path.isdir(table._log_dir):
+        log = spark.read.parquet(table._log_dir)
+        keep = log.join(k, table.key_cols, "left_anti")
+        dropped["log"] = log.count() - keep.count()
+        swap_in(table._log_dir, keep, "_batch_seq")
+    else:
+        dropped["log"] = 0
+    # current state — rewrite through the state table's own bucketed
+    # init so layout invariants (bucket dirs) are preserved
+    cur = table.current.read()
+    keep = cur.join(k, table.key_cols, "left_anti")
+    dropped["current"] = cur.count() - keep.count()
+    table.current.init(keep)
+    return dropped

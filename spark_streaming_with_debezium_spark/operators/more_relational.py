@@ -1749,3 +1749,54 @@ def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderpriority").alias("priority_min"),
         F.max("o_orderpriority").alias("priority_max"),
     )
+
+
+@query(
+    "events_path_trigrams",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM ordered WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, path
+    LIMIT 15
+    """,
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining: the most common 3-step event-type
+    paths across user streams (``events_markov_transitions`` gives the
+    1-step matrix; trigrams expose the actual journeys — the
+    signup>browse>purchase shapes funnels are built from), with both
+    occurrence and distinct-user support counts. Ordering is total per
+    user ((ts, event_id)), so every engine segments identical paths.
+
+    One window shuffle on user_id (uniform key, lead() needs no
+    frame buffering beyond 2 rows), one map-side-combined path rollup,
+    top-k as TakeOrderedAndProject. Nothing here holds more than
+    O(paths) aggregated state."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    path = F.concat_ws(">", "event_type", "e2", "e3")
+    return (
+        ordered.groupBy(path.alias("path"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "path")
+        .limit(15)
+    )

@@ -347,3 +347,39 @@ def test_changes_between_versions(spark, tmp_path):
     assert f12 == [(1, "a", "delete"), (3, "c3", "update"), (4, "d", "insert")]
     # identity: no changes between a version and itself
     assert changes_between(t, 2, 2).count() == 0
+
+
+def test_purge_keys_scrubs_history(spark, tmp_path):
+    """After purge, the key is gone from read(), EVERY as_of version,
+    and the change feed; other keys' history is untouched; re-running
+    the purge is a no-op."""
+    from spark_streaming_with_debezium_spark.cdc.timetravel import (
+        changes_between,
+        purge_keys,
+    )
+
+    t = TimeTravelStateTable(spark, str(tmp_path / "tt"), ["id"], n_buckets=4)
+    t.init(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    t.merge_logged(
+        spark.createDataFrame(
+            [(1, "a2", False), (3, "c", False)],
+            "id long, v string, deleted boolean",
+        )
+    )
+    keys = spark.createDataFrame([(1,)], "id long")
+    dropped = purge_keys(t, keys)
+    assert dropped["snapshot"] == 1 and dropped["log"] == 1
+    assert dropped["current"] == 1
+    for seq in (0, 1):
+        ids = {r.id for r in t.as_of(seq).collect()}
+        assert 1 not in ids, seq
+    assert {r.id for r in t.read().collect()} == {2, 3}
+    assert _rows(t.as_of(1)) == [(2, "b"), (3, "c")]
+    feed = {(r.id, r._change_type) for r in changes_between(t, 0, 1).collect()}
+    assert feed == {(3, "insert")}
+    # idempotent re-run
+    dropped2 = purge_keys(t, keys)
+    assert dropped2 == {"snapshot": 0, "log": 0, "current": 0}
+    # a reopened table still recovers sequence + serves purged history
+    t2 = TimeTravelStateTable(spark, str(tmp_path / "tt"), ["id"], n_buckets=4)
+    assert _rows(t2.as_of(1)) == [(2, "b"), (3, "c")]
