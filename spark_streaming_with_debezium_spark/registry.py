@@ -149,6 +149,7 @@ _PRIORITY = (
     "text_boilerplate_ngrams",
     "dq_profile_orders",
     "text_heavy_hitter_tokens",
+    "events_path_trigrams",
     "events_funnel",
     "sample_weights_by_source",
     "multimodal_fake_decode",
