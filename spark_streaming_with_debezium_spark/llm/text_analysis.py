@@ -944,11 +944,16 @@ def text_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a partition's summary has local count ≤ local_N/4096. The
     union of partition summaries is therefore a PROVABLE superset of
     every global ≥ N/4096 token (⊇ the reported ≥ N/512 set), and the
-    exact recount touches only candidates via a semi join. At 100 TB
-    the full-vocabulary groupBy would shuffle billions of distinct
-    (token, count) pairs; this shuffles ≤ 4096 × partitions candidate
-    rows plus their recount. Guarantee asserted against the full
-    groupBy in ``test_heavy_hitter_candidates_superset``."""
+    exact recount touches only candidates via a broadcast semi join.
+    TWO corpus scans total: the MG pass also tallies its partition's
+    token count (one extra summary row per partition), so candidates
+    AND the global N come back in one bounded driver collect
+    (≤ (k+1) × partitions rows — the repo's bounded-list convention)
+    instead of a third scan for the total. At 100 TB the
+    full-vocabulary groupBy would shuffle billions of distinct
+    (token, count) pairs; this shuffles only the candidate recount.
+    Guarantee asserted against the full groupBy in
+    ``test_heavy_hitter_candidates_superset``."""
     import pandas as pd
 
     from spark_streaming_with_debezium_spark.llm.corpus_rules import (
@@ -963,7 +968,9 @@ def text_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def mg_summary(batches):
         counts: pd.Series = pd.Series(dtype="int64")
+        n_local = 0
         for pdf in batches:
+            n_local += len(pdf)
             counts = counts.add(pdf["token"].value_counts(), fill_value=0)
             if len(counts) > k_mg:
                 # mergeable-MG prune: subtract the (k+1)-th largest
@@ -971,17 +978,27 @@ def text_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cut = counts.nlargest(k_mg + 1).iloc[-1]
                 counts = counts - cut
                 counts = counts[counts > 0]
-        yield pd.DataFrame({"token": counts.index.astype(str)})
+        yield pd.DataFrame(
+            {
+                "token": list(counts.index.astype(str)) + [None],
+                "n_local": [0] * len(counts) + [n_local],
+            }
+        )
 
-    cand = toks.mapInPandas(mg_summary, "token string").distinct()
-    tot = F.broadcast(toks.agg(F.count(F.lit(1)).alias("n")))
-    exact = (
+    summary = toks.mapInPandas(
+        mg_summary, "token string, n_local long"
+    ).collect()
+    n_total = sum(r.n_local for r in summary if r.token is None)
+    cand_tokens = sorted({r.token for r in summary if r.token is not None})
+    if not cand_tokens or n_total == 0:
+        return spark.createDataFrame([], "token string, freq long")
+    cand = F.broadcast(
+        spark.createDataFrame([(t,) for t in cand_tokens], "token string")
+    )
+    return (
         toks.join(cand, "token", "left_semi")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    return (
-        exact.crossJoin(tot)
-        .filter(F.col("freq") * 512 >= F.col("n"))
+        .filter(F.col("freq") * 512 >= F.lit(n_total))
         .select("token", "freq")
     )
