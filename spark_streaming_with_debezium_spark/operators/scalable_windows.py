@@ -40,6 +40,8 @@ def quantile_boundaries(
     """One-pass approximate bucket boundaries for each key column
     (cast to double first; callers negate for DESC orders). Returns a
     sorted, deduped boundary list per column."""
+    if n_buckets <= 1:  # single bucket: no boundary pass needed
+        return [[] for _ in key_cols]
     probs = [i / n_buckets for i in range(1, n_buckets)]
     raw = df.stat.approxQuantile(list(key_cols), probs, 0.01)
     return [sorted(set(b)) for b in raw]

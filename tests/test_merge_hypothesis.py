@@ -52,3 +52,71 @@ def test_merge_equals_sequential_replay(spark, events, n_batches):
         state = apply_changes(state, latest, ["k"])
     got = {r.k: r.v for r in state.collect()}
     assert got == expected
+
+
+VALS = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),  # sort key (dupes likely)
+        st.integers(min_value=0, max_value=9),  # tiebreak id component
+        st.integers(min_value=0, max_value=100),  # value to cumsum
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(rows=VALS, n_buckets=st.integers(min_value=1, max_value=8), k=st.integers(min_value=2, max_value=5))
+def test_scalable_window_equals_naive_any_data(spark, rows, n_buckets, k):
+    """For ANY data (heavy duplicate sort keys, constant columns, tiny
+    N, any bucket count): bucketed global running sum + rank must equal
+    the naive global window, and ntile_from_rank must equal F.ntile."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_streaming_with_debezium_spark.operators.scalable_windows import (
+        global_ordered_running,
+        ntile_from_rank,
+    )
+
+    # unique row ids for a total order
+    data = [(a, i, v) for i, (a, _t, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "a long, rid long, v long")
+    order = ["a", "rid"]
+    got = global_ordered_running(
+        df,
+        key=F.col("a"),
+        order_cols=order,
+        sums={"cum": F.col("v")},
+        rank_name="rk",
+        n_buckets=n_buckets,
+    ).select("rid", "cum", "rk")
+    w = Window.orderBy(*order)
+    want = df.select(
+        "rid",
+        F.sum("v")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.row_number().over(w).alias("rk"),
+    )
+    g = sorted(map(tuple, got.collect()))
+    n = len(data)
+    assert g == sorted(map(tuple, want.collect()))
+    tiles = {
+        r.rid: r.t
+        for r in global_ordered_running(
+            df, key=F.col("a"), order_cols=order, rank_name="rk",
+            n_buckets=n_buckets,
+        )
+        .select("rid", ntile_from_rank(F.col("rk"), F.lit(n), k).alias("t"))
+        .collect()
+    }
+    ref = {
+        r.rid: r.t
+        for r in df.select("rid", F.ntile(k).over(w).alias("t")).collect()
+    }
+    assert tiles == ref
