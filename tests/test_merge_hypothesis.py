@@ -120,3 +120,56 @@ def test_scalable_window_equals_naive_any_data(spark, rows, n_buckets, k):
         for r in df.select("rid", F.ntile(k).over(w).alias("t")).collect()
     }
     assert tiles == ref
+
+
+UD = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),  # user
+        st.integers(min_value=0, max_value=14),  # day ordinal
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(pairs=UD, t=st.integers(min_value=1, max_value=5))
+def test_prefix_filter_candidates_superset_any_data(spark, pairs, t):
+    """SSJoin prefix-filtering completeness on ARBITRARY (user, day)
+    sets: for any overlap threshold T, the candidate set must contain
+    every user pair sharing >= T days (hot days, singleton users,
+    duplicate rows and all)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_with_debezium_spark.operators.more_relational import (
+        _similarity_candidates,
+    )
+
+    base = datetime.date(2024, 1, 1)
+    rows = sorted({(u, base + datetime.timedelta(days=d)) for u, d in pairs})
+    ud = spark.createDataFrame(rows, "user_id long, day date").withColumn(
+        "n", F.lit(1).cast("long")
+    )
+    cand = {
+        (r.user_a, r.user_b)
+        for r in _similarity_candidates(ud, min_days=t).collect()
+    }
+    from collections import defaultdict
+
+    byu = defaultdict(set)
+    for u, d in rows:
+        byu[u].add(d)
+    users = sorted(byu)
+    expected = {
+        (a, b)
+        for i, a in enumerate(users)
+        for b in users[i + 1 :]
+        if len(byu[a] & byu[b]) >= t
+    }
+    assert expected <= cand

@@ -952,3 +952,49 @@ def test_streaming_heavy_hitters_bounded_state(spark, tmp_path):
     }
     assert "x" in got and 0 < got["x"] <= 8
     assert len(got) <= 2  # state bounded at k counters
+
+
+def test_stream_static_enrich_picks_up_dim_refresh(spark, tmp_path):
+    """The static side of a stream-static join is re-resolved from its
+    path, so a rewritten dimension serves the NEW attributes to rows
+    processed after the refresh — no stream-side state, no plan
+    rebuild beyond restart (parquet sink + checkpoint)."""
+    from spark_streaming_with_debezium_spark.streaming.jobs import (
+        enrich_stream_with_dim,
+    )
+
+    dimp = str(tmp_path / "dim")
+    spark.createDataFrame([(1, "gold")], "user_id long, tier string").write.mode(
+        "overwrite"
+    ).parquet(dimp)
+    src = tmp_path / "ev"
+    src.mkdir()
+    _write_events(src / "b1.json", [(0, "2024-01-01 00:00:00", 1, "a", 1.0)])
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        stream = events_file_stream(spark, str(src))
+        enriched = enrich_stream_with_dim(
+            stream, spark.read.parquet(dimp), "user_id", how="left"
+        ).select("event_id", "user_id", "tier")
+        q = (
+            enriched.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    # refresh the dimension, then deliver a second file
+    spark.createDataFrame(
+        [(1, "platinum")], "user_id long, tier string"
+    ).write.mode("overwrite").parquet(dimp)
+    _write_events(src / "b2.json", [(1, "2024-01-01 01:00:00", 1, "a", 1.0)])
+    drain()
+
+    got = {
+        (r.event_id, r.tier) for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(0, "gold"), (1, "platinum")}
