@@ -208,3 +208,70 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     only cutoff included."""
     d = load_table(spark, sf_dir, "documents")
     return frame_sample(with_media_columns(d))
+
+
+def resize_media(df: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """'Resize' opaque media payloads to ≤ ``target_bytes`` by
+    deterministic stride decimation (every s-th byte, s = ⌈n/target⌉) —
+    the binary-in / binary-out plumbing of an image/audio resampler
+    (batch shapes, Arrow transfer, size bookkeeping) with a stand-in
+    kernel, exactly like :func:`decode_media`'s fake decoder. A real
+    codec drops into the same ``batches`` body."""
+    out_schema = (
+        "doc_id bigint, n_bytes_in bigint, n_bytes_out bigint, "
+        "resized binary"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if not b:
+                    continue
+                s = (len(b) + target_bytes - 1) // target_bytes
+                out = b[::s]
+                rows.append((doc_id, len(b), len(out), bytearray(out)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_bytes_in", "n_bytes_out", "resized"],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, out_schema)
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n
+      FROM documents
+    ), p AS (
+      SELECT doc_id, h, n, (n + 63) // 64 AS s FROM b WHERE n > 0
+    ), bytes AS (
+      SELECT doc_id, n, i,
+             substr(h, 1 + 2 * CAST(i AS BIGINT) * s, 2) AS byte_hex
+      FROM p, UNNEST(range(0, (n + s - 1) // s)) AS t(i)
+    )
+    SELECT doc_id, n AS n_bytes_in,
+           CAST(COUNT(*) AS BIGINT) AS n_bytes_out,
+           string_agg(byte_hex, '' ORDER BY i) AS resized_hex
+    FROM bytes GROUP BY doc_id, n
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-decimation resize (≤64 output bytes) through the
+    mapInPandas media path. The oracle reassembles the decimated
+    payload independently from hex slices (byte i of the output is
+    input byte i·s, i.e. hex chars [1+2is, +2)), so the driver
+    hash-checks the resampler's byte selection, output length
+    bookkeeping, and the ⌈n/target⌉ stride arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    resized = resize_media(with_media_columns(d))
+    return resized.select(
+        "doc_id",
+        "n_bytes_in",
+        "n_bytes_out",
+        F.upper(F.hex("resized")).alias("resized_hex"),
+    )

@@ -150,6 +150,7 @@ _PRIORITY = (
     "dq_profile_orders",
     "text_heavy_hitter_tokens",
     "events_path_trigrams",
+    "multimodal_resize",
     "events_funnel",
     "sample_weights_by_source",
     "multimodal_fake_decode",
