@@ -497,22 +497,41 @@ def curriculum_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     score are broken by doc_id, so the same document always lands in
     the same tier on every engine and partitioning.
 
-    One window shuffle partitioned by lang + one tiny rollup. Lang is
-    a skewed key (en dominates); at 100 TB pre-aggregate the ntile
-    boundaries from approx quantiles instead (two scans, no giant
-    window partition) — the quintile SEMANTICS here are the contract
-    that variant must match."""
+    Lang is a skewed key (en dominates), so a plain
+    ``Window.partitionBy(lang)`` ntile sorts half the corpus in one
+    task at 100 TB. Round-5 fix: exact per-lang ranks from the
+    GROUPED bucketed-cumulative helper (per-lang percentile_approx
+    boundaries → (lang, bucket) windows → per-bucket offsets —
+    operators/scalable_windows.py) re-expressed as ntile(5) by
+    integer arithmetic over per-lang counts. Identical quintile
+    semantics, unchanged oracle; bounded sorts at any skew."""
+    from spark_streaming_with_debezium_spark.operators.scalable_windows import (
+        grouped_ordered_running,
+        ntile_from_rank,
+    )
+
     d = load_table(spark, sf_dir, "documents")
     # the ONE tokenizer definition (corpus_rules) — a tokenizer change
     # cannot diverge between the gates/packing and the curriculum tiers
     n_words = token_count("text").cast("long")
-    w = Window.partitionBy("lang").orderBy(n_words, "doc_id")
-    scored = d.select(
-        "lang",
-        n_words.alias("n_words"),
-        F.ntile(5).over(w).alias("tier"),
+    scored = d.select("lang", "doc_id", n_words.alias("n_words"))
+    ranked = grouped_ordered_running(
+        scored,
+        group_cols=["lang"],
+        key=F.col("n_words"),
+        order_cols=["n_words", "doc_id"],
+        rank_name="_lrk",
+        n_buckets=16,
     )
-    return scored.groupBy("lang", "tier").agg(
+    per_lang = F.broadcast(
+        scored.groupBy("lang").agg(F.count(F.lit(1)).alias("_ln"))
+    )
+    tiered = ranked.join(per_lang, "lang").select(
+        "lang",
+        "n_words",
+        ntile_from_rank(F.col("_lrk"), F.col("_ln"), 5).alias("tier"),
+    )
+    return tiered.groupBy("lang", "tier").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("n_words").alias("min_words"),
         F.max("n_words").alias("max_words"),

@@ -141,3 +141,92 @@ def ntile_from_rank(rank: Column, total: Column, k: int) -> Column:
     return (
         F.when(rk <= thresh, in_big).otherwise(rem + in_small).cast("int")
     )
+
+
+def grouped_ordered_running(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key: Column,
+    order_cols: Sequence[Column | str],
+    sums: Mapping[str, Column] | None = None,
+    rank_name: str | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-GROUP exact running sums / row numbers without giant group
+    partitions: the grouped face of :func:`global_ordered_running` for
+    skewed group keys (one language holding half the corpus turns a
+    ``Window.partitionBy(lang)`` sort into a near-global single task).
+
+    Boundaries come from one ``percentile_approx`` aggregate per group
+    (a tiny (groups × n_buckets) table, broadcast back); rows bucket
+    by their group's boundary array; the window partitions on
+    (group, bucket) — bounded sorts at any skew — and per-bucket
+    offsets cumulate over the tiny totals table partitioned by group
+    (≤ n_buckets rows per group, never a global sort). Bit-identical
+    to the naive per-group window; NULL keys unsupported (callers
+    pass non-null metrics)."""
+    sums = dict(sums or {})
+    gcols = list(group_cols)
+    df2 = df.withColumn("_key", key.cast("double"))
+    if n_buckets <= 1:
+        # single bucket: skip the boundary aggregate entirely
+        df3 = df2.withColumn("_bkt", F.lit(0)).withColumn(
+            "_bounds", F.array().cast("array<double>")
+        )
+    else:
+        probs = F.array(
+            *[F.lit(i / n_buckets) for i in range(1, n_buckets)]
+        )
+        bounds = df2.groupBy(*gcols).agg(
+            F.sort_array(
+                F.array_distinct(F.percentile_approx("_key", probs, 10_000))
+            ).alias("_bounds")
+        )
+        df3 = df2.join(F.broadcast(bounds), gcols).withColumn(
+            "_bkt",
+            F.coalesce(
+                F.size(F.filter("_bounds", lambda b: b < F.col("_key"))),
+                F.lit(0),
+            ),
+        )
+    w_rank = Window.partitionBy(*gcols, "_bkt").orderBy(*order_cols)
+    w_run = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    within = df3
+    for name, col in sums.items():
+        within = within.withColumn(f"_run_{name}", F.sum(col).over(w_run))
+    if rank_name:
+        within = within.withColumn("_rn", F.row_number().over(w_rank))
+    totals = df3.groupBy(*gcols, "_bkt").agg(
+        *[F.sum(c).alias(f"_tot_{n}") for n, c in sums.items()],
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    # tiny frame: ≤ n_buckets rows PER GROUP (partitioned, never global)
+    w_off = (
+        Window.partitionBy(*gcols)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = totals.select(
+        *gcols,
+        "_bkt",
+        *[
+            F.coalesce(F.sum(f"_tot_{n}").over(w_off), F.lit(0)).alias(
+                f"_off_{n}"
+            )
+            for n in sums
+        ],
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off_rn"),
+    )
+    out = within.join(F.broadcast(off), [*gcols, "_bkt"])
+    for name in sums:
+        out = out.withColumn(
+            name, F.col(f"_run_{name}") + F.col(f"_off_{name}")
+        )
+    if rank_name:
+        out = out.withColumn(rank_name, F.col("_rn") + F.col("_off_rn"))
+    drop = (
+        ["_key", "_bkt", "_bounds", "_rn", "_off_rn"]
+        + [f"_run_{n}" for n in sums]
+        + [f"_off_{n}" for n in sums]
+    )
+    return out.drop(*drop)

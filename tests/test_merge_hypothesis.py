@@ -173,3 +173,62 @@ def test_prefix_filter_candidates_superset_any_data(spark, pairs, t):
         if len(byu[a] & byu[b]) >= t
     }
     assert expected <= cand
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(rows=VALS, n_buckets=st.integers(min_value=1, max_value=6), k=st.integers(min_value=2, max_value=5))
+def test_grouped_window_equals_naive_any_data(spark, rows, n_buckets, k):
+    """grouped_ordered_running must equal the naive per-group window on
+    ANY data (skewed groups, duplicate keys, singleton groups), and
+    per-group ntile_from_rank must equal F.ntile over the group."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_streaming_with_debezium_spark.operators.scalable_windows import (
+        grouped_ordered_running,
+        ntile_from_rank,
+    )
+
+    data = [(a % 3, a, i, v) for i, (a, _t, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g long, a long, rid long, v long")
+    order = ["a", "rid"]
+    got = grouped_ordered_running(
+        df,
+        group_cols=["g"],
+        key=F.col("a"),
+        order_cols=order,
+        sums={"cum": F.col("v")},
+        rank_name="rk",
+        n_buckets=n_buckets,
+    ).select("rid", "cum", "rk")
+    w = Window.partitionBy("g").orderBy(*order)
+    want = df.select(
+        "rid",
+        F.sum("v")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.row_number().over(w).alias("rk"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    counts = F.broadcast(df.groupBy("g").agg(F.count(F.lit(1)).alias("_n")))
+    tiles = {
+        r.rid: r.t
+        for r in grouped_ordered_running(
+            df, group_cols=["g"], key=F.col("a"), order_cols=order,
+            rank_name="rk", n_buckets=n_buckets,
+        )
+        .join(counts, "g")
+        .select("rid", ntile_from_rank(F.col("rk"), F.col("_n"), k).alias("t"))
+        .collect()
+    }
+    ref = {
+        r.rid: r.t
+        for r in df.select("rid", F.ntile(k).over(w).alias("t")).collect()
+    }
+    assert tiles == ref
