@@ -93,12 +93,38 @@ def curate(docs: DataFrame) -> DataFrame:
     )
     dirty = contaminated_train_ids(assigned.select("doc_id", "split", "text"))
     assigned = assigned.join(dirty, "doc_id", "left_anti")
-    w = (
+    # packing running-sum sharded to (split, source, doc_id-bucket) with
+    # broadcast per-bucket offsets — the same round-5 fix as the
+    # standalone pack_sequences query: (split, source) streams are few
+    # and large, so an unsharded window sorts an entire stream in ONE
+    # task at 100 TB; floor(doc_id/bucket) is monotonic so per-stream
+    # doc_id order (and therefore every offset) is bit-identical
+    bucket_docs = 8192
+    assigned = assigned.withColumn(
+        "_bkt", F.floor(F.col("doc_id") / bucket_docs)
+    )
+    w_off = (
         Window.partitionBy("split", "source")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        assigned.groupBy("split", "source", "_bkt")
+        .agg(F.sum("n_tokens").alias("_tot"))
+        .select(
+            "split",
+            "source",
+            "_bkt",
+            F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off"),
+        )
+    )
+    w = (
+        Window.partitionBy("split", "source", "_bkt")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    assigned = assigned.join(F.broadcast(offsets), ["split", "source", "_bkt"])
+    start = F.sum("n_tokens").over(w) + F.col("_off") - F.col("n_tokens")
     return assigned.select(
         "doc_id",
         "lang",

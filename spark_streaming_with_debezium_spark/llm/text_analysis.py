@@ -543,11 +543,17 @@ def _bm25_scored(d: DataFrame) -> DataFrame:
         .groupBy("doc_id", "dl", "tok")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
-    from pyspark.sql import Window
-
-    j = tf.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("tok")).cast("double")
-    ).crossJoin(stats)
+    # df per term via groupBy + BROADCAST join, not a window over tok:
+    # with 4 query terms, a tok-partitioned window (or a shuffle join
+    # on tok) funnels every tf row through 4 tasks — a single-reducer
+    # gather per term at corpus scale. The broadcast join leaves tf
+    # unshuffled; its price is one extra corpus scan for the tiny
+    # (≤ |terms| rows) df aggregate, which parallelizes
+    # embarrassingly, while the gather does not. (Exchange reuse
+    # cannot collapse the two tf subtrees: column pruning legitimately
+    # rewrites the df side's inner aggregate.)
+    dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    j = tf.join(F.broadcast(dfc), "tok").crossJoin(stats)
     idf = F.log(
         F.lit(1) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
@@ -600,13 +606,13 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ln(N/df)), the metadata-enrichment step that tags every document
     with its most distinctive vocabulary (≥4-char terms). Rank orders
     by the ROUNDED score with the term as tie-break, so the top-3 set
-    is total-ordered and engine-independent; df comes from a window
-    over the tf frame (no second tokenize scan — the same
-    single-consumer discipline as text_bm25_topk).
+    is total-ordered and engine-independent; df comes from a
+    groupBy(term) whose exchange AQE reuses against the tf probe side
+    (no second tokenize scan, no single-task term gather).
 
-    Scale: one corpus scan; shuffles on (doc_id, term), term, doc_id —
-    all uniform keys (the ≥4-char filter drops the stop-word-shaped
-    head of the term distribution before the term window)."""
+    Scale: one corpus scan at runtime; shuffles on (doc_id, term),
+    term, doc_id — the term join is AQE-skew-splittable where a
+    term-partitioned window would straggle on hot terms."""
     d = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
@@ -622,13 +628,14 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
-    scored = tf.crossJoin(n_docs).withColumn(
+    # df per term via groupBy + (AQE-sized, skew-splittable) join — a
+    # tok-partitioned window gathers each term's rows in ONE task, and
+    # stop-word-shaped hot terms make that a straggler at 100 TB; the
+    # join routes through AQE's skew handling instead
+    dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    scored = tf.join(dfc, "tok").crossJoin(n_docs).withColumn(
         "score",
-        F.col("tf")
-        * F.log(
-            F.col("n_docs")
-            / F.count(F.lit(1)).over(Window.partitionBy("tok")).cast("double")
-        ),
+        F.col("tf") * F.log(F.col("n_docs") / F.col("df")),
     )
     ranked = scored.select(
         "doc_id",

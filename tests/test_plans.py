@@ -219,15 +219,25 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
 
 
 def test_bm25_plans_take_ordered_two_scans(spark, sf_dir):
-    """BM25: top-k must plan as TakeOrderedAndProject (no global sort),
-    and the corpus must be scanned at most twice (stats + tokenize; dl
-    rides the explode and df is a window over tf, not extra scans)."""
+    """BM25: top-k must plan as TakeOrderedAndProject (no global sort);
+    df must reach tf through a BROADCAST join (round-5 fix: a
+    tok-partitioned window — or shuffle join on tok — gathers every
+    tf row into |terms| tasks; the broadcast leaves tf unshuffled at
+    the price of one extra, embarrassingly-parallel corpus scan, so
+    the scan budget is now 3)."""
     from spark_streaming_with_debezium_spark.plans.explain import _single_plan
 
     df = QUERIES["text_bm25_topk"].fn(spark, sf_dir)
     txt = _single_plan(df)
     assert "TakeOrderedAndProject" in txt, txt
-    assert txt.count("Scan parquet") <= 2, txt
+    assert txt.count("Scan parquet") <= 3, txt
+    # no tok-partitioned Window (the per-term gather); the build side's
+    # tiny partial-agg exchange on tok is fine — it carries ≤ |terms|
+    # rows per mapper
+    assert not any(
+        "Window [" in line and "tok" in line for line in txt.splitlines()
+    ), txt
+    assert "BroadcastHashJoin" in txt, txt
 
 
 def test_curation_funnel_single_scan_single_window(spark, sf_dir):
