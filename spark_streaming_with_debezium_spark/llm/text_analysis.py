@@ -695,11 +695,18 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rank ties break on the token so ranks are total-ordered; the
     ln() inputs are then identical integers on both engines, and the
     OLS runs on decimal-accumulated sufficient statistics (the
-    agg_linreg_exact discipline). One shuffle on (lang, token), a
-    per-lang rank window, and an O(types) fit."""
-    d = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
+    agg_linreg_exact discipline). One shuffle on (lang, token); ranks
+    come from the GROUPED bucketed-cumulative helper (round-5: this
+    window has no rank≤k filter, so WindowGroupLimit cannot prune it
+    and a per-lang window would sort each language's ENTIRE vocabulary
+    in one task — grouped_ordered_running bounds the sorts at any
+    vocab size under identical rank semantics); then an O(types)
+    fit."""
+    from spark_streaming_with_debezium_spark.operators.scalable_windows import (
+        grouped_ordered_running,
+    )
 
+    d = load_table(spark, sf_dir, "documents")
     tf = (
         d.select(
             "lang", F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("tok")
@@ -707,12 +714,16 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "tok")
         .agg(F.count(F.lit(1)).cast("double").alias("freq"))
     )
-    rank = F.row_number().over(
-        Window.partitionBy("lang").orderBy(F.col("freq").desc(), "tok")
-    )
-    ranked = tf.select(
+    ranked = grouped_ordered_running(
+        tf,
+        group_cols=["lang"],
+        key=-F.col("freq"),
+        order_cols=[F.col("freq").desc(), "tok"],
+        rank_name="_rk",
+        n_buckets=16,
+    ).select(
         "lang",
-        F.log(rank.cast("double")).alias("lx"),
+        F.log(F.col("_rk").cast("double")).alias("lx"),
         F.log("freq").alias("ly"),
     )
     dec = "decimal(38,12)"

@@ -419,3 +419,20 @@ def test_zorder_layout_skips_files(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(zpath).filter(pred).collect()))
     b = sorted(map(tuple, spark.read.parquet(rpath).filter(pred).collect()))
     assert a == b
+
+
+def test_per_group_topk_windows_use_group_limit(spark, sf_dir):
+    """Per-group top-k rank windows must carry Spark's WindowGroupLimit
+    (partial + final): each mapper keeps only k rows per group BEFORE
+    the shuffle, which is what makes a rank<=k window scale-safe on
+    skewed groups. Full-ranking windows (no k filter) can't get this —
+    those must go through scalable_windows instead (census-gated)."""
+    from spark_streaming_with_debezium_spark.plans.explain import _single_plan
+
+    for name in (
+        "sample_hash_topk_per_group",
+        "window_rank_topk_per_group",
+        "text_keywords_tfidf",
+    ):
+        txt = _single_plan(QUERIES[name].fn(spark, sf_dir))
+        assert txt.count("WindowGroupLimit") >= 2, f"{name}: {txt}"
