@@ -419,3 +419,69 @@ def test_dead_letter_routing(spark, tmp_path):
     assert sorted(r.offset for r in dl.collect()) == [1, 2]
     final = run_replay(spark, tmp_path, SNAPSHOT, [rows])
     assert final[1][0] == "A"  # good row merged; bad rows skipped
+
+
+def test_mart_job_end_to_end(spark, sf_dir, tmp_path):
+    """The CDC-to-marts build: customer_360 agrees row-for-row with the
+    state x dims join, region_balance agrees with the oracle-checked
+    cdc_state_rollup query, per-nation top-5 ranks are correct against
+    a recomputation, and a re-run is idempotent."""
+    from spark_streaming_with_debezium_spark.cdc.mart_job import (
+        build_customer_360,
+        run_mart_job,
+    )
+    from spark_streaming_with_debezium_spark.operators.cdc_queries import (
+        cdc_state_rollup,
+    )
+
+    out = str(tmp_path / "marts")
+    stats = run_mart_job(spark, sf_dir, out)
+    assert stats.n_customer_360 == stats.n_state_rows > 0
+
+    import pyspark.sql.functions as F
+
+    c360 = spark.read.parquet(out + "/customer_360")
+    want = {
+        tuple(r)
+        for r in build_customer_360(spark, sf_dir)
+        .select("c_custkey", "c_acctbal", "nation", "region")
+        .collect()
+    }
+    got = {
+        tuple(r)
+        for r in c360.select("c_custkey", "c_acctbal", "nation", "region").collect()
+    }
+    assert got == want
+
+    rollup = {
+        (r.r_name, r.n_customers)
+        for r in spark.read.parquet(out + "/region_balance").collect()
+    }
+    ref = {
+        (r.r_name, r.n_customers)
+        for r in cdc_state_rollup(spark, sf_dir).collect()
+    }
+    assert rollup == ref
+
+    topc = spark.read.parquet(out + "/nation_top_customers")
+    per_nation = {}
+    for r in topc.collect():
+        per_nation.setdefault(r.nation, []).append(r)
+    for nation, rows in per_nation.items():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1)), nation
+        balances = [r.c_acctbal for r in rows]
+        assert balances == sorted(balances, reverse=True), nation
+    # top-5 really is the max balance set per nation
+    nation_max = {
+        r.nation: r.mx
+        for r in build_customer_360(spark, sf_dir)
+        .groupBy("nation")
+        .agg(F.max("c_acctbal").alias("mx"))
+        .collect()
+    }
+    for nation, rows in per_nation.items():
+        assert rows[0].c_acctbal == nation_max[nation], nation
+
+    stats2 = run_mart_job(spark, sf_dir, out)
+    assert stats2 == stats
