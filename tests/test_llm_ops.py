@@ -444,3 +444,49 @@ def test_heavy_hitter_candidates_superset(spark, sf_dir):
     # every reported token sits inside the MG capture zone (N/512 ≥
     # N/4096), so the superset guarantee is what made got == want
     assert {t for t, _ in want} <= heavy_true
+
+
+def test_job_clis_run_end_to_end(tmp_path):
+    """The spark-submit-able mains are the user-facing entrypoints —
+    run both through their real argv paths in a subprocess-free way
+    (main() builds its own session via get_spark and stops it)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "spark_streaming_with_debezium_spark.llm.curation_job",
+            "--input",
+            "/root/testdata/sf0.001",
+            "--output",
+            str(tmp_path / "corpus"),
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "curation done:" in out.stdout, out.stdout
+    out2 = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "spark_streaming_with_debezium_spark.cdc.mart_job",
+            "--input",
+            "/root/testdata/sf0.001",
+            "--output",
+            str(tmp_path / "marts"),
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert "marts done:" in out2.stdout, out2.stdout
