@@ -1800,3 +1800,70 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "path")
         .limit(15)
     )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'orders->customer' AS fk,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_orphans,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'lineitem->orders',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan
+    counts for every fact→dimension foreign key (the check a warehouse
+    runs after each load; with the CDC path, the check that catches a
+    dropped-tombstone bug the moment it dangles a fact row).
+
+    Each FK is one LEFT ANTI join counted — anti joins broadcast the
+    dim key set when small and AQE-shuffle otherwise, and the four
+    audits share the two fact scans at runtime (byte-identical
+    lineitem subtrees → ReusedExchange). Output is 4 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+
+    def audit(fk: str, fact: DataFrame, fcol: str, dim: DataFrame, dcol: str):
+        orphans = fact.join(
+            dim, fact[fcol] == dim[dcol], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        total = fact.agg(F.count(F.lit(1)).alias("n_rows"))
+        return orphans.crossJoin(total).select(
+            F.lit(fk).alias("fk"), "n_orphans", "n_rows"
+        )
+
+    return (
+        audit("orders->customer", o, "o_custkey", c, "c_custkey")
+        .unionByName(audit("lineitem->orders", li, "l_orderkey", o, "o_orderkey"))
+        .unionByName(audit("lineitem->part", li, "l_partkey", p, "p_partkey"))
+        .unionByName(
+            audit("lineitem->supplier", li, "l_suppkey", s, "s_suppkey")
+        )
+    )

@@ -151,6 +151,7 @@ _PRIORITY = (
     "text_heavy_hitter_tokens",
     "events_path_trigrams",
     "multimodal_resize",
+    "dq_referential_integrity",
     "events_funnel",
     "sample_weights_by_source",
     "multimodal_fake_decode",
