@@ -30,16 +30,15 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spark_streaming_with_debezium_spark.llm.pipeline_ops import (
-    contaminated_train_ids,
-)
-
 from spark_streaming_with_debezium_spark.llm.corpus_rules import (
     SEQ_LEN,
     content_md5,
     gate_passes,
     split_expr,
     token_count,
+)
+from spark_streaming_with_debezium_spark.llm.pipeline_ops import (
+    contaminated_train_ids,
 )
 from spark_streaming_with_debezium_spark.sources.partitioned import (
     write_partitioned,
