@@ -1867,3 +1867,62 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             audit("lineitem->supplier", li, "l_suppkey", s, "s_suppkey")
         )
     )
+
+
+@query(
+    "orders_spend_drawdown",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderdate, o_orderkey,
+             CAST(o_totalprice AS DECIMAL(38,6)) AS price,
+             MAX(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS peak
+      FROM orders
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           round(CAST(MAX(peak) AS DOUBLE), 2) AS peak_order,
+           round(CAST(MAX(peak - price) AS DOUBLE), 2) AS max_drawdown
+    FROM seq GROUP BY 1
+    HAVING COUNT(*) >= 5
+    """,
+)
+def orders_spend_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer spend drawdown: walking each customer's orders in
+    time order, the running-peak order value and the largest drop from
+    that peak — the running-max-then-gap window shape behind drawdown,
+    high-water-mark, and regression-from-best metrics (a different
+    frame composition than the rank/lag/cumsum families: a running
+    extreme feeding a second derived aggregate).
+
+    Determinism: the walk orders by (o_orderdate, o_orderkey) — total
+    per customer — and peak/drawdown compare exact decimals, cast to
+    double only in the final rounded output. One window shuffle on
+    o_custkey (high-cardinality, uniform) + a map-side-combined
+    rollup; the HAVING keeps customers with enough history for the
+    metric to mean anything."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(38,6)")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = o.select(
+        "o_custkey",
+        price.alias("price"),
+        F.max(price).over(w).alias("peak"),
+    )
+    return (
+        seq.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.max("peak").cast("double"), 2).alias("peak_order"),
+            F.round(
+                F.max(F.col("peak") - F.col("price")).cast("double"), 2
+            ).alias("max_drawdown"),
+        )
+        .filter(F.col("n_orders") >= 5)
+    )

@@ -152,6 +152,7 @@ _PRIORITY = (
     "events_path_trigrams",
     "multimodal_resize",
     "dq_referential_integrity",
+    "orders_spend_drawdown",
     "events_funnel",
     "sample_weights_by_source",
     "multimodal_fake_decode",
