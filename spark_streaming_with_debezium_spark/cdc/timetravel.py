@@ -298,6 +298,13 @@ class TimeTravelStateTable:
         return dropped
 
 
+def reduce_and(conds):
+    """AND-fold a non-empty list of Column predicates."""
+    from functools import reduce
+
+    return reduce(lambda x, y: x & y, conds)
+
+
 def changes_between(
     table: TimeTravelStateTable, seq_a: int, seq_b: int
 ) -> DataFrame:
@@ -347,10 +354,6 @@ def changes_between(
     )
 
 
-def reduce_and(conds):
-    from functools import reduce
-
-    return reduce(lambda x, y: x & y, conds)
 
 
 def purge_keys(table: TimeTravelStateTable, keys: DataFrame) -> dict[str, int]:
