@@ -1926,3 +1926,106 @@ def orders_spend_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") >= 5)
     )
+
+
+@query(
+    "supplier_fulfillment_sla",
+    oracle="""
+    WITH j AS (
+      SELECT l.l_suppkey,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS ship_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN ship_days <= 30 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_on_time,
+           round(CAST(SUM(CASE WHEN ship_days <= 30 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS on_time_rate,
+           round(CAST(SUM(CAST(ship_days AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_ship_days
+    FROM j GROUP BY 1 HAVING COUNT(*) >= 10
+    """,
+)
+def supplier_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier SLA scorecard: on-time shipping rate (line shipped
+    within 30 days of the order date) and average order-to-ship
+    latency per supplier — the operational dual of q21 (which assigns
+    blame for one failure mode; this grades every supplier
+    continuously). Latency sums accumulate in DECIMAL for the usual
+    order-independence.
+
+    One co-keyed fact-to-fact join on l_orderkey/o_orderkey (the
+    bucketed-layout candidate — sources/bucketed.py makes it
+    exchange-free at rest), then a map-side-combined shuffle on
+    l_suppkey; HAVING keeps suppliers with enough volume for a rate
+    to mean anything. O(suppliers) output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "ship_days"
+        ),
+    )
+    on_time = (F.col("ship_days") <= 30).cast("long")
+    return (
+        j.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(on_time).alias("n_on_time"),
+            F.round(
+                F.sum(on_time).cast("double") / F.count(F.lit(1)), 6
+            ).alias("on_time_rate"),
+            F.round(
+                F.sum(F.col("ship_days").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_ship_days"),
+        )
+        .filter(F.col("n_lines") >= 10)
+    )
+
+
+@query(
+    "events_hourly_seasonality",
+    oracle="""
+    WITH base AS (
+      SELECT dayofweek(ts) AS dow, hour(ts) AS hour_of_day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM base)
+    SELECT CAST(dow AS INT) AS dow,
+           CAST(hour_of_day AS INT) AS hour_of_day,
+           CAST(n AS BIGINT) AS n_events,
+           round(CAST(n AS DOUBLE) / t.total, 6) AS share
+    FROM base, tot t
+    """,
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic seasonality profile: event share per (day-of-week,
+    hour-of-day) cell — the calendar decomposition behind load
+    forecasting, anomaly baselines (compare a new hour against its
+    cell), and crawler-vs-human traffic splits. DuckDB's dayofweek is
+    0=Sunday; Spark's dayofweek is 1=Sunday — normalized to DuckDB's
+    convention here.
+
+    One map-side-combined shuffle to ≤168 cells + a broadcast 1-row
+    total; output is constant-size at any event volume."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour_of_day"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    tot = F.broadcast(
+        base.agg(F.sum("n_events").cast("double").alias("total"))
+    )
+    return base.crossJoin(tot).select(
+        "dow",
+        "hour_of_day",
+        "n_events",
+        F.round(F.col("n_events").cast("double") / F.col("total"), 6).alias(
+            "share"
+        ),
+    )

@@ -153,6 +153,8 @@ _PRIORITY = (
     "multimodal_resize",
     "dq_referential_integrity",
     "orders_spend_drawdown",
+    "supplier_fulfillment_sla",
+    "events_hourly_seasonality",
     "events_funnel",
     "sample_weights_by_source",
     "multimodal_fake_decode",
