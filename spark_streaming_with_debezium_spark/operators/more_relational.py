@@ -2029,3 +2029,35 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+@query(
+    "customer_order_degree_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM per_cust GROUP BY 1
+    """,
+)
+def customer_order_degree_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree distribution: how many customers placed exactly k orders
+    — the aggregate-of-an-aggregate shape behind power-law checks,
+    engagement histograms, and shuffle-skew forecasting (the same
+    per-key counts that predict hot keys BEFORE a join hits them;
+    ``events_pareto_concentration`` summarizes the head, this keeps
+    the whole curve).
+
+    Two map-side-combined shuffles, the second over O(distinct
+    degrees) rows — constant-ish output regardless of customer count.
+    Both levels are plain hash aggregates; nothing sorts."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )

@@ -155,6 +155,7 @@ _PRIORITY = (
     "orders_spend_drawdown",
     "supplier_fulfillment_sla",
     "events_hourly_seasonality",
+    "customer_order_degree_distribution",
     "events_funnel",
     "sample_weights_by_source",
     "multimodal_fake_decode",
