@@ -322,15 +322,20 @@ def changes_between(
     a = table.as_of(seq_a)
     b = table.as_of(seq_b)
     data_cols = [c for c in b.columns if c not in table.key_cols]
+    # Side-presence via literal flags, NOT key nullability: the join is
+    # eqNullSafe (NULL key values are legal), so a row whose first key
+    # column is legitimately NULL must still read as "present".
     aa = a.select(
-        *[F.col(c).alias(f"_a_{c}") for c in a.columns]
+        *[F.col(c).alias(f"_a_{c}") for c in a.columns],
+        F.lit(True).alias("_a_present"),
     )
+    b = b.withColumn("_b_present", F.lit(True))
     join_cond = [
         F.col(f"_a_{k}").eqNullSafe(F.col(k)) for k in table.key_cols
     ]
     j = aa.join(b, on=reduce_and(join_cond), how="full")
-    in_a = F.col(f"_a_{table.key_cols[0]}").isNotNull()
-    in_b = F.col(table.key_cols[0]).isNotNull()
+    in_a = F.col("_a_present").isNotNull()
+    in_b = F.col("_b_present").isNotNull()
     same = reduce_and(
         [F.col(f"_a_{c}").eqNullSafe(F.col(c)) for c in data_cols]
     )
@@ -403,10 +408,23 @@ def purge_keys(table: TimeTravelStateTable, keys: DataFrame) -> dict[str, int]:
         swap_in(table._log_dir, keep, "_batch_seq")
     else:
         dropped["log"] = 0
-    # current state — rewrite through the state table's own bucketed
-    # init so layout invariants (bucket dirs) are preserved
+    # current state — rebuild the bucketed layout (bucket dirs + schema
+    # sidecar) in a SIDE directory and swap it in rename-only. Calling
+    # table.current.init(keep) in place would overwrite the directory
+    # that `keep` lazily reads (self-overwrite hazard), and a crash
+    # mid-overwrite would leave no complete copy of the current store —
+    # the aside discipline the snapshot/log rewrites already follow.
     cur = table.current.read()
     keep = cur.join(k, table.key_cols, "left_anti")
     dropped["current"] = cur.count() - keep.count()
-    table.current.init(keep)
+    cur_dir = table.current.path
+    tmp, old = cur_dir + "_purging", cur_dir + "_purged_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    side = ParquetStateTable(
+        spark, tmp, table.key_cols, table.current.n_buckets
+    )
+    side.init(keep)  # reads cur_dir, writes tmp — disjoint paths
+    os.rename(cur_dir, old)
+    os.rename(tmp, cur_dir)
+    shutil.rmtree(old, ignore_errors=True)
     return dropped

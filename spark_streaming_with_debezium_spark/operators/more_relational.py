@@ -1764,7 +1764,8 @@ def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type || '>' || e2 || '>' || e3 AS path,
            CAST(COUNT(*) AS BIGINT) AS n_occurrences,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-    FROM ordered WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    FROM ordered
+    WHERE event_type IS NOT NULL AND e2 IS NOT NULL AND e3 IS NOT NULL
     GROUP BY 1
     ORDER BY n_occurrences DESC, path
     LIMIT 15
@@ -1789,7 +1790,15 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.lead("event_type", 1).over(w).alias("e2"),
         F.lead("event_type", 2).over(w).alias("e3"),
-    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    ).filter(
+        # event_type too: Spark's concat_ws SKIPS nulls while the
+        # oracle's || PROPAGATES them — a NULL first element would
+        # yield a truncated '>e2>e3' path here but a NULL-grouped path
+        # there. All three elements non-null keeps the engines aligned.
+        F.col("event_type").isNotNull()
+        & F.col("e2").isNotNull()
+        & F.col("e3").isNotNull()
+    )
     path = F.concat_ws(">", "event_type", "e2", "e3")
     return (
         ordered.groupBy(path.alias("path"))
