@@ -27,6 +27,7 @@ README:51); ``TableSpec`` is the dynamic registry it never built.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -35,6 +36,162 @@ from pyspark.sql import types as T
 
 #: Debezium operation codes: create / update / delete / snapshot-read.
 OPS = ("c", "u", "d", "r")
+
+# ---------------------------------------------------------------------------
+# Debezium / Kafka Connect LOGICAL TYPES (decimal.handling.mode=precise,
+# time.precision.mode=adaptive — the 1.x defaults the reference runs with,
+# `ContainerTestWrapper.scala:21-22`). A MySQL `DECIMAL(10,2)` column does
+# NOT arrive as a JSON number: Connect serializes its unscaled BigInteger
+# as base64 big-endian two's-complement bytes
+# (org.apache.kafka.connect.data.Decimal); DATE arrives as an int32 of
+# days since epoch (io.debezium.time.Date); TIMESTAMP as epoch
+# milli/microseconds (io.debezium.time.Timestamp / MicroTimestamp);
+# TIMESTAMPTZ as an ISO-8601 string (io.debezium.time.ZonedTimestamp).
+# The reference never decodes any of these — its demo tables are
+# int/varchar only (`StreamingIT.scala:108`) — but they are the first
+# thing a real `orders(price DECIMAL, order_date DATE)` table hits.
+#
+# Decoding is 100% Catalyst expressions (whole-stage codegen, no UDFs):
+# the envelope is parsed with a WIRE schema (string/int/long in place of
+# the logical column), then each annotated column is rewritten to its
+# logical Spark type in the same projection.
+# ---------------------------------------------------------------------------
+
+#: Supported logical annotations (TableSpec.logical values). Debezium
+#: schema-class names are accepted as aliases.
+_LOGICAL_ALIASES = {
+    "io.debezium.time.date": "date",
+    "io.debezium.time.timestamp": "timestamp-millis",
+    "io.debezium.time.microtimestamp": "timestamp-micros",
+    "io.debezium.time.zonedtimestamp": "zoned-timestamp",
+    "io.debezium.time.microtime": "time-micros",
+    "org.apache.kafka.connect.data.date": "date",
+    "org.apache.kafka.connect.data.timestamp": "timestamp-millis",
+    # bare Connect Decimal class: precision/scale resolved from the
+    # TableSpec's declared DecimalType field (the Connect schema carries
+    # scale as a parameter, not in the class name)
+    "org.apache.kafka.connect.data.decimal": "decimal",
+}
+
+_DECIMAL_RE = re.compile(r"^decimal\((\d+),\s*(\d+)\)$")
+
+#: Max Connect-Decimal payload width decodable by the two-limb plan
+#: below: 14 bytes = 112 bits ≈ 33 decimal digits. (DECIMAL(34..38)
+#: sources would need a third limb; payloads wider than this decode to
+#: NULL rather than silently wrapping.)
+_MAX_DECIMAL_BYTES = 14
+
+
+def normalize_logical(logical: str) -> str:
+    """Canonicalize a logical-type annotation (Debezium class names are
+    accepted: ``io.debezium.time.MicroTimestamp`` → ``timestamp-micros``)."""
+    low = logical.strip().lower()
+    low = _LOGICAL_ALIASES.get(low, low)
+    m = _DECIMAL_RE.match(low)
+    if m:
+        return f"decimal({int(m.group(1))},{int(m.group(2))})"
+    if low in ("date", "timestamp-millis", "timestamp-micros",
+               "zoned-timestamp", "time-micros", "decimal"):
+        return low
+    raise ValueError(f"unknown logical type annotation: {logical!r}")
+
+
+def wire_type(logical: str) -> T.DataType:
+    """The JSON wire type a logical column arrives as."""
+    logical = normalize_logical(logical)
+    if (
+        _DECIMAL_RE.match(logical)
+        or logical == "decimal"
+        or logical == "zoned-timestamp"
+    ):
+        return T.StringType()  # base64 bytes / ISO-8601 string
+    if logical == "date":
+        return T.IntegerType()  # epoch days
+    return T.LongType()  # epoch millis / micros, micros-of-day
+
+
+def logical_type(logical: str) -> T.DataType:
+    """The Spark type a logical column decodes to."""
+    logical = normalize_logical(logical)
+    m = _DECIMAL_RE.match(logical)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    if logical == "date":
+        return T.DateType()
+    if logical == "time-micros":
+        return T.LongType()  # Spark has no TIME type; micros since midnight
+    return T.TimestampType()
+
+
+def connect_decimal(col: Column, precision: int, scale: int) -> Column:
+    """Decode a Kafka Connect ``Decimal`` wire value (base64 big-endian
+    two's-complement unscaled bytes) to ``DecimalType(precision, scale)``
+    — pure Catalyst, no UDF, so a 100 TB backfill decodes inside
+    whole-stage codegen.
+
+    Plan: ``unbase64`` → ``hex`` (2 chars/byte) → SIGN-EXTEND to a fixed
+    28 hex chars (pad '0' for positive, 'F' for negative — exactly how
+    two's complement widens) → two 56-bit limbs via ``conv(_, 16, 10)``
+    (Spark's conv is 64-bit and ANSI-strict, so limbs stay ≤ 14 hex
+    chars) recombined with exact decimal(38,0) arithmetic; negative
+    values subtract the constant 2^112. Handles any minimal or
+    zero/sign-padded encoding up to 14 bytes (≈ 33 digits); wider
+    payloads → NULL.
+    """
+    from decimal import Decimal as _D
+
+    b = F.unbase64(col.cast("string"))
+    hx = F.hex(b)  # uppercase, exactly 2 chars per byte
+    n_bytes = F.length(b)
+    dec38 = "decimal(38,0)"
+    neg = F.conv(F.substring(hx, 1, 1), 16, 10).cast("int") >= F.lit(8)
+    hp = F.when(neg, F.lpad(hx, 28, "F")).otherwise(F.lpad(hx, 28, "0"))
+    lo = F.conv(F.substring(hp, 15, 14), 16, 10).cast(dec38)
+    hi = F.conv(F.substring(hp, 1, 14), 16, 10).cast(dec38)
+    unsigned = hi * F.lit(72057594037927936).cast(dec38) + lo  # hi·2^56
+    signed = F.when(
+        neg, unsigned - F.lit(_D(2**112)).cast(dec38)
+    ).otherwise(unsigned)
+    # exact rescale via multiplication by the 10^-scale decimal literal
+    # (division's fixed (38,6)-ish result type can't hold > 32 integer
+    # digits; multiplication keeps scale = `scale` and loses nothing
+    # for any payload within the 14-byte bound)
+    value = (signed * F.lit(_D(1).scaleb(-scale))).cast(
+        T.DecimalType(precision, scale)
+    )
+    return F.when(
+        (n_bytes > F.lit(0)) & (n_bytes <= F.lit(_MAX_DECIMAL_BYTES)), value
+    )
+
+
+def encode_connect_decimal(unscaled: Column) -> Column:
+    """Inverse of :func:`connect_decimal` for test/fixture generation:
+    a LONG unscaled value → base64 of its 8-byte big-endian
+    two's-complement (Connect accepts non-minimal sign-extended
+    encodings; Java's ``BigInteger.toByteArray`` merely emits the
+    minimal form). Catalyst-only: hex(long) is already the 16-char
+    two's-complement image."""
+    return F.base64(F.unhex(F.lpad(F.hex(unscaled.cast("long")), 16, "0")))
+
+
+def decode_logical(col: Column, logical: str) -> Column:
+    """Wire value → logical Spark value, as a Catalyst expression."""
+    logical = normalize_logical(logical)
+    m = _DECIMAL_RE.match(logical)
+    if m:
+        return connect_decimal(col, int(m.group(1)), int(m.group(2)))
+    if logical == "date":
+        return F.date_add(F.lit("1970-01-01").cast("date"), col)
+    if logical == "timestamp-millis":
+        return F.timestamp_millis(col)
+    if logical == "timestamp-micros":
+        return F.timestamp_micros(col)
+    if logical == "zoned-timestamp":
+        # ISO-8601 with offset ('2024-03-01T12:00:00.123456Z' or
+        # '+02:00'); to_timestamp normalizes into the session zone
+        return F.to_timestamp(col)
+    # time-micros passes through (no Spark TIME type)
+    return col
 
 
 @dataclass(frozen=True)
@@ -53,10 +210,57 @@ class TableSpec:
     topic: str = ""
     #: Columns whose change should be ignored when merging (audit cols).
     exclude_cols: tuple[str, ...] = field(default=())
+    #: Logical-type annotations: ((col, annotation), ...) where the
+    #: annotation is e.g. "decimal(10,2)", "date", "timestamp-micros"
+    #: or a Debezium schema-class name ("io.debezium.time.Date").
+    #: Annotated columns are parsed with their WIRE type (base64
+    #: string / epoch int) and decoded to the logical Spark type —
+    #: see the logical-types block above.
+    logical: tuple[tuple[str, str], ...] = field(default=())
 
     @property
     def data_cols(self) -> tuple[str, ...]:
         return tuple(f.name for f in self.value_schema.fields)
+
+    @property
+    def logical_map(self) -> dict[str, str]:
+        by_name = {f.name: f.dataType for f in self.value_schema.fields}
+        out: dict[str, str] = {}
+        for c, ann in self.logical:
+            n = normalize_logical(ann)
+            if n == "decimal":
+                # bare Connect Decimal class → precision/scale from the
+                # declared DecimalType field
+                dtype = by_name.get(c)
+                if not isinstance(dtype, T.DecimalType):
+                    raise ValueError(
+                        f"column {c!r} annotated as Connect Decimal but "
+                        f"declared {dtype} in value_schema — declare it "
+                        "DecimalType(p, s) or annotate 'decimal(p,s)'"
+                    )
+                n = f"decimal({dtype.precision},{dtype.scale})"
+            out[c] = n
+        return out
+
+    @property
+    def wire_schema(self) -> T.StructType:
+        """``value_schema`` with annotated columns replaced by their
+        JSON wire types — the schema ``from_json`` must parse with."""
+        lm = self.logical_map
+        return T.StructType(
+            [
+                T.StructField(f.name, wire_type(lm[f.name]))
+                if f.name in lm
+                else f
+                for f in self.value_schema.fields
+            ]
+        )
+
+    def decode_col(self, wire_col: Column, name: str) -> Column:
+        lm = self.logical_map
+        if name in lm:
+            return decode_logical(wire_col, lm[name])
+        return wire_col
 
 
 def envelope_value_schema(row_schema: T.StructType) -> T.StructType:
@@ -89,7 +293,8 @@ def envelope_key_schema(key_schema: T.StructType) -> T.StructType:
 
 
 def _key_schema_of(spec: TableSpec) -> T.StructType:
-    fields = [f for f in spec.value_schema.fields if f.name in spec.key_cols]
+    # key envelope carries the same WIRE encodings as the value payload
+    fields = [f for f in spec.wire_schema.fields if f.name in spec.key_cols]
     return T.StructType([T.StructField(f.name, f.dataType) for f in fields])
 
 
@@ -103,7 +308,7 @@ def dead_letters(
     path; route this DataFrame to a quarantine sink so a poison message
     never stalls the stream (the at-scale alternative to failing the
     job on one bad record)."""
-    val_schema = envelope_value_schema(spec.value_schema)
+    val_schema = envelope_value_schema(spec.wire_schema)
     parsed = raw.filter(F.col(value_col).isNotNull()).withColumn(
         "_v", F.from_json(F.col(value_col).cast("string"), val_schema)
     )
@@ -133,8 +338,13 @@ def parse_envelope(
 
     Tombstones (value IS NULL) are dropped, matching
     DebeziumDeltaFormatter.scala:17-18.
+
+    Columns annotated in ``spec.logical`` are parsed with their wire
+    type and decoded here (Connect Decimal bytes → DecimalType, epoch
+    days → DateType, epoch µs/ms → TimestampType) — still one Catalyst
+    projection, no UDFs.
     """
-    val_schema = envelope_value_schema(spec.value_schema)
+    val_schema = envelope_value_schema(spec.wire_schema)
     key_schema = envelope_key_schema(_key_schema_of(spec))
 
     df = raw.filter(F.col(value_col).isNotNull())
@@ -144,21 +354,25 @@ def parse_envelope(
     def key_expr(k: str) -> Column:
         # Key envelope wins; fall back to after (upserts) then before
         # (deletes), so keyless producers still resolve the merge key.
-        return F.coalesce(
-            F.col(f"_k.payload.{k}"),
-            F.col(f"_v.payload.after.{k}"),
-            F.col(f"_v.payload.before.{k}"),
+        # All three sources are wire-typed, so decode AFTER coalescing.
+        return spec.decode_col(
+            F.coalesce(
+                F.col(f"_k.payload.{k}"),
+                F.col(f"_v.payload.after.{k}"),
+                F.col(f"_v.payload.before.{k}"),
+            ),
+            k,
         ).alias(k)
 
     cols: list[Column] = [key_expr(k) for k in spec.key_cols]
     cols += [
-        F.col(f"_v.payload.after.{c}").alias(c)
+        spec.decode_col(F.col(f"_v.payload.after.{c}"), c).alias(c)
         for c in spec.data_cols
         if c not in spec.key_cols
     ]
     if include_before:
         cols += [
-            F.col(f"_v.payload.before.{c}").alias(f"before_{c}")
+            spec.decode_col(F.col(f"_v.payload.before.{c}"), c).alias(f"before_{c}")
             for c in spec.data_cols
             if c not in spec.key_cols
         ]
