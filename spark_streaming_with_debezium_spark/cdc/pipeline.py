@@ -178,6 +178,7 @@ def run_cdc_stream(
     neardup_store=None,
     neardup_text_col: str | None = None,
     neardup_threshold: float = 0.5,
+    drift_policy: str | None = None,
 ):
     """Continuous CDC upsert: writeStream.foreachBatch(batch_apply).
 
@@ -201,16 +202,31 @@ def run_cdc_stream(
     accepted corpus and in-batch candidates, duplicates dropped before
     the merge (see :func:`batch_apply_with_neardup`). Store compaction
     piggybacks on the same ``compact_every_n_batches`` cadence.
+
+    ``drift_policy`` ('evolve' | 'strict') opts into per-batch schema
+    drift handling against the IN-BAND Connect schema (cdc/drift.py):
+    'evolve' auto-adds nullable columns / widens numerics in both the
+    parse spec and the state table's sidecar schema before merging;
+    destructive drift (dropped/retyped columns) raises and fails the
+    batch VISIBLY instead of silently dropping data. The evolved spec
+    carries across micro-batches within this stream.
     """
     if (neardup_store is None) != (neardup_text_col is None):
         raise ValueError(
             "neardup_store and neardup_text_col must be set together"
         )
+    live_spec = [spec]  # mutable: drift evolution carries across batches
 
     def _fn(batch_df: DataFrame, batch_id: int) -> None:
         projected = (
             project_kafka(batch_df) if "topic" in batch_df.columns else batch_df
         )
+        spec = live_spec[0]
+        if drift_policy is not None:
+            from spark_streaming_with_debezium_spark.cdc.drift import apply_drift
+
+            spec = apply_drift(projected, spec, state, policy=drift_policy)
+            live_spec[0] = spec
         if neardup_store is not None:
             batch_apply_with_neardup(
                 projected, spec, state, neardup_store,
