@@ -45,6 +45,19 @@ HEADLINE = (
     "text_token_counts",
 )
 
+#: Round-2..6 flagship machinery, tracked SEPARATELY from the frozen r1
+#: headline set so round-over-round totals stay comparable to
+#: BASELINE.md. Same protocol (noop sink, warm run, 3-run median).
+EXTENDED = (
+    "text_heavy_hitter_tokens",  # MG sketch + tree-reduce + recount
+    "text_bm25_topk",  # inverted-index retrieval
+    "timeseries_user_similarity",  # prefix-filtered candidate join
+    "cdc_scd2_history",  # versioned CDC history
+    "corpus_curation_funnel",  # multi-stage curation pipeline
+    "cdc_logical_types",  # Debezium wire-format decode (r6)
+    "cdc_change_feed",  # time-travel diff incl. state build (r6)
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,19 +71,25 @@ def main() -> None:
     # round comparisons shouldn't be dominated by GC / JIT noise, which
     # the round-1 single-shot numbers were (±20% run-to-run).
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
-    spreads: dict[str, float] = {}
-    for name in HEADLINE:
-        q = queries[name]
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
-        runs = []
-        for _ in range(n_runs):
-            t0 = time.perf_counter()
-            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        runs.sort()
-        timings[name] = round(runs[len(runs) // 2], 3)
-        spreads[name] = round(runs[-1] - runs[0], 3)
+
+    def bench_set(names):
+        timings: dict[str, float] = {}
+        spreads: dict[str, float] = {}
+        for name in names:
+            q = queries[name]
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+            runs = []
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            runs.sort()
+            timings[name] = round(runs[len(runs) // 2], 3)
+            spreads[name] = round(runs[-1] - runs[0], 3)
+        return timings, spreads
+
+    timings, spreads = bench_set(HEADLINE)
+    ext_timings, ext_spreads = bench_set(EXTENDED)
 
     # IVF amortization split: ann_ivf_topk above pays the KMeans fit
     # every run; a served index pays it ONCE. Time the persisted-index
@@ -101,6 +120,13 @@ def main() -> None:
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
+    # CDC merge throughput: one 1M-event parse→compact→merge pass (the
+    # reference's formatter is a single-threaded driver loop; this is
+    # the number that shows the distributed path).
+    from perf.cdc_throughput import measure as cdc_measure
+
+    cdc_tp = cdc_measure(spark, int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "1000000")))
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -110,9 +136,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spreads,
+                "extended_queries": ext_timings,
+                "extended_spread": ext_spreads,
+                "extended_total": round(sum(ext_timings.values()), 3),
                 "runs_per_query": n_runs,
                 "ivf_index_build_sec": ivf_build,
                 "ivf_query_only_sec": ivf_query,
+                "cdc_merge_events_per_sec": cdc_tp["events_per_sec"],
+                "cdc_merge_n_events": cdc_tp["n_events"],
                 "sf": sf,
             }
         )

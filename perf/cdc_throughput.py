@@ -47,12 +47,10 @@ SPEC = TableSpec(
 )
 
 
-def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+def measure(spark, n: int) -> dict:
+    """Measure parse→compact→merge throughput for ``n`` synthesized
+    envelopes; returns the stats dict (importable by bench.py)."""
     n_keys = max(1, n // 4)
-    spark = get_spark("cdc-throughput")
-    spark.sparkContext.setLogLevel("ERROR")
-
     # Synthesize envelopes executor-side (to_json over generated rows) —
     # the input is a DataFrame of (key, value, partition, offset) JSON
     # strings, exactly what the Kafka projection yields.
@@ -108,19 +106,22 @@ def main() -> None:
         batch_apply(raw_df, SPEC, state)
         dt = time.perf_counter() - t0
         final_rows = state.read().count()
-        print(
-            json.dumps(
-                {
-                    "n_events": n,
-                    "n_keys": n_keys,
-                    "wall_sec": round(dt, 2),
-                    "events_per_sec": int(n / dt),
-                    "final_state_rows": final_rows,
-                }
-            )
-        )
+        return {
+            "n_events": n,
+            "n_keys": n_keys,
+            "wall_sec": round(dt, 2),
+            "events_per_sec": int(n / dt),
+            "final_state_rows": final_rows,
+        }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    spark = get_spark("cdc-throughput")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(measure(spark, n)))
     spark.stop()
 
 

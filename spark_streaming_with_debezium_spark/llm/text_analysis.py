@@ -965,15 +965,17 @@ def text_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact recount touches only candidates via a broadcast semi join.
     TWO corpus scans total: the MG pass also tallies its partition's
     token count (one extra summary row per partition), so candidates
-    AND the global N come back in one bounded driver collect
-    (≤ (k+1) × partitions rows — the repo's bounded-list convention)
-    instead of a third scan for the total. At 100 TB the
+    AND the global N come out of the same pass. Per-partition
+    summaries are then TREE-REDUCED executor-side (a shard-merge
+    ``mapInPandas`` pass — merging MG summaries is count-add + the
+    same prune, the Agarwal et al. mergeability result — down to one
+    final summary), so the driver reads O(k_mg) rows at ANY task
+    count; at 10⁵ tasks the old direct collect of every partition's
+    summary would have been a multi-GB driver pull. At 100 TB the
     full-vocabulary groupBy would shuffle billions of distinct
-    (token, count) pairs; this shuffles only the candidate recount.
-    Guarantee asserted against the full groupBy in
-    ``test_heavy_hitter_candidates_superset``."""
-    import pandas as pd
-
+    (token, count) pairs; this shuffles only summary rows and the
+    candidate recount. Guarantees asserted against the full groupBy
+    in ``test_heavy_hitter_candidates_superset``."""
     from spark_streaming_with_debezium_spark.llm.corpus_rules import (
         normalize_text,
     )
@@ -983,8 +985,43 @@ def text_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(normalize_text("text"), " ")).alias("token")
     )
     k_mg = 4096
+    summary = mg_summary_tree(toks, k_mg).collect()
+    n_total = sum(r.n_local for r in summary if r.token is None)
+    cand_tokens = sorted(r.token for r in summary if r.token is not None)
+    if not cand_tokens or n_total == 0:
+        return spark.createDataFrame([], "token string, freq long")
+    cand = F.broadcast(
+        spark.createDataFrame([(t,) for t in cand_tokens], "token string")
+    )
+    return (
+        toks.join(cand, "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") * 512 >= F.lit(n_total))
+        .select("token", "freq")
+    )
 
-    def mg_summary(batches):
+
+def mg_summary_tree(
+    toks: DataFrame, k_mg: int, n_shards: int = 32
+) -> DataFrame:
+    """Mergeable Misra-Gries summary of ``toks.token``, tree-reduced to
+    ONE partition holding ≤ k_mg counter rows + one total row
+    (token=NULL, n_local=N).
+
+    Level 0 summarizes each input partition (vectorized value_counts
+    merge + the (k+1)-th-largest prune). Levels 1..n merge summaries:
+    counts ADD, then the same prune — each level's output stays
+    ≤ (k_mg+1) rows per shard, and the cumulative decrement across any
+    merge tree is ≤ N/(k_mg+1), so every token with global count
+    > N/k_mg survives to the root (mergeable-summaries guarantee,
+    independent of tree shape). Shards hash on token so a token's
+    counters meet; the summary traffic is O(k_mg · shards) rows —
+    noise next to the corpus scan. The returned single-partition
+    DataFrame is itself a valid MG summary (asserted in tests)."""
+    import pandas as pd
+
+    def mg_level0(batches):
         counts: pd.Series = pd.Series(dtype="int64")
         n_local = 0
         for pdf in batches:
@@ -999,24 +1036,35 @@ def text_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield pd.DataFrame(
             {
                 "token": list(counts.index.astype(str)) + [None],
+                "cnt": list(counts.astype("int64")) + [0],
                 "n_local": [0] * len(counts) + [n_local],
             }
         )
 
-    summary = toks.mapInPandas(
-        mg_summary, "token string, n_local long"
-    ).collect()
-    n_total = sum(r.n_local for r in summary if r.token is None)
-    cand_tokens = sorted({r.token for r in summary if r.token is not None})
-    if not cand_tokens or n_total == 0:
-        return spark.createDataFrame([], "token string, freq long")
-    cand = F.broadcast(
-        spark.createDataFrame([(t,) for t in cand_tokens], "token string")
+    def mg_merge(batches):
+        counts: pd.Series = pd.Series(dtype="int64")
+        n_local = 0
+        for pdf in batches:
+            tok = pdf[pdf["token"].notna()]
+            n_local += int(pdf.loc[pdf["token"].isna(), "n_local"].sum())
+            counts = counts.add(
+                tok.groupby("token")["cnt"].sum(), fill_value=0
+            )
+            if len(counts) > k_mg:
+                cut = counts.nlargest(k_mg + 1).iloc[-1]
+                counts = counts - cut
+                counts = counts[counts > 0]
+        yield pd.DataFrame(
+            {
+                "token": list(counts.index.astype(str)) + [None],
+                "cnt": list(counts.astype("int64")) + [0],
+                "n_local": [0] * len(counts) + [n_local],
+            }
+        )
+
+    schema = "token string, cnt long, n_local long"
+    level0 = toks.mapInPandas(mg_level0, schema)
+    mid = level0.repartition(n_shards, F.col("token")).mapInPandas(
+        mg_merge, schema
     )
-    return (
-        toks.join(cand, "token", "left_semi")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .filter(F.col("freq") * 512 >= F.lit(n_total))
-        .select("token", "freq")
-    )
+    return mid.repartition(1).mapInPandas(mg_merge, schema)

@@ -327,3 +327,118 @@ def cdc_logical_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         "updated_at",
         "created_at",
     )
+
+
+@query(
+    "cdc_change_feed",
+    oracle="""
+    WITH b1 AS (
+      -- batch 1 = the chronologically FIRST half of the stream (the
+      -- split must be monotone in event_id so batch-seq LWW == global
+      -- event_id LWW)
+      SELECT user_id, event_type, value, event_id
+      FROM events
+      WHERE event_id * 2 <= (SELECT MAX(event_id) FROM events)
+    ),
+    l1 AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM b1) t WHERE rn = 1
+    ),
+    s1 AS (
+      SELECT c.c_custkey,
+             CASE WHEN l.user_id IS NOT NULL THEN l.value
+                  ELSE c.c_acctbal END AS c_acctbal
+      FROM customer c LEFT JOIN l1 l ON c.c_custkey = l.user_id
+      WHERE l.user_id IS NULL OR l.event_type <> 'error'
+      UNION ALL
+      SELECT l.user_id, l.value
+      FROM l1 l LEFT JOIN customer c ON c.c_custkey = l.user_id
+      WHERE c.c_custkey IS NULL AND l.event_type <> 'error'
+    ),
+    lA AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events) t WHERE rn = 1
+    ),
+    s2 AS (
+      SELECT c.c_custkey,
+             CASE WHEN l.user_id IS NOT NULL THEN l.value
+                  ELSE c.c_acctbal END AS c_acctbal
+      FROM customer c LEFT JOIN lA l ON c.c_custkey = l.user_id
+      WHERE l.user_id IS NULL OR l.event_type <> 'error'
+      UNION ALL
+      SELECT l.user_id, l.value
+      FROM lA l LEFT JOIN customer c ON c.c_custkey = l.user_id
+      WHERE c.c_custkey IS NULL AND l.event_type <> 'error'
+    )
+    SELECT c_custkey, c_acctbal, _change_type FROM (
+      SELECT COALESCE(s2.c_custkey, s1.c_custkey) AS c_custkey,
+             CASE WHEN s2.c_custkey IS NOT NULL THEN s2.c_acctbal
+                  ELSE s1.c_acctbal END AS c_acctbal,
+             CASE WHEN s1.c_custkey IS NULL THEN 'insert'
+                  WHEN s2.c_custkey IS NULL THEN 'delete'
+                  WHEN s1.c_acctbal IS DISTINCT FROM s2.c_acctbal
+                    THEN 'update' END AS _change_type
+      FROM s1 FULL JOIN s2 ON s1.c_custkey = s2.c_custkey
+    ) d WHERE _change_type IS NOT NULL
+    """,
+)
+def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The time-travel change feed (Delta CDF shape) under the t2
+    gate: build a real TimeTravelStateTable on disk (snapshot =
+    customer balances; batch 1 = the chronologically first half of
+    events by event_id, batch 2 = the second half — a MONOTONE split,
+    so per-batch LWW + batch-seq ordering equals global event_id LWW —
+    both LWW-compacted on event_id and merge_logged), then
+    diff version 1 against version 2 via ``changes_between`` — one row
+    per key whose state changed, tagged insert/update/delete, new
+    image for upserts, old image for deletes.
+
+    The oracle reconstructs both versions in plain SQL (snapshot +
+    LWW-merge of the log prefix — exactly what ``as_of`` computes) and
+    diffs them, so the whole time-travel stack (log partitioning,
+    replay, eqNullSafe full-outer diff, presence flags) sits under the
+    hash. deletes/inserts/updates all occur: error events delete,
+    unseen user_ids insert.
+
+    Scale: as_of is one window + one merge join over the pruned log
+    prefix; the diff full-outer join co-partitions both sides on the
+    same key. State lives in a per-invocation temp dir (tiny at test
+    sf; the pattern at 100 TB is a lake path)."""
+    import tempfile
+
+    from spark_streaming_with_debezium_spark.cdc.timetravel import (
+        TimeTravelStateTable,
+        changes_between,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    tt = TimeTravelStateTable(
+        spark,
+        tempfile.mkdtemp(prefix="cdc_feed_"),
+        ["c_custkey"],
+        n_buckets=8,
+    )
+    tt.init(c.select("c_custkey", "c_acctbal"))
+    changes = e.select(
+        F.col("user_id").alias("c_custkey"),
+        F.col("value").alias("c_acctbal"),
+        (F.col("event_type") == "error").alias("deleted"),
+        F.col("event_id"),
+    )
+    mid = e.agg(F.max("event_id")).collect()[0][0] or 0
+    for pred in (
+        F.col("event_id") * 2 <= F.lit(mid),
+        F.col("event_id") * 2 > F.lit(mid),
+    ):
+        batch = compact_latest(
+            changes.filter(pred), ["c_custkey"], order_cols=["event_id"]
+        )
+        tt.merge_logged(batch.drop("event_id"))
+    return changes_between(tt, 1, 2)

@@ -69,93 +69,46 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: Explicit registration-order priority. The driver's correctness gate
 #: checks a PREFIX of the registry (50 queries per round), so the
 #: queries that most need a driver-verified row must register first.
-#: Evidence ledger entering round 5: 143/158 queries carry at least one
-#: driver row; the 15 never-checked are all late-round-4 additions.
-#: Round 5 leads with those fifteen (closing the ledger at 158/158 ever
-#: checked), then the five queries whose BEHAVIOR changes this round
-#: (scale fixes to the global-window family + packing, the corr
-#: zero-variance guard, the curriculum token_count unification, and the
-#: funnel extended with the decontamination stage), then the three most
-#: load-bearing round-4 semantics (versioned CDC history, BM25
-#: retrieval, the decontamination apply step) so they do not go
-#: evidence-stale through the rotation, then the frozen r1 block the
-#: round-4 comment promised (13 names), then the remaining r1/r2-stale
-#: names, with two of the five round-5 NEW queries (the RRF hybrid
-#: fusion and the Welch t-test — the most composite new semantics)
-#: closing the window; the other three new queries queue just past the
-#: boundary for the r6 rotation. Names not listed keep module
-#: registration order after these.
+#: Evidence ledger entering round 6: 160/172 round-5 queries carry at
+#: least one driver row; the TWELVE never-checked are the round-5 late
+#: additions queued at last round's boundary (round 5 added FOURTEEN
+#: new queries, of which the RRF hybrid and Welch t-test made that
+#: window and these twelve queued past it). Round 6 leads with those
+#: twelve (closing the ledger at every-query-ever-checked; two of them
+#: — the MG heavy-hitter, now tree-reduced, and the path trigrams,
+#: NULL-path fix — also changed behavior this round), then the TWO new
+#: round-6 queries (Debezium logical-type decoding; the time-travel
+#: change feed, which also sits on this round's changes_between
+#: presence-flag fix), then the round-5 behavior-changed block kept in
+#: window so those rewrites don't go evidence-stale (per the r5
+#: verdict), then the stalest r3/r4 names (last checked ≥ 2 rounds
+#: ago) filling the window. Names checked in the r5 window queue past
+#: the boundary — freshest evidence, lowest priority. Names not listed
+#: keep module registration order after these.
 _PRIORITY = (
-    # --- never driver-checked (late round-4 additions) ---
-    "events_anomaly_zscore",
-    "events_markov_transitions",
-    "basket_part_affinity",
-    "agg_linreg_exact",
-    "events_dau_wau_stickiness",
-    "events_pareto_concentration",  # also behavior-changed: bucketed cumsum
-    "events_daily_filled",
-    "dq_orders_reconcile",
-    "revenue_growth_mom_yoy",
-    "timeseries_user_similarity",  # also behavior-changed: candidate prefilter
-    "parts_abc_classification",  # also behavior-changed: bucketed cumsum
-    "window_time_range_rolling",
-    "text_zipf_fit",
-    "sketch_hll_distinct_docs",  # rows-only (sketch has no DuckDB dual)
-    "sketch_hll_rolling_users",  # rows-only
-    # --- behavior changes this round (re-verify under new plans) ---
-    "orders_rfm_segments",  # bucketed ntile fix
-    "pack_sequences",  # bucketed two-pass offsets
-    "agg_corr_exact",  # zero-variance guard
-    "curriculum_quality_tiers",  # corpus_rules.token_count unification
-    "corpus_curation_funnel",  # decontamination stage added to the job
-    # --- round-4 load-bearing semantics (keep evidence fresh) ---
-    "cdc_scd2_history",
-    "text_bm25_topk",
-    "decontaminate_train_ngram",
-    # --- frozen r1 block (displaced from the r4 window, promised r5) ---
-    "agg_pivot",
-    "fn_datetime_arith",
-    "set_ops",
-    "agg_histogram",
-    "agg_max_by",
-    "approx_count_distinct",
-    "fn_split_part",
-    "fn_string_split_explode",
-    "union_positional",
-    "unpivot_melt",
-    "fn_bitwise",
-    "fn_try_family",
-    "dedup_ngram_jaccard",
-    # --- remaining r1/r2-stale names ---
-    "ann_cosine_topk",
-    "dedup_exact_keep_canonical",
-    "fn_json_typed_parse",
-    "multimodal_metadata_stats",
-    "split_train_eval",
-    "agg_approx_percentile",
-    "agg_collect_sorted",
-    "fn_arrays",
-    "fn_maps",
-    "fn_strings",
-    "window_lag_lead",
-    "window_first_last",
-    # --- round-5 NEW queries (displaced the q1/dedup anchors) ---
-    "retrieval_rrf_hybrid",
-    "ab_welch_ttest",
-    # --- 50-query prefix boundary (round-5 driver window) ---
-    # (remaining round-5 additions queue here for the r6 rotation)
+    # --- never driver-checked (round-5 late additions) ---
     "agg_skew_kurtosis_exact",
     "sample_hash_topk_per_group",
     "text_boilerplate_ngrams",
     "dq_profile_orders",
-    "text_heavy_hitter_tokens",
-    "events_path_trigrams",
+    "text_heavy_hitter_tokens",  # also behavior-changed: MG tree-reduce
+    "events_path_trigrams",  # also behavior-changed: NULL event_type filter
     "multimodal_resize",
     "dq_referential_integrity",
     "orders_spend_drawdown",
     "supplier_fulfillment_sla",
     "events_hourly_seasonality",
     "customer_order_degree_distribution",
+    # --- NEW round-6 queries ---
+    "cdc_logical_types",
+    "cdc_change_feed",  # also rides the changes_between presence-flag fix
+    # --- round-5 behavior-changed block (keep evidence fresh) ---
+    "orders_rfm_segments",
+    "pack_sequences",
+    "corpus_curation_funnel",
+    "timeseries_user_similarity",
+    "curriculum_quality_tiers",
+    # --- stalest r3/r4 evidence (not in the r5 window) ---
     "events_funnel",
     "sample_weights_by_source",
     "multimodal_fake_decode",
@@ -170,7 +123,6 @@ _PRIORITY = (
     "q21_blamed_supplier",
     "ann_int8_rescore",
     "stream_interval_join",
-    "events_sessionize_gap",
     "agg_mode_per_group",
     "stream_static_enrich",
     "embedding_label_cohesion",
@@ -187,16 +139,63 @@ _PRIORITY = (
     "agg_stats",
     "distinct_rows",
     "sort_limit_topk",
+    # --- 50-query prefix boundary (round-6 driver window) ---
     "sql_correlated_exists",
     "sql_in_subquery",
     "sql_scalar_subquery",
+    "cdc_current_state",
+    "cdc_envelope_roundtrip",
+    "cdc_state_rollup",
+    "cdc_scd2_history",
+    "text_bm25_topk",
+    "decontaminate_train_ngram",
+    "retrieval_rrf_hybrid",
+    "ab_welch_ttest",
+    "events_anomaly_zscore",
+    "events_markov_transitions",
+    "basket_part_affinity",
+    "agg_linreg_exact",
+    "events_dau_wau_stickiness",
+    "events_pareto_concentration",
+    "events_daily_filled",
+    "dq_orders_reconcile",
+    "revenue_growth_mom_yoy",
+    "parts_abc_classification",
+    "window_time_range_rolling",
+    "text_zipf_fit",
+    "sketch_hll_distinct_docs",  # rows-only (sketch has no DuckDB dual)
+    "sketch_hll_rolling_users",  # rows-only
+    "agg_corr_exact",
+    "agg_pivot",
+    "fn_datetime_arith",
+    "set_ops",
+    "agg_histogram",
+    "agg_max_by",
+    "approx_count_distinct",
+    "fn_split_part",
+    "fn_string_split_explode",
+    "union_positional",
+    "unpivot_melt",
+    "fn_bitwise",
+    "fn_try_family",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "dedup_exact_keep_canonical",
+    "fn_json_typed_parse",
+    "multimodal_metadata_stats",
+    "split_train_eval",
+    "agg_approx_percentile",
+    "agg_collect_sorted",
+    "fn_arrays",
+    "fn_maps",
+    "fn_strings",
+    "window_lag_lead",
+    "window_first_last",
     "stream_tumbling_window",
     "stream_sliding_window",
     "stream_session_window",
     "stream_dedup",
-    "cdc_current_state",
-    "cdc_envelope_roundtrip",
-    "cdc_state_rollup",
+    "events_sessionize_gap",
 )
 
 

@@ -485,3 +485,90 @@ def test_mart_job_end_to_end(spark, sf_dir, tmp_path):
 
     stats2 = run_mart_job(spark, sf_dir, out)
     assert stats2 == stats
+
+
+def test_snapshot_to_continuous_handoff(spark, tmp_path):
+    """The reference's operational story is 'run
+    StreamingJobInitialExecutor, register the connector, switch to
+    StreamingJobExecutor' (`README.md:28-42`) — with a real race: the
+    connector's first binlog events can OVERLAP keys the snapshot
+    already materialized (a row changed between snapshot read and
+    stream start, or the snapshot chunk is re-delivered as op='r' on
+    the stream). Replay exactly that through BOTH entry points on one
+    state dir + one checkpoint, asserting exactly-once final state."""
+    import json as _json
+
+    from spark_streaming_with_debezium_spark.cdc.pipeline import (
+        initial_load,
+        run_cdc_stream,
+    )
+
+    # phase 1: snapshot job (op='r') — ids 1..3
+    state = ParquetStateTable(
+        spark, str(tmp_path / "state"), key_cols=["id"], n_buckets=4
+    )
+    snap = [
+        envelope("r", 1, 0, "Sally", "Thomas"),
+        envelope("r", 2, 1, "George", "B"),
+        envelope("r", 3, 2, "Edward", "W"),
+    ]
+    initial_load(spark.createDataFrame(snap, RAW_SCHEMA), CUSTOMERS, state)
+    assert {r.id for r in state.read().collect()} == {1, 2, 3}
+
+    # phase 2: continuous job on the SAME state dir; its first events
+    # overlap the snapshot — a re-delivered snapshot read for id=1 (an
+    # op='r' duplicate must be a no-op upsert, not a double insert), an
+    # update for id=2 that raced the snapshot, a delete for id=3, and a
+    # fresh insert id=4; plus a tombstone (must be dropped).
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    overlap = [
+        envelope("r", 1, 10, "Sally", "Thomas"),  # snapshot re-delivery
+        envelope("u", 2, 11, "George", "Bailey", email="gb@new.example"),
+        envelope("d", 3, 12),
+        tombstone(3, 13),
+        envelope("c", 4, 14, "Anne", "K"),
+    ]
+    lines = []
+    for k, v, topic, part, off in overlap:
+        lines.append(
+            _json.dumps(
+                {"key": k, "value": v, "topic": topic,
+                 "partition": part, "offset": off}
+            )
+        )
+    (src / "b1.json").write_text("\n".join(lines))
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(RAW_SCHEMA).json(str(src))
+    run_cdc_stream(stream, CUSTOMERS, state, ckpt).awaitTermination()
+
+    final = {
+        r.id: (r.first_name, r.last_name, r.email)
+        for r in state.read().collect()
+    }
+    assert final == {
+        1: ("Sally", "Thomas", "user1@example.com"),
+        2: ("George", "Bailey", "gb@new.example"),
+        4: ("Anne", "K", "user4@example.com"),
+    }
+
+    # phase 3: duplicate delivery of the SAME overlap window after a
+    # "connector restart" (new file, same payloads, higher offsets) —
+    # the LWW merge must keep the state bit-identical (exactly-once
+    # effect under at-least-once delivery).
+    lines2 = []
+    for i, (k, v, topic, part, off) in enumerate(overlap):
+        lines2.append(
+            _json.dumps(
+                {"key": k, "value": v, "topic": topic,
+                 "partition": part, "offset": 20 + i}
+            )
+        )
+    (src / "b2.json").write_text("\n".join(lines2))
+    stream2 = spark.readStream.schema(RAW_SCHEMA).json(str(src))
+    run_cdc_stream(stream2, CUSTOMERS, state, ckpt).awaitTermination()
+    final2 = {
+        r.id: (r.first_name, r.last_name, r.email)
+        for r in state.read().collect()
+    }
+    assert final2 == final

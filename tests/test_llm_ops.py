@@ -445,6 +445,25 @@ def test_heavy_hitter_candidates_superset(spark, sf_dir):
     # N/4096), so the superset guarantee is what made got == want
     assert {t for t, _ in want} <= heavy_true
 
+    # the tree-reduced root must ITSELF be a valid MG summary: one
+    # bounded partition, exact total, candidate superset, and every
+    # counter an underestimate within the cumulative decrement bound
+    from spark_streaming_with_debezium_spark.llm.text_analysis import (
+        mg_summary_tree,
+    )
+
+    k_mg = 4096
+    root = mg_summary_tree(toks, k_mg).collect()
+    assert len(root) <= k_mg + 1 + 1  # ≤ k counters + one total row
+    n_root = sum(r.n_local for r in root if r.token is None)
+    assert n_root == n
+    counters = {r.token: r.cnt for r in root if r.token is not None}
+    assert heavy_true <= set(counters)
+    true_freq = {r.token: r.freq for r in full.collect()}
+    for t, est in counters.items():
+        assert est <= true_freq[t], (t, est, true_freq[t])
+        assert est >= true_freq[t] - n / (k_mg + 1), (t, est, true_freq[t])
+
 
 def test_job_clis_run_end_to_end(tmp_path):
     """The spark-submit-able mains are the user-facing entrypoints —
