@@ -127,6 +127,81 @@ def main() -> None:
 
     cdc_tp = cdc_measure(spark, int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "1000000")))
 
+    # Z-order data skipping, measured (not just unit-tested): lay out
+    # lineitem z-ordered on (l_orderkey, l_partkey) vs hash-unclustered
+    # at the same file count, then (a) count files a planner would scan
+    # for a 5%-per-dimension predicate box from parquet footer stats,
+    # and (b) time the actual box-filtered aggregate on each layout.
+    from pyspark.sql import functions as F
+
+    from spark_streaming_with_debezium_spark.sources.tables import load_table
+    from spark_streaming_with_debezium_spark.sources.zorder import (
+        files_overlapping_box,
+        write_zordered,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    s = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_partkey"), F.max("l_partkey"),
+    ).collect()[0]
+    box = {
+        "l_orderkey": (
+            int(s[0] + 0.40 * (s[1] - s[0])),
+            int(s[0] + 0.45 * (s[1] - s[0])),
+        ),
+        "l_partkey": (
+            int(s[2] + 0.40 * (s[3] - s[2])),
+            int(s[2] + 0.45 * (s[3] - s[2])),
+        ),
+    }
+    zdir = tempfile.mkdtemp(prefix="zorder_bench_")
+    udir = tempfile.mkdtemp(prefix="unclustered_bench_")
+    try:
+        t0 = time.perf_counter()
+        write_zordered(li, zdir, "l_orderkey", "l_partkey", n_files=64)
+        z_build = round(time.perf_counter() - t0, 3)
+        li.repartition(64).write.mode("overwrite").parquet(udir)
+        z_files, z_total = files_overlapping_box(
+            zdir, "l_orderkey", *box["l_orderkey"], "l_partkey", *box["l_partkey"]
+        )
+        u_files, u_total = files_overlapping_box(
+            udir, "l_orderkey", *box["l_orderkey"], "l_partkey", *box["l_partkey"]
+        )
+
+        def box_scan(path):
+            df = spark.read.parquet(path)
+            runs = []
+            for _ in range(n_runs + 1):  # first run = warm
+                t0 = time.perf_counter()
+                (
+                    df.filter(
+                        F.col("l_orderkey").between(*box["l_orderkey"])
+                        & F.col("l_partkey").between(*box["l_partkey"])
+                    )
+                    .agg(F.sum("l_extendedprice"), F.count("*"))
+                    .write.format("noop").mode("overwrite").save()
+                )
+                runs.append(time.perf_counter() - t0)
+            return round(sorted(runs[1:])[len(runs[1:]) // 2], 3)
+
+        zorder = {
+            "build_sec": z_build,
+            "files_scanned": z_files,
+            "files_total": z_total,
+            "unclustered_files_scanned": u_files,
+            "unclustered_files_total": u_total,
+            "box_scan_sec": box_scan(zdir),
+            "unclustered_box_scan_sec": box_scan(udir),
+        }
+    finally:
+        import shutil
+
+        shutil.rmtree(zdir, ignore_errors=True)
+        shutil.rmtree(udir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -144,6 +219,7 @@ def main() -> None:
                 "ivf_query_only_sec": ivf_query,
                 "cdc_merge_events_per_sec": cdc_tp["events_per_sec"],
                 "cdc_merge_n_events": cdc_tp["n_events"],
+                "zorder": zorder,
                 "sf": sf,
             }
         )
