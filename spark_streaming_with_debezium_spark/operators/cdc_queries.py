@@ -442,3 +442,112 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         tt.merge_logged(batch.drop("event_id"))
     return changes_between(tt, 1, 2)
+
+
+@query(
+    "cdc_incremental_agg",
+    oracle="""
+    WITH ev_last AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events) t WHERE rn = 1
+    ),
+    final AS (
+      SELECT COALESCE(l.user_id, c.c_custkey) AS uid,
+             CASE WHEN l.user_id IS NOT NULL THEN l.value
+                  ELSE c.c_acctbal END AS bal,
+             CASE WHEN l.user_id IS NOT NULL
+                  THEN l.event_type <> 'error' ELSE TRUE END AS live
+      FROM customer c FULL JOIN ev_last l ON c.c_custkey = l.user_id
+    )
+    SELECT uid % 10 AS grp,
+           CAST(SUM(CAST(bal AS DECIMAL(38,6))) AS DOUBLE) AS agg_sum,
+           CAST(COUNT(*) AS BIGINT) AS agg_count
+    FROM final WHERE live GROUP BY 1
+    """,
+)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized aggregate
+    (streaming/materialized_agg.py) under the t2 gate: the events
+    stream becomes per-event change rows with EXACT before-images
+    (lag over the per-user sequence, falling back to the customer
+    snapshot balance for a user's first event, and to 'no prior' right
+    after a delete), folded as signed deltas (+after / −before) into
+    an on-disk bucketed aggregate table across TWO ordered batches.
+
+    The oracle recomputes the aggregate FROM SCRATCH over the final
+    state — the maintained table must equal the recompute bit-for-bit
+    (decimal accumulation makes the sum order-independent, and the
+    per-user delta chain telescopes: init + Σdeltas = final). This is
+    the O(batch)-per-refresh dashboard path that replaces an O(state)
+    rescan; at 100 TB the additive merge touches only buckets whose
+    groups changed.
+
+    Covered transitions: insert (first event / post-delete event),
+    update (−prior +new), delete (−prior), no-op delete (error for a
+    user with no live prior — filtered in both engines), and
+    untouched snapshot rows riding the init aggregate."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from spark_streaming_with_debezium_spark.streaming.materialized_agg import (
+        MaterializedAggregate,
+        changes_to_deltas,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = (
+        e.select("user_id", "event_id", "event_type", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("prior_val_evt", F.lag("value").over(w))
+        .withColumn("prior_type", F.lag("event_type").over(w))
+        .join(
+            c.select(
+                F.col("c_custkey").alias("user_id"),
+                F.col("c_acctbal").alias("cust_bal"),
+            ),
+            "user_id",
+            "left",
+        )
+    )
+    prior = F.when(F.col("rn") == 1, F.col("cust_bal")).otherwise(
+        F.when(F.col("prior_type") != "error", F.col("prior_val_evt"))
+    )
+    ch = seq.select(
+        (F.col("user_id") % 10).alias("grp"),
+        F.col("value").alias("bal"),
+        (F.col("user_id") % 10).alias("before_grp"),
+        prior.alias("before_bal"),
+        F.when(F.col("event_type") == "error", "d")
+        .when(prior.isNotNull(), "u")
+        .otherwise("c")
+        .alias("op"),
+        (F.col("event_type") == "error").alias("deleted"),
+        F.col("event_id"),
+    ).filter(~((F.col("op") == "d") & F.col("before_bal").isNull()))
+
+    agg = MaterializedAggregate(
+        spark, tempfile.mkdtemp(prefix="matagg_"), ["grp"], n_buckets=4
+    )
+    agg.state.init(
+        c.groupBy((F.col("c_custkey") % 10).alias("grp")).agg(
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)")).alias("agg_sum"),
+            F.count(F.lit(1)).alias("agg_count"),
+        )
+    )
+    mid = e.agg(F.max("event_id")).collect()[0][0] or 0
+    for pred in (
+        F.col("event_id") * 2 <= F.lit(mid),
+        F.col("event_id") * 2 > F.lit(mid),
+    ):
+        agg.apply_deltas(
+            changes_to_deltas(ch.filter(pred), ["grp"], "bal")
+        )
+    return agg.read().select(
+        "grp", F.col("agg_sum").cast("double").alias("agg_sum"), "agg_count"
+    )

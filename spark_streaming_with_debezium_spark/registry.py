@@ -102,6 +102,7 @@ _PRIORITY = (
     # --- NEW round-6 queries ---
     "cdc_logical_types",
     "cdc_change_feed",  # also rides the changes_between presence-flag fix
+    "cdc_incremental_agg",  # materialized-view maintenance under the hash
     # --- round-5 behavior-changed block (keep evidence fresh) ---
     "orders_rfm_segments",
     "pack_sequences",
