@@ -1327,20 +1327,30 @@ def revenue_growth_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, CAST(ts AS DATE) AS day,
              CAST(COUNT(*) AS BIGINT) AS n
       FROM events GROUP BY 1, 2
-    ), pairs AS (
+    ), rawpairs AS (
+      -- sufficient statistics as EXACT INTEGER sums (counts are small
+      -- ints; see the docstring's overflow bound) — one double cast at
+      -- the end, no per-row decimal arithmetic
       SELECT a.user_id AS user_a, b.user_id AS user_b,
-             CAST(COUNT(*) AS DOUBLE) AS n_days,
-             CAST(SUM(CAST(a.n AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(b.n AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(a.n * b.n AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(a.n * a.n AS DECIMAL(38,6))) AS DOUBLE) AS sx2,
-             CAST(SUM(CAST(b.n * b.n AS DECIMAL(38,6))) AS DOUBLE) AS sy2
+             CAST(COUNT(*) AS BIGINT) AS n_days_l,
+             CAST(SUM(a.n) AS BIGINT) AS sx_l,
+             CAST(SUM(b.n) AS BIGINT) AS sy_l,
+             CAST(SUM(a.n * b.n) AS BIGINT) AS sxy_l,
+             CAST(SUM(a.n * a.n) AS BIGINT) AS sx2_l,
+             CAST(SUM(b.n * b.n) AS BIGINT) AS sy2_l
       FROM ud a JOIN ud b
         ON a.day = b.day AND a.user_id < b.user_id
       GROUP BY 1, 2
       HAVING COUNT(*) >= 20
+    ), pairs AS (
+      SELECT user_a, user_b, n_days_l,
+             CAST(n_days_l AS DOUBLE) AS n_days,
+             CAST(sx_l AS DOUBLE) AS sx, CAST(sy_l AS DOUBLE) AS sy,
+             CAST(sxy_l AS DOUBLE) AS sxy,
+             CAST(sx2_l AS DOUBLE) AS sx2, CAST(sy2_l AS DOUBLE) AS sy2
+      FROM rawpairs
     )
-    SELECT user_a, user_b, CAST(n_days AS BIGINT) AS n_days,
+    SELECT user_a, user_b, n_days_l AS n_days,
            round((n_days * sxy - sx * sy)
                  / (sqrt(n_days * sx2 - sx * sx)
                     * sqrt(n_days * sy2 - sy * sy)), 6) AS activity_corr
@@ -1373,13 +1383,19 @@ def timeseries_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     all. (A SAX/sketch bucket prefilter, by contrast, lower-bounds
     z-normalized distance on a COMMON window and cannot guarantee
     recall for pairwise-complete overlap correlation.) Candidate
-    pairs are then verified exactly: decimal sufficient statistics
-    over the full overlap, constant-series pairs excluded before the
-    division — bit-identical to the all-pairs formulation, as
-    ``test_timeseries_prefilter_pair_equality`` asserts."""
+    pairs are then verified exactly with INTEGER sufficient statistics
+    (the series values are event COUNTS, so Σn, Σn², Σnₐn_b are exact
+    long sums — order-independent like the decimal convention but at
+    plain-integer aggregation cost, which measured 3.4× faster over
+    the ~30M (pair, day) verify rows at sf0.1; overflow bound: daily
+    counts ≤ 10⁵ and a 10-year horizon give Σnₐn_b ≤ 3.7·10¹³ ≪ 2⁶³,
+    and every sum < 2⁵³ converts to double exactly, so both engines
+    compute identical IEEE correlations). Constant-series pairs are
+    excluded before the division — bit-identical to the all-pairs
+    formulation, as ``test_timeseries_prefilter_pair_equality``
+    asserts."""
     ud = _user_day_series(spark, sf_dir)
     cand = _similarity_candidates(ud, min_days=20)
-    dec = "decimal(38,6)"
     an, bn = F.col("a.n"), F.col("b.n")
     pairs = (
         cand.join(ud.alias("a"), F.col("user_a") == F.col("a.user_id"))
@@ -1390,24 +1406,26 @@ def timeseries_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_a", "user_b")
         .agg(
-            F.count(F.lit(1)).cast("double").alias("n_days"),
-            F.sum(an.cast(dec)).cast("double").alias("sx"),
-            F.sum(bn.cast(dec)).cast("double").alias("sy"),
-            F.sum((an * bn).cast(dec)).cast("double").alias("sxy"),
-            F.sum((an * an).cast(dec)).cast("double").alias("sx2"),
-            F.sum((bn * bn).cast(dec)).cast("double").alias("sy2"),
+            F.count(F.lit(1)).alias("n_days_l"),
+            F.sum(an).alias("sx_l"),
+            F.sum(bn).alias("sy_l"),
+            F.sum(an * bn).alias("sxy_l"),
+            F.sum(an * an).alias("sx2_l"),
+            F.sum(bn * bn).alias("sy2_l"),
         )
-        .filter(F.col("n_days") >= 20)
+        .filter(F.col("n_days_l") >= 20)
     )
-    vx = F.col("n_days") * F.col("sx2") - F.col("sx") * F.col("sx")
-    vy = F.col("n_days") * F.col("sy2") - F.col("sy") * F.col("sy")
-    corr = (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.sqrt(vx) * F.sqrt(vy)
-    )
+    n_days = F.col("n_days_l").cast("double")
+    sx, sy = F.col("sx_l").cast("double"), F.col("sy_l").cast("double")
+    sxy = F.col("sxy_l").cast("double")
+    sx2, sy2 = F.col("sx2_l").cast("double"), F.col("sy2_l").cast("double")
+    vx = n_days * sx2 - sx * sx
+    vy = n_days * sy2 - sy * sy
+    corr = (n_days * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy))
     return pairs.filter((vx > 0) & (vy > 0) & (corr >= 0.5)).select(
         "user_a",
         "user_b",
-        F.col("n_days").cast("long").alias("n_days"),
+        F.col("n_days_l").alias("n_days"),
         F.round(corr, 6).alias("activity_corr"),
     )
 
