@@ -179,6 +179,7 @@ def run_cdc_stream(
     neardup_text_col: str | None = None,
     neardup_threshold: float = 0.5,
     drift_policy: str | None = None,
+    drift_dead_letter_dir: str | None = None,
 ):
     """Continuous CDC upsert: writeStream.foreachBatch(batch_apply).
 
@@ -210,6 +211,15 @@ def run_cdc_stream(
     destructive drift (dropped/retyped columns) raises and fails the
     batch VISIBLY instead of silently dropping data. The evolved spec
     carries across micro-batches within this stream.
+
+    ``drift_dead_letter_dir`` changes the destructive-drift outcome
+    from fail-the-stream to quarantine-and-continue: the ENTIRE raw
+    batch is appended to the dead-letter path (with ``_batch_id`` and
+    ``_drift_reason`` columns for replay/triage) and its merge is
+    skipped, so one upstream DDL accident doesn't stall every other
+    table sharing the stream. The quarantined batch is replayable
+    after the operator fixes the spec — the at-scale posture for a
+    multi-team CDC bus.
     """
     if (neardup_store is None) != (neardup_text_col is None):
         raise ValueError(
@@ -223,9 +233,23 @@ def run_cdc_stream(
         )
         spec = live_spec[0]
         if drift_policy is not None:
-            from spark_streaming_with_debezium_spark.cdc.drift import apply_drift
+            from spark_streaming_with_debezium_spark.cdc.drift import (
+                SchemaDriftError,
+                apply_drift,
+            )
 
-            spec = apply_drift(projected, spec, state, policy=drift_policy)
+            try:
+                spec = apply_drift(projected, spec, state, policy=drift_policy)
+            except SchemaDriftError as err:
+                if drift_dead_letter_dir is None:
+                    raise
+                (
+                    projected.withColumn("_batch_id", F.lit(batch_id))
+                    .withColumn("_drift_reason", F.lit(str(err)))
+                    .write.mode("append")
+                    .parquet(drift_dead_letter_dir)
+                )
+                return  # quarantined; stream continues
             live_spec[0] = spec
         if neardup_store is not None:
             batch_apply_with_neardup(

@@ -324,3 +324,103 @@ def test_streaming_drift_policy_end_to_end(spark, tmp_path):
     rows = {r.id: r for r in state.read().collect()}
     assert rows[2].email == "b2@x" and rows[2].age == 52
     assert rows[1].age is None  # pre-evolution row, NULL-filled read
+
+
+def test_no_drift_with_logical_typed_base_schema(spark):
+    """A base spec whose columns are themselves logical-typed (Decimal/
+    Date declared via annotations) must compare clean against the
+    matching in-band schema — the declared LOGICAL Spark type equals
+    the mapped Connect type, not the wire type."""
+    spec = TableSpec(
+        name="orders",
+        key_cols=("id",),
+        value_schema=T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("price", T.DecimalType(10, 2)),
+                T.StructField("order_date", T.DateType()),
+            ]
+        ),
+        logical=(
+            ("price", "org.apache.kafka.connect.data.Decimal"),
+            ("order_date", "io.debezium.time.Date"),
+        ),
+    )
+    fields = [
+        {"type": "int64", "optional": False, "field": "id"},
+        {
+            "type": "bytes",
+            "name": "org.apache.kafka.connect.data.Decimal",
+            "parameters": {"scale": "2", "connect.decimal.precision": "10"},
+            "optional": True,
+            "field": "price",
+        },
+        {
+            "type": "int32",
+            "name": "io.debezium.time.Date",
+            "optional": True,
+            "field": "order_date",
+        },
+    ]
+    raw = _raw(
+        spark,
+        [_env("c", {"id": 1, "price": "B0s=", "order_date": 19000}, 0, fields)],
+    )
+    assert not detect_drift(raw, spec).has_drift
+
+
+def test_streaming_drift_dead_letter_quarantine(spark, tmp_path):
+    """Destructive drift with a dead-letter dir: the offending batch is
+    quarantined (with _batch_id/_drift_reason) and SKIPPED, the stream
+    keeps running, state is untouched, and a later clean batch still
+    merges through the same checkpoint."""
+    RAW_SCHEMA = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("value", T.StringType()),
+            T.StructField("offset", T.LongType()),
+        ]
+    )
+
+    def line(ev):
+        k, v, off = ev
+        return json.dumps({"key": k, "value": v, "offset": off})
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.json").write_text(line(_env("c", {"id": 1, "email": "a@x"}, 0)))
+    state = ParquetStateTable(spark, str(tmp_path / "state"), ["id"], n_buckets=4)
+    state.init(spark.createDataFrame([], "id long, email string"))
+    ckpt = str(tmp_path / "ckpt")
+    dlq = str(tmp_path / "drift_dlq")
+
+    run_cdc_stream(
+        spark.readStream.schema(RAW_SCHEMA).json(str(src)),
+        SPEC, state, ckpt,
+        drift_policy="evolve", drift_dead_letter_dir=dlq,
+    ).awaitTermination()
+    assert {r.id for r in state.read().collect()} == {1}
+
+    # batch 2: upstream DROPPED email — destructive; must quarantine
+    dropped = [{"type": "int64", "optional": False, "field": "id"}]
+    (src / "b2.json").write_text(line(_env("u", {"id": 1}, 1, dropped)))
+    run_cdc_stream(
+        spark.readStream.schema(RAW_SCHEMA).json(str(src)),
+        SPEC, state, ckpt,
+        drift_policy="evolve", drift_dead_letter_dir=dlq,
+    ).awaitTermination()
+    assert {(r.id, r.email) for r in state.read().collect()} == {(1, "a@x")}
+    dl = spark.read.parquet(dlq).collect()
+    assert len(dl) == 1
+    assert "missing: email" in dl[0]._drift_reason
+    assert dl[0]._batch_id == 1  # checkpoint continues batch numbering
+
+    # batch 3: clean again — stream still works on the same checkpoint
+    (src / "b3.json").write_text(line(_env("c", {"id": 2, "email": "b@x"}, 2)))
+    run_cdc_stream(
+        spark.readStream.schema(RAW_SCHEMA).json(str(src)),
+        SPEC, state, ckpt,
+        drift_policy="evolve", drift_dead_letter_dir=dlq,
+    ).awaitTermination()
+    assert {r.id for r in state.read().collect()} == {1, 2}
+    assert spark.read.parquet(dlq).count() == 1  # no new quarantines
