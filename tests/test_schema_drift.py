@@ -424,3 +424,97 @@ def test_streaming_drift_dead_letter_quarantine(spark, tmp_path):
     ).awaitTermination()
     assert {r.id for r in state.read().collect()} == {1, 2}
     assert spark.read.parquet(dlq).count() == 1  # no new quarantines
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_POOL = [
+    ("age", {"type": "int32", "optional": True, "field": "age"}, T.IntegerType()),
+    ("score", {"type": "double", "optional": True, "field": "score"}, T.DoubleType()),
+    ("vip", {"type": "boolean", "optional": True, "field": "vip"}, T.BooleanType()),
+    (
+        "signup",
+        {"type": "int32", "name": "io.debezium.time.Date",
+         "optional": True, "field": "signup"},
+        T.DateType(),
+    ),
+]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    add=st.sets(st.integers(0, 3), max_size=3),
+    drop_email=st.booleans(),
+    widen_n=st.booleans(),
+)
+def test_detect_drift_matches_perturbation(spark, add, drop_email, widen_n):
+    """Random DDL perturbations of a base schema must be reported
+    EXACTLY: every added pool field in `added` (with its mapped type),
+    a dropped column in `missing`, a numeric widening in `widened`,
+    and nothing else."""
+    spec = TableSpec(
+        name="t",
+        key_cols=("id",),
+        value_schema=T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("email", T.StringType()),
+                T.StructField("n", T.IntegerType()),
+            ]
+        ),
+    )
+    fields = [{"type": "int64", "optional": False, "field": "id"}]
+    if not drop_email:
+        fields.append({"type": "string", "optional": True, "field": "email"})
+    fields.append(
+        {"type": "int64" if widen_n else "int32", "optional": True, "field": "n"}
+    )
+    for i in sorted(add):
+        fields.append(_POOL[i][1])
+    raw = _raw(spark, [_env("c", {"id": 1}, 0, fields)])
+    report = detect_drift(raw, spec)
+    assert set(report.added) == {_POOL[i][0] for i in sorted(add)}
+    for i in sorted(add):
+        assert report.added[_POOL[i][0]][0] == _POOL[i][2]
+    assert report.missing == (["email"] if drop_email else [])
+    assert set(report.widened) == ({"n"} if widen_n else set())
+    assert not report.retyped
+    assert report.incompatible == drop_email
+
+
+def test_quarantined_batch_replays_after_spec_fix(spark, tmp_path):
+    """The triage loop: a quarantined destructive-drift batch is
+    REPLAYABLE — after the operator accepts the narrowed schema (new
+    spec + state rebuild), feeding the dead-lettered payload back
+    through the batch path merges it."""
+    from spark_streaming_with_debezium_spark.cdc.pipeline import batch_apply
+
+    state = ParquetStateTable(spark, str(tmp_path / "st"), ["id"], n_buckets=2)
+    state.init(spark.createDataFrame([], "id long, email string"))
+    dropped = [{"type": "int64", "optional": False, "field": "id"}]
+    bad = _raw(spark, [_env("u", {"id": 7}, 1, dropped)])
+    with pytest.raises(SchemaDriftError):
+        apply_drift(bad, SPEC, state)
+    # quarantine exactly as run_cdc_stream would
+    dlq = str(tmp_path / "dlq")
+    bad.withColumn("_batch_id", F.lit(0)).withColumn(
+        "_drift_reason", F.lit("missing: email")
+    ).write.mode("append").parquet(dlq)
+
+    # operator decision: accept the narrowed table (id-only spec), new
+    # state dir; replay the quarantined payload through batch_apply
+    spec_fixed = TableSpec(
+        name="t",
+        key_cols=("id",),
+        value_schema=T.StructType([T.StructField("id", T.LongType())]),
+    )
+    state2 = ParquetStateTable(spark, str(tmp_path / "st2"), ["id"], n_buckets=2)
+    state2.init(spark.createDataFrame([], "id long"))
+    replay = spark.read.parquet(dlq).drop("_batch_id", "_drift_reason")
+    batch_apply(replay, spec_fixed, state2, seq_cols=("offset",))
+    assert [r.id for r in state2.read().collect()] == [7]
