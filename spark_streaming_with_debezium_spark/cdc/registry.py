@@ -28,10 +28,20 @@ from spark_streaming_with_debezium_spark.cdc.pipeline import batch_apply
 class CdcRegistry:
     """Topic → (TableSpec, state table) routing."""
 
-    def __init__(self, spark: SparkSession, state_root: str, n_buckets: int = 64):
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_root: str,
+        n_buckets: int = 64,
+        drift_policy: str | None = None,
+    ):
         self.spark = spark
         self.state_root = state_root
         self.n_buckets = n_buckets
+        #: 'evolve' | 'strict' | None — per-table in-band schema drift
+        #: handling (cdc/drift.py); evolved specs replace the route's
+        #: spec so later batches parse with the widened schema.
+        self.drift_policy = drift_policy
         self._routes: dict[str, tuple[TableSpec, ParquetStateTable]] = {}
 
     def register(self, spec: TableSpec) -> ParquetStateTable:
@@ -70,9 +80,17 @@ class CdcRegistry:
                 if route is None:
                     continue  # unknown topic: ignore (or dead-letter)
                 spec, state = route
-                batch_apply(
-                    raw_batch.filter(F.col("topic") == topic), spec, state
-                )
+                table_batch = raw_batch.filter(F.col("topic") == topic)
+                if self.drift_policy is not None:
+                    from spark_streaming_with_debezium_spark.cdc.drift import (
+                        apply_drift,
+                    )
+
+                    spec = apply_drift(
+                        table_batch, spec, state, policy=self.drift_policy
+                    )
+                    self._routes[topic] = (spec, state)
+                batch_apply(table_batch, spec, state)
         finally:
             raw_batch.unpersist()
 

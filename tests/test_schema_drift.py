@@ -518,3 +518,50 @@ def test_quarantined_batch_replays_after_spec_fix(spark, tmp_path):
     replay = spark.read.parquet(dlq).drop("_batch_id", "_drift_reason")
     batch_apply(replay, spec_fixed, state2, seq_cols=("offset",))
     assert [r.id for r in state2.read().collect()] == [7]
+
+
+def test_registry_multi_table_drift_isolated(spark, tmp_path):
+    """CdcRegistry(drift_policy='evolve'): one topic's ADD COLUMN
+    evolves ONLY that table's spec and state; the sibling table on the
+    same stream is untouched."""
+    from spark_streaming_with_debezium_spark.cdc.registry import CdcRegistry
+
+    reg = CdcRegistry(
+        spark, str(tmp_path / "states"), n_buckets=2, drift_policy="evolve"
+    )
+    spec_a = TableSpec(
+        name="a", topic="t.a", key_cols=("id",),
+        value_schema=T.StructType(
+            [T.StructField("id", T.LongType()),
+             T.StructField("email", T.StringType())]
+        ),
+    )
+    spec_b = TableSpec(
+        name="b", topic="t.b", key_cols=("id",),
+        value_schema=T.StructType(
+            [T.StructField("id", T.LongType()),
+             T.StructField("email", T.StringType())]
+        ),
+    )
+    sa, sb = reg.register(spec_a), reg.register(spec_b)
+    sa.init(spark.createDataFrame([], "id long, email string"))
+    sb.init(spark.createDataFrame([], "id long, email string"))
+
+    def with_topic(events, topic):
+        return [(k, v, topic, off) for k, v, off in events]
+
+    fields2 = BASE_FIELDS + [{"type": "int32", "optional": True, "field": "age"}]
+    batch = spark.createDataFrame(
+        with_topic([_env("c", {"id": 1, "email": "a@x", "age": 9}, 0, fields2)], "t.a")
+        + with_topic([_env("c", {"id": 5, "email": "e@x"}, 1)], "t.b"),
+        "key string, value string, topic string, offset long",
+    )
+    reg.apply_batch(batch)
+    ra = {r.id: r for r in reg.state_of("a").read().collect()}
+    assert ra[1].age == 9  # drift-added column landed for table a
+    rb = reg.state_of("b").read().collect()
+    assert [r.id for r in rb] == [5]
+    assert "age" not in rb[0].asDict()  # table b untouched
+    # the evolved spec persists on the route for the next batch
+    assert "age" in reg._routes["t.a"][0].data_cols
+    assert "age" not in reg._routes["t.b"][0].data_cols
