@@ -75,11 +75,12 @@ _LOGICAL_ALIASES = {
 
 _DECIMAL_RE = re.compile(r"^decimal\((\d+),\s*(\d+)\)$")
 
-#: Max Connect-Decimal payload width decodable by the two-limb plan
-#: below: 14 bytes = 112 bits ≈ 33 decimal digits. (DECIMAL(34..38)
-#: sources would need a third limb; payloads wider than this decode to
-#: NULL rather than silently wrapping.)
-_MAX_DECIMAL_BYTES = 14
+#: Max Connect-Decimal payload width accepted by the decoder below:
+#: 21 bytes (42 hex chars, three 56-bit limbs). Every valid DECIMAL(38)
+#: value minimally encodes in ≤ 16 bytes; the headroom absorbs
+#: sign-extended padding. Wider payloads — necessarily corrupt —
+#: decode to NULL rather than silently truncating.
+_MAX_DECIMAL_BYTES = 21
 
 
 def normalize_logical(logical: str) -> str:
@@ -129,14 +130,18 @@ def connect_decimal(col: Column, precision: int, scale: int) -> Column:
     — pure Catalyst, no UDF, so a 100 TB backfill decodes inside
     whole-stage codegen.
 
-    Plan: ``unbase64`` → ``hex`` (2 chars/byte) → SIGN-EXTEND to a fixed
-    28 hex chars (pad '0' for positive, 'F' for negative — exactly how
-    two's complement widens) → two 56-bit limbs via ``conv(_, 16, 10)``
+    Plan: ``unbase64`` → ``hex`` (2 chars/byte) → SIGN-MAGNITUDE: the
+    magnitude of a negative two's-complement value is bitwise-NOT + 1,
+    and bitwise NOT of hex text is a 16-char ``translate`` — so the
+    limb math always runs on a NON-NEGATIVE magnitude, which for every
+    valid DECIMAL(38) value fits decimal(38,0) with no 2^nbits
+    correction term. Three 56-bit limbs via ``conv(_, 16, 10)``
     (Spark's conv is 64-bit and ANSI-strict, so limbs stay ≤ 14 hex
-    chars) recombined with exact decimal(38,0) arithmetic; negative
-    values subtract the constant 2^112. Handles any minimal or
-    zero/sign-padded encoding up to 14 bytes (≈ 33 digits); wider
-    payloads → NULL.
+    chars) recombine with ``try_add``/``try_multiply`` decimal
+    arithmetic: any minimal or zero/sign-padded encoding up to 21
+    bytes decodes EXACTLY across the full DECIMAL(38) range, and a
+    corrupt payload whose magnitude exceeds 38 digits overflows the
+    try-arithmetic into NULL instead of wrapping or failing the job.
     """
     from decimal import Decimal as _D
 
@@ -145,20 +150,34 @@ def connect_decimal(col: Column, precision: int, scale: int) -> Column:
     n_bytes = F.length(b)
     dec38 = "decimal(38,0)"
     neg = F.conv(F.substring(hx, 1, 1), 16, 10).cast("int") >= F.lit(8)
-    hp = F.when(neg, F.lpad(hx, 28, "F")).otherwise(F.lpad(hx, 28, "0"))
-    lo = F.conv(F.substring(hp, 15, 14), 16, 10).cast(dec38)
-    hi = F.conv(F.substring(hp, 1, 14), 16, 10).cast(dec38)
-    unsigned = hi * F.lit(72057594037927936).cast(dec38) + lo  # hi·2^56
-    signed = F.when(
-        neg, unsigned - F.lit(_D(2**112)).cast(dec38)
-    ).otherwise(unsigned)
-    # exact rescale via multiplication by the 10^-scale decimal literal
-    # (division's fixed (38,6)-ish result type can't hold > 32 integer
-    # digits; multiplication keeps scale = `scale` and loses nothing
-    # for any payload within the 14-byte bound)
-    value = (signed * F.lit(_D(1).scaleb(-scale))).cast(
-        T.DecimalType(precision, scale)
+    # |x| − 1 for negatives is hexwise NOT (sign-extended FF padding
+    # NOTs to harmless 00 padding); positives use the hex as-is
+    mag_hex = F.when(
+        neg, F.translate(hx, "0123456789ABCDEF", "FEDCBA9876543210")
+    ).otherwise(hx)
+    hp = F.lpad(mag_hex, 42, "0")
+    h2 = F.conv(F.substring(hp, 1, 14), 16, 10).cast(dec38)
+    h1 = F.conv(F.substring(hp, 15, 14), 16, 10).cast(dec38)
+    h0 = F.conv(F.substring(hp, 29, 14), 16, 10).cast(dec38)
+    p56 = F.lit(72057594037927936).cast(dec38)  # 2^56
+    mag = F.try_add(
+        F.try_multiply(F.try_add(F.try_multiply(h2, p56), h1), p56), h0
     )
+    # negate via 0 − x: Spark's decimal unary minus rounds through a
+    # 34-digit MathContext and errors on 38-digit magnitudes
+    signed = F.when(
+        neg,
+        F.try_subtract(
+            F.lit(0).cast(dec38), F.try_add(mag, F.lit(1).cast(dec38))
+        ),
+    ).otherwise(mag)
+    # exact rescale via multiplication by the 10^-scale decimal literal
+    # (division's fixed (38,6)-ish result type can't hold wide integer
+    # digit counts; multiplication keeps scale = `scale` exactly);
+    # try_* throughout so corrupt out-of-range payloads land NULL
+    value = F.try_multiply(
+        signed, F.lit(_D(1).scaleb(-scale)).cast(f"decimal({scale + 1},{scale})")
+    ).try_cast(T.DecimalType(precision, scale))
     return F.when(
         (n_bytes > F.lit(0)) & (n_bytes <= F.lit(_MAX_DECIMAL_BYTES)), value
     )

@@ -64,14 +64,14 @@ def _b64(v: int, width: int | None = None) -> str:
 )
 @given(
     st.lists(
-        st.integers(min_value=-(10**33) + 1, max_value=10**33 - 1),
+        st.integers(min_value=-(10**38) + 1, max_value=10**38 - 1),
         min_size=1,
         max_size=40,
     )
 )
 def test_connect_decimal_matches_python(spark, vals):
     """Decode(minimal two's complement bytes) == the Python integer,
-    across the full supported 14-byte range, negatives included."""
+    across the FULL DECIMAL(38) unscaled range, negatives included."""
     rows = [(i, _b64(v), str(v)) for i, v in enumerate(vals)]
     df = spark.createDataFrame(rows, "i int, b64 string, expect string")
     out = df.select(
@@ -107,8 +107,9 @@ def test_connect_decimal_scale_and_bounds(spark):
             [
                 (_b64(-1050),),  # → -10.50
                 (_b64(999),),  # → 9.99
-                (_b64(10**40, 18),),  # 18 bytes: beyond 14-byte bound → NULL
+                (_b64(10**40, 18),),  # corrupt: 41-digit magnitude → NULL
                 (None,),  # NULL wire value → NULL
+                (_b64(7, 22),),  # 22-byte padding: beyond bound → NULL
             ],
             "b64 string",
         )
@@ -119,6 +120,28 @@ def test_connect_decimal_scale_and_bounds(spark):
     assert got[1].d == Decimal("9.99")
     assert got[2].d is None
     assert got[3].d is None
+    assert got[4].d is None
+
+
+def test_connect_decimal_full_38_digit_range(spark):
+    """DECIMAL(38) extremes (16-byte minimal encodings) and padded
+    variants decode exactly; values one digit beyond 38 go NULL."""
+    hi = 10**38 - 1
+    cases = [
+        (str(hi), _b64(hi)),  # 16 bytes minimal
+        (str(-hi), _b64(-hi)),
+        (str(hi), _b64(hi, 20)),  # zero-padded
+        (str(-hi), _b64(-hi, 20)),  # FF-sign-padded
+        (None, _b64(10**38)),  # 39 digits → overflow → NULL
+        (None, _b64(-(10**38))),
+    ]
+    df = spark.createDataFrame(cases, "expect string, b64 string")
+    out = df.select(
+        "expect", connect_decimal(F.col("b64"), 38, 0).cast("string").alias("got")
+    ).collect()
+    assert all(r.got == r.expect for r in out), [
+        (r.expect, r.got) for r in out if r.got != r.expect
+    ]
 
 
 def test_encoder_decoder_roundtrip_hypothesis(spark):
