@@ -19,6 +19,21 @@ from spark_streaming_with_debezium_spark.functions.numeric import dsum, sql_dsum
 from spark_streaming_with_debezium_spark.registry import query
 from spark_streaming_with_debezium_spark.sources.tables import load_table
 
+def _scratch_dir(prefix: str) -> str:
+    """Per-invocation on-disk scratch for queries that build real state
+    tables (change feed, materialized agg). Registered for removal at
+    interpreter exit so repeated bench/driver invocations don't
+    accumulate temp state; the returned DataFrames stay readable for
+    the life of the process (collects happen before exit)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 # Shared CTE: the merged current state, expressed in ANSI SQL for DuckDB.
 _MERGED_STATE_SQL = """
     latest AS (
@@ -410,8 +425,6 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix; the diff full-outer join co-partitions both sides on the
     same key. State lives in a per-invocation temp dir (tiny at test
     sf; the pattern at 100 TB is a lake path)."""
-    import tempfile
-
     from spark_streaming_with_debezium_spark.cdc.timetravel import (
         TimeTravelStateTable,
         changes_between,
@@ -421,7 +434,7 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     tt = TimeTravelStateTable(
         spark,
-        tempfile.mkdtemp(prefix="cdc_feed_"),
+        _scratch_dir("cdc_feed_"),
         ["c_custkey"],
         n_buckets=8,
     )
@@ -489,8 +502,6 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     update (−prior +new), delete (−prior), no-op delete (error for a
     user with no live prior — filtered in both engines), and
     untouched snapshot rows riding the init aggregate."""
-    import tempfile
-
     from pyspark.sql import Window
 
     from spark_streaming_with_debezium_spark.streaming.materialized_agg import (
@@ -532,7 +543,7 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(~((F.col("op") == "d") & F.col("before_bal").isNull()))
 
     agg = MaterializedAggregate(
-        spark, tempfile.mkdtemp(prefix="matagg_"), ["grp"], n_buckets=4
+        spark, _scratch_dir("matagg_"), ["grp"], n_buckets=4
     )
     agg.state.init(
         c.groupBy((F.col("c_custkey") % 10).alias("grp")).agg(
