@@ -246,6 +246,12 @@ class TableSpec:
         by_name = {f.name: f.dataType for f in self.value_schema.fields}
         out: dict[str, str] = {}
         for c, ann in self.logical:
+            if c not in by_name:
+                raise ValueError(
+                    f"logical annotation for unknown column {c!r} "
+                    f"(value_schema has {sorted(by_name)}) — a typo here "
+                    "would otherwise silently skip decoding"
+                )
             n = normalize_logical(ann)
             if n == "decimal":
                 # bare Connect Decimal class → precision/scale from the

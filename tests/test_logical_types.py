@@ -320,3 +320,14 @@ def test_logical_decode_stays_codegen(spark):
         .toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_annotation_for_unknown_column_raises():
+    spec = TableSpec(
+        name="t",
+        key_cols=("id",),
+        value_schema=T.StructType([T.StructField("id", T.LongType())]),
+        logical=(("prize", "decimal(10,2)"),),  # typo: no such column
+    )
+    with pytest.raises(ValueError, match="unknown column 'prize'"):
+        spec.logical_map
