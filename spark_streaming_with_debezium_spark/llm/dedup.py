@@ -447,3 +447,85 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= 6)
+
+
+@query(
+    "dedup_exact_substring",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS L FROM documents
+    ), grams AS (
+      SELECT doc_id, md5(substr(text, CAST(i AS INT), 40)) AS h
+      FROM d, UNNEST(range(1, L - 40 + 2, 10)) AS t(i)
+      WHERE L >= 40
+    ), dup AS (
+      SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ), tot AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM grams GROUP BY doc_id
+    ), dp AS (
+      SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+      FROM grams g JOIN dup USING (h) GROUP BY g.doc_id
+    )
+    SELECT t.doc_id, t.n_grams,
+           COALESCE(dp.n_dup, 0) AS n_dup_grams,
+           round(CAST(COALESCE(dp.n_dup, 0) AS DOUBLE) / t.n_grams, 6)
+             AS dup_fraction
+    FROM tot t LEFT JOIN dp ON t.doc_id = dp.doc_id
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" family):
+    per document, what fraction of its 40-char windows (sampled at
+    stride 10) also occur VERBATIM in some other document. High
+    ``dup_fraction`` docs are partial copies — the cases MinHash's
+    whole-document similarity underweights (a long doc quoting a short
+    one) and exact whole-content dedup misses entirely.
+
+    Shape: one explode to stride-sampled fixed-width grams (k=40,
+    stride=10 ⇒ 4× the text volume, each row a fixed 128-bit md5 — NOT
+    the raw substring, so shuffle width is constant), one
+    groupBy(gram) with map-side combine to find cross-doc grams, one
+    left-semi join back (multiplicity of the probe side preserved ⇒
+    per-position counts), two per-doc aggregates. No pair generation:
+    output is O(docs), intermediate is O(total chars / stride) — the
+    same budget every tokenizing query in this engine pays.
+
+    At 100 TB: the gram aggregate is the standard hot-key-safe uniform
+    md5-key shuffle; a production span-remover would keep gram
+    *positions* alongside and coalesce adjacent duplicated windows
+    into maximal spans (a per-doc sort — embarrassingly parallel after
+    this same candidate join)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    L = F.length("text")
+    pos = F.when(L >= 40, F.sequence(F.lit(1), L - 39, F.lit(10))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(pos, lambda i: F.md5(F.col("text").substr(i, F.lit(40))))
+        ).alias("h"),
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    tot = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    dp = (
+        grams.join(dup, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return tot.join(dp, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_dup"), F.lit(0).cast("bigint")).alias("n_dup_grams"),
+        F.round(
+            F.coalesce(F.col("n_dup"), F.lit(0).cast("bigint")).cast("double")
+            / F.col("n_grams"),
+            6,
+        ).alias("dup_fraction"),
+    )

@@ -37,6 +37,7 @@ _QUERY_MODULES = (
     "spark_streaming_with_debezium_spark.operators.windows",
     "spark_streaming_with_debezium_spark.operators.cdc_queries",
     "spark_streaming_with_debezium_spark.operators.sketches",
+    "spark_streaming_with_debezium_spark.operators.graph",
     "spark_streaming_with_debezium_spark.functions.scalar_queries",
     "spark_streaming_with_debezium_spark.streaming.batch_equiv",
     "spark_streaming_with_debezium_spark.llm.dedup",
@@ -84,7 +85,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: verdict), then the stalest r3/r4 names (last checked ≥ 2 rounds
 #: ago) filling the window. Names checked in the r5 window queue past
 #: the boundary — freshest evidence, lowest priority. Names not listed
-#: keep module registration order after these.
+#: keep module registration order after these. The round-6 NEW block
+#: grew to FIVE (graph_pagerank and dedup_exact_substring landed after
+#: the first three), displacing the two newest-evidence r4 names
+#: (distinct_rows, sort_limit_topk — both green r4) past the boundary
+#: so every never-checked query sits inside the 50-query window.
 _PRIORITY = (
     # --- never driver-checked (round-5 late additions) ---
     "agg_skew_kurtosis_exact",
@@ -103,6 +108,8 @@ _PRIORITY = (
     "cdc_logical_types",
     "cdc_change_feed",  # also rides the changes_between presence-flag fix
     "cdc_incremental_agg",  # materialized-view maintenance under the hash
+    "graph_pagerank",  # iterative-loop pattern under the full hash gate
+    "dedup_exact_substring",  # Lee-et-al span-level dedup, fully oracled
     # --- round-5 behavior-changed block (keep evidence fresh) ---
     "orders_rfm_segments",
     "pack_sequences",

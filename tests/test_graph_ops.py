@@ -1,0 +1,74 @@
+"""Property tests for the iterative graph operators (operators/graph.py)
+and the exact-substring dedup — invariants the DuckDB oracle sweep
+can't express (mass conservation, planted-duplicate detection)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from spark_streaming_with_debezium_spark.operators.graph import (
+    graph_pagerank,
+    pagerank_fixed,
+)
+from spark_streaming_with_debezium_spark.registry import load_all
+
+
+def test_pagerank_conserves_mass(spark, sf_dir):
+    """With an undirected graph every node has out-edges (no dangling
+    mass), so Σrank = N exactly after every iteration:
+    Σr' = (1-d)·N + d·Σr = N by induction from r₀ ≡ 1."""
+    out = graph_pagerank(spark, sf_dir)
+    row = out.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pagerank").alias("mass")
+    ).collect()[0]
+    assert row["n"] > 0
+    assert row["mass"] == pytest.approx(row["n"], rel=1e-6)
+    # Teleport floor: no node can fall below (1-d).
+    assert out.agg(F.min("pagerank")).collect()[0][0] >= 0.15 - 1e-9
+
+
+def test_pagerank_star_center_dominates(spark):
+    """On a star graph (hub ↔ k spokes) the hub must outrank every
+    spoke, and all spokes tie exactly (symmetry — a determinism check:
+    identical structural positions yield bit-identical ranks)."""
+    k = 8
+    pairs = [("hub", f"s{i}") for i in range(k)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], ["src", "dst"]
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank_fixed(edges).collect()}
+    spoke_ranks = {v for n, v in ranks.items() if n != "hub"}
+    assert len(spoke_ranks) == 1  # exact tie, not approximate
+    assert ranks["hub"] > spoke_ranks.pop()
+
+
+def test_exact_substring_planted_duplicate(spark, tmp_path):
+    """A doc sharing a verbatim 60-char block with another is flagged
+    (dup_fraction > 0); a doc of unique text is not. Uses a tiny
+    synthetic documents table so the planted span is controlled."""
+    import shutil
+    import os
+
+    base = "/root/testdata/sf0.001"
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    for t in os.listdir(base):
+        shutil.copy(os.path.join(base, t), sf / t)
+    shared = "the quick brown fox jumps over the lazy dog again and again!"
+    assert len(shared) == 60
+    docs = spark.createDataFrame(
+        [
+            ("a", "PREFIX-A " + shared + " SUFFIX-A" + "x" * 40, "en", "s1", 1),
+            ("b", "PREFIX-B " + shared + " SUFFIX-B" + "y" * 40, "en", "s1", 1),
+            ("c", "".join(chr(97 + (i * 7) % 26) for i in range(200)), "en", "s1", 1),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    docs.write.mode("overwrite").parquet(str(sf / "documents.parquet"))
+    q = load_all()["dedup_exact_substring"]
+    out = {r["doc_id"]: r.asDict() for r in q.fn(spark, str(sf)).collect()}
+    assert out["a"]["dup_fraction"] > 0
+    assert out["b"]["dup_fraction"] > 0
+    assert out["c"]["dup_fraction"] == 0.0
+    # Stride accounting: positions are 1, 11, 21, … while i+39 ≤ len.
+    for d in out.values():
+        assert d["n_dup_grams"] <= d["n_grams"]
