@@ -10,7 +10,7 @@ the engine's compact+merge kernel.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_streaming_with_debezium_spark.cdc.compact import compact_latest
@@ -561,4 +561,92 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return agg.read().select(
         "grp", F.col("agg_sum").cast("double").alias("agg_sum"), "agg_count"
+    )
+
+
+@query(
+    "cdc_temporal_pit_join",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, value AS balance, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS valid_to,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS version
+      FROM events WHERE event_type = 'purchase'
+    ), fact AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT f.event_id, f.user_id, f.ts AS click_ts,
+           CAST(d.version AS DOUBLE) AS balance_version,
+           d.balance AS balance_at_click
+    FROM fact f LEFT JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+)
+def cdc_temporal_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal validity) join: enrich each click with
+    the SCD2 dimension version that was valid AT THE CLICK'S event
+    time — `join_asof` answers "latest value before t" against a raw
+    change log; this is the same question asked of a versioned
+    dimension with explicit [valid_from, valid_to) intervals, the
+    canonical ML feature-store / audit-reporting lookup (training-time
+    features must be the values known at event time, not today's).
+
+    Dimension: balance versions per user from 'purchase' changes
+    (the `cdc_scd2_history` shape). Fact: 'click' events. Clicks
+    before a user's first version keep NULL (left join) — versions
+    partition each user's timeline, so at most one row matches and
+    the output is exactly one row per click.
+
+    Scale: the interval predicate rides a plain EQUI-join on user_id
+    (SortMergeJoin/shuffle-hash with a residual range filter) — never
+    a broadcast-nested-loop range join, because the equality key is
+    extracted first. Both sides pre-filter on event_type at the scan
+    (predicate pushdown), and the dimension's one window shares the
+    user_id hash partitioning the join needs — at 100 TB this is one
+    shuffle of each side on a uniform key."""
+    e = load_table(spark, sf_dir, "events")
+    dim = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("value").alias("balance"),
+            F.col("ts").alias("valid_from"),
+            "event_id",
+        )
+        .select(
+            "d_user",
+            "balance",
+            "valid_from",
+            F.lead("valid_from").over(
+                Window.partitionBy("d_user").orderBy("event_id")
+            ).alias("valid_to"),
+            # double, not long: the version is NULL for pre-first-
+            # version clicks, and the driver's pandas fetch renders a
+            # nullable int64 as float64 — emit double on BOTH sides.
+            F.row_number()
+            .over(Window.partitionBy("d_user").orderBy("event_id"))
+            .cast("double")
+            .alias("balance_version"),
+        )
+    )
+    fact = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = fact.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("click_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("click_ts") < F.col("valid_to"))),
+        "left",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "click_ts",
+        "balance_version",
+        F.col("balance").alias("balance_at_click"),
     )

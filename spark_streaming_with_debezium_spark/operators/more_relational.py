@@ -2088,3 +2088,143 @@ def customer_order_degree_distribution(
     return per_cust.groupBy("n_orders").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+@query(
+    "events_concurrency_peak",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_idx
+      FROM marked
+    ), sessions AS (
+      SELECT user_id, session_idx,
+             MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM numbered GROUP BY user_id, session_idx
+    ), sdays AS (
+      SELECT user_id, session_idx, s_start, s_end, d.day
+      FROM sessions,
+           UNNEST(generate_series(date_trunc('day', s_start),
+                                  date_trunc('day', s_end),
+                                  INTERVAL 1 DAY)) AS d(day)
+    ), bounds AS (
+      SELECT day, greatest(s_start, day) AS ts, 1 AS delta,
+             user_id, session_idx
+      FROM sdays
+      UNION ALL
+      SELECT day, least(s_end, day + INTERVAL 1 DAY) AS ts, -1 AS delta,
+             user_id, session_idx
+      FROM sdays
+    ), run AS (
+      SELECT day, delta,
+             SUM(delta) OVER (
+               PARTITION BY day
+               ORDER BY ts, delta DESC, user_id, session_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS conc
+      FROM bounds
+    )
+    SELECT day,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_active_sessions,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+    FROM run GROUP BY day
+    """,
+)
+def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval analytics: the peak number of SIMULTANEOUS
+    user sessions per day — capacity planning's headline number, and
+    the canonical interval-overlap shape (±1 boundary events, running
+    sum, max). Sessions come from the same 30-min-gap sessionizer as
+    `events_sessionize_gap`; each session is then CLIPPED to every day
+    it touches (explode over its day span), so cross-midnight sessions
+    count exactly in both days — no carryover bias.
+
+    Interval semantics: [s_start, s_end] inclusive; at an identical
+    instant a start sorts before an end (delta DESC), so a one-event
+    session still registers concurrency 1 and back-to-back sessions
+    briefly overlap — mirrored verbatim in the oracle, with
+    (user_id, session_idx) completing a total order so the running
+    sum is deterministic on both engines.
+
+    Scale: the per-day running sum goes through
+    `grouped_ordered_running` (bucketed exact prefix sums), NOT a
+    plain Window.partitionBy(day) — one calendar day of a 100 TB
+    event stream is far too large for a single sort task. Integer ±1
+    deltas make the bucketed sum exact; the sessionizer itself is the
+    already-audited one-shuffle-per-user shape."""
+    from spark_streaming_with_debezium_spark.operators.scalable_windows import (
+        grouped_ordered_running,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    gap = us(F.col("ts")) - us(F.lag("ts").over(wo))
+    numbered = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    ).withColumn(
+        "session_idx",
+        F.sum("new_session")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    sessions = numbered.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    sdays = sessions.withColumn(
+        "day",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", "s_start"),
+                F.date_trunc("day", "s_end"),
+                F.expr("interval 1 day"),
+            )
+        ),
+    )
+    bounds = sdays.select(
+        "day",
+        F.greatest("s_start", "day").alias("ts"),
+        F.lit(1).alias("delta"),
+        "user_id",
+        "session_idx",
+    ).unionByName(
+        sdays.select(
+            "day",
+            F.least(
+                F.col("s_end"), F.col("day") + F.expr("interval 1 day")
+            ).alias("ts"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+            "session_idx",
+        )
+    )
+    run = grouped_ordered_running(
+        bounds,
+        ["day"],
+        key=F.unix_micros(F.col("ts").cast("timestamp")),
+        order_cols=[
+            F.col("ts"),
+            F.col("delta").desc(),
+            F.col("user_id"),
+            F.col("session_idx"),
+        ],
+        sums={"conc": F.col("delta")},
+    )
+    return run.groupBy("day").agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_active_sessions"),
+        F.max("conc").cast("long").alias("peak_concurrency"),
+    )

@@ -86,10 +86,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: ago) filling the window. Names checked in the r5 window queue past
 #: the boundary — freshest evidence, lowest priority. Names not listed
 #: keep module registration order after these. The round-6 NEW block
-#: grew to FIVE (graph_pagerank and dedup_exact_substring landed after
-#: the first three), displacing the two newest-evidence r4 names
-#: (distinct_rows, sort_limit_topk — both green r4) past the boundary
-#: so every never-checked query sits inside the 50-query window.
+#: grew to SEVEN (graph_pagerank, dedup_exact_substring,
+#: cdc_temporal_pit_join, events_concurrency_peak landed after the
+#: first three), displacing the four newest-evidence r4 names
+#: (distinct_rows, sort_limit_topk, agg_rollup, agg_stats — all green
+#: r4) past the boundary so every never-checked query sits inside the
+#: 50-query window.
 _PRIORITY = (
     # --- never driver-checked (round-5 late additions) ---
     "agg_skew_kurtosis_exact",
@@ -110,6 +112,8 @@ _PRIORITY = (
     "cdc_incremental_agg",  # materialized-view maintenance under the hash
     "graph_pagerank",  # iterative-loop pattern under the full hash gate
     "dedup_exact_substring",  # Lee-et-al span-level dedup, fully oracled
+    "cdc_temporal_pit_join",  # SCD2 point-in-time feature lookup
+    "events_concurrency_peak",  # sweep-line intervals on bucketed sums
     # --- round-5 behavior-changed block (keep evidence fresh) ---
     "orders_rfm_segments",
     "pack_sequences",
