@@ -72,3 +72,64 @@ def test_exact_substring_planted_duplicate(spark, tmp_path):
     # Stride accounting: positions are 1, 11, 21, … while i+39 ≤ len.
     for d in out.values():
         assert d["n_dup_grams"] <= d["n_grams"]
+
+
+from decimal import Decimal, ROUND_HALF_UP
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_Q18 = Decimal(1).scaleb(-18)
+
+EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),
+        st.integers(min_value=0, max_value=6),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _ref_pagerank(edges, n_iter=3, damping=0.85):
+    """Driver-side reference with the SAME decimal-interior contract as
+    pagerank_fixed: per-edge double division, contributions quantized
+    to DECIMAL(38,18) (exact halfway never occurs for binary doubles —
+    see operators/graph.py), exact decimal sum, one double damping
+    update per node per iteration."""
+    edges = sorted(set(edges))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    deg = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(n_iter):
+        inflow = {n: Decimal(0) for n in nodes}
+        for u, v in edges:
+            contrib = rank[u] / deg[u]  # IEEE double division
+            inflow[v] += Decimal(contrib).quantize(_Q18, ROUND_HALF_UP)
+        rank = {
+            n: (1.0 - damping) + damping * float(inflow[n]) for n in nodes
+        }
+    return rank
+
+
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(edges=EDGES)
+def test_pagerank_matches_reference_any_digraph(spark, edges):
+    """For ANY directed graph — self-loops, dangling destinations,
+    multi-hub — pagerank_fixed must equal the driver-side decimal
+    reference bit-for-bit after the output rounding. Exercises the
+    dangling-node left-join path the (undirected) registered query
+    never hits."""
+    edges = sorted(set(edges))
+    df = spark.createDataFrame(
+        [(f"n{u}", f"n{v}") for u, v in edges], ["src", "dst"]
+    )
+    got = {r["node"]: r["rank"] for r in pagerank_fixed(df).collect()}
+    want = {f"n{n}": v for n, v in _ref_pagerank(edges).items()}
+    assert set(got) == set(want)
+    for n in want:
+        assert round(got[n], 9) == round(want[n], 9), (n, got[n], want[n])
