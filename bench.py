@@ -56,6 +56,10 @@ EXTENDED = (
     "corpus_curation_funnel",  # multi-stage curation pipeline
     "cdc_logical_types",  # Debezium wire-format decode (r6)
     "cdc_change_feed",  # time-travel diff incl. state build (r6)
+    "graph_pagerank",  # iterative join/agg loop, 3 rounds (r6 cont.)
+    "dedup_exact_substring",  # span-level gram dedup (r6 cont.)
+    "cdc_temporal_pit_join",  # point-in-time SCD2 lookup (r6 cont.)
+    "events_concurrency_peak",  # sweep-line bucketed ledger (r6 cont.)
 )
 
 

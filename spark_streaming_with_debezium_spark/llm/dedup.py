@@ -507,17 +507,26 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(pos, lambda i: F.md5(F.col("text").substr(i, F.lit(40))))
         ).alias("h"),
     )
+    # Collapse to (gram, doc) with a position count FIRST: every
+    # downstream aggregate then reads this much smaller table, and all
+    # three consumers hash-partition on the same (h, doc_id) exchange,
+    # so Spark's ReuseExchange evaluates the explode+md5 scan ONCE
+    # (the naive three-consumers-of-grams shape re-ran it per consumer
+    # — 3× the corpus scan at bench time).
+    gd = grams.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("n_pos"))
     dup = (
-        grams.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
+        gd.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") >= 2)
         .select("h")
     )
-    tot = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    tot = gd.groupBy("doc_id").agg(
+        F.sum("n_pos").cast("bigint").alias("n_grams")
+    )
     dp = (
-        grams.join(dup, "h", "left_semi")
+        gd.join(dup, "h", "left_semi")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup"))
+        .agg(F.sum("n_pos").cast("bigint").alias("n_dup"))
     )
     return tot.join(dp, "doc_id", "left").select(
         "doc_id",

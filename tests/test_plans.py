@@ -436,3 +436,39 @@ def test_per_group_topk_windows_use_group_limit(spark, sf_dir):
     ):
         txt = _single_plan(QUERIES[name].fn(spark, sf_dir))
         assert txt.count("WindowGroupLimit") >= 2, f"{name}: {txt}"
+
+
+def test_extended_plan_census(spark, sf_dir):
+    """Same plan-quality gate over the EXTENDED bench block (round-2..6
+    flagships): no cartesian products, no broadcast nested loops — in
+    particular the point-in-time join must extract its user_id equality
+    into a real equi-join with the interval predicate as residual, and
+    each pagerank iteration must plan as join + partial aggregate. The
+    exchange bound is per-name (iterative/multi-stage flagships
+    legitimately shuffle more than single-shape headline queries)."""
+    import bench
+
+    from spark_streaming_with_debezium_spark.plans.explain import _single_plan
+
+    MAX_EXCHANGES = {
+        # 3 iterations × (join + agg) + setup; the persisted edge/node
+        # subtrees recur TEXTUALLY under every reuse in the explain
+        # output (runtime reads them from cache), inflating the count.
+        "graph_pagerank": 40,
+        "corpus_curation_funnel": 14,
+        "text_heavy_hitter_tokens": 8,
+        "timeseries_user_similarity": 10,
+        "cdc_change_feed": 10,
+        "events_concurrency_peak": 14,  # sessionize + bucketed ledger
+    }
+    # 1-row scalar-total broadcasts (corpus n_docs/avgdl etc.) — the
+    # audited crossJoin sites from the r5 review, not data-data loops.
+    BNLJ_ALLOWED = {"text_bm25_topk", "corpus_curation_funnel"}
+    for name in bench.EXTENDED:
+        txt = _single_plan(QUERIES[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in txt, name
+        if name not in BNLJ_ALLOWED:
+            assert "BroadcastNestedLoopJoin" not in txt, name
+        limit = MAX_EXCHANGES.get(name, 6)
+        n_exch = txt.count("Exchange hashpartitioning")
+        assert n_exch <= limit, f"{name}: {n_exch} shuffles"
