@@ -1068,3 +1068,129 @@ def mg_summary_tree(
         mg_merge, schema
     )
     return mid.repartition(1).mapInPandas(mg_merge, schema)
+
+
+#: BPE induction rounds — part of the query contract (oracle mirrors).
+N_BPE_MERGES = 5
+
+_BPE_BASE_SQL = """
+    words AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT UNNEST(string_split(
+          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+        FROM documents
+      ) WHERE regexp_matches(w, '^[a-z]+$')
+      GROUP BY w
+    ), seq0 AS (
+      SELECT array_to_string(string_split(w, ''), '  ') AS seq, cnt FROM words
+    )"""
+
+_BPE_ROUND_SQL = """
+    pairs{r} AS (
+      SELECT s.cnt,
+             arr[i] || ' ' || arr[i + 1] AS pair
+      FROM (SELECT seq, cnt, string_split(seq, '  ') AS arr FROM seq{p}) s,
+           UNNEST(range(1, len(arr))) AS t(i)
+    ), top{r} AS (
+      SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n
+      FROM pairs{r} GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+    ), seq{r} AS (
+      SELECT regexp_replace(
+               s.seq,
+               '\\b' || replace(t.pair, ' ', '  ') || '\\b',
+               replace(t.pair, ' ', ''), 'g') AS seq,
+             s.cnt
+      FROM seq{p} s, top{r} t
+    )"""
+
+
+def _bpe_oracle() -> str:
+    rounds = ",".join(
+        _BPE_ROUND_SQL.format(r=r, p=r - 1) for r in range(1, N_BPE_MERGES + 1)
+    )
+    finals = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({r} AS BIGINT) AS merge_rank, pair,
+           replace(pair, ' ', '') AS new_symbol, n AS pair_count
+    FROM top{r}"""
+        for r in range(1, N_BPE_MERGES + 1)
+    )
+    return f"WITH {_BPE_BASE_SQL},{rounds}\n{finals}"
+
+
+@query("text_bpe_merges", oracle=_bpe_oracle())
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction: the first
+    ``N_BPE_MERGES`` byte-pair-encoding merge rules learned from the
+    corpus — tokenizer training as a DataFrame program, the upstream
+    twin of `pack_sequences`' tokenizer-consuming side.
+
+    Standard BPE-on-word-histogram formulation (Sennrich et al. 2016):
+    the corpus is scanned ONCE into an alpha-token histogram; every
+    merge round then runs over that small (distinct words × cnt)
+    table — adjacent-symbol pair counts weighted by word frequency,
+    deterministic argmax (count desc, pair asc), leftmost
+    non-overlapping merge application. Symbol sequences are
+    double-space-joined strings; the merge is one `regexp_replace`
+    with \\b anchors (symbols are [a-z]+, so \\b is unambiguous and
+    RE2/Java-identical — both engines verified on the overlap cases
+    'a a a' and 'xa b').
+
+    Scale: per round = one explode+groupBy over the histogram (symbol
+    pairs, uniform keys) and ONE driver-collected row (the argmax —
+    bounded, K rows total across the loop, same bounded-collect
+    discipline as the MG heavy hitters). The corpus itself is touched
+    exactly once; production BPE trainers sample the histogram the
+    same way. localCheckpoint per round cuts the K-deep lineage."""
+    d = load_table(spark, sf_dir, "documents")
+    from spark_streaming_with_debezium_spark.llm.corpus_rules import (
+        normalize_text,
+    )
+
+    toks = d.select(
+        F.explode(F.split(normalize_text("text"), " ")).alias("w")
+    )
+    words = (
+        toks.filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    seqs = words.select(
+        F.array_join(F.split("w", ""), "  ").alias("seq"), "cnt"
+    ).localCheckpoint(eager=True)
+    rules = []
+    for r in range(1, N_BPE_MERGES + 1):
+        arr = F.split("seq", "  ")
+        idx = F.when(
+            F.size(arr) >= 2, F.sequence(F.lit(1), F.size(arr) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = seqs.select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.concat(
+                        F.element_at(arr, i), F.lit(" "), F.element_at(arr, i + 1)
+                    ),
+                )
+            ).alias("pair"),
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, n = top[0]["pair"], int(top[0]["n"])
+        a, b = pair.split(" ")
+        rules.append((r, pair, a + b, n))
+        seqs = seqs.select(
+            F.regexp_replace("seq", rf"\b{a}  {b}\b", a + b).alias("seq"),
+            "cnt",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        rules,
+        "merge_rank bigint, pair string, new_symbol string, pair_count bigint",
+    )
