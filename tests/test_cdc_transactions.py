@@ -148,3 +148,62 @@ def test_end_before_last_event_and_buffer_recovery(spark, tmp_path):
     apply_batch_transactional(reg, buf2, b2, TXN_TOPIC)
     assert _state(so) == [(3, 30)]
     assert _state(sc) == [(3, "t9@x")]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# Each transaction k inserts key k into BOTH tables (unique keys, so no
+# cross-transaction overwrites) — visibility of txn k is then exactly
+# "key k present", checkable per table after every batch.
+TXNS = st.integers(min_value=1, max_value=6)
+CUTS = st.lists(st.integers(min_value=0, max_value=40), max_size=4)
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(n_txns=TXNS, cuts=CUTS)
+def test_atomicity_any_batching(spark, tmp_path_factory, n_txns, cuts):
+    """For ANY batching of the interleaved event stream: after every
+    micro-batch each transaction is visible in BOTH tables or NEITHER,
+    and after the final batch (all ENDs delivered) everything is
+    visible. The event stream interleaves all transactions' events
+    before any END, so mid-stream batches genuinely tear without the
+    buffer."""
+    tmp_path = tmp_path_factory.mktemp("txnprop")
+    reg, buf, so, sc = _setup(spark, tmp_path)
+
+    events = []
+    off = 0
+    for k in range(1, n_txns + 1):  # all data events first (interleaved)
+        events.append(
+            _env("srv.db.orders", "c", k, off, {"total": k * 10}, txn=f"T{k}")
+        )
+        off += 1
+    for k in range(1, n_txns + 1):
+        events.append(
+            _env("srv.db.customers", "c", k, off, {"email": f"u{k}"}, txn=f"T{k}")
+        )
+        off += 1
+    for k in range(1, n_txns + 1):  # then the END markers
+        events.append(_end(f"T{k}", 2, off))
+        off += 1
+
+    bounds = sorted({min(c, len(events)) for c in cuts} | {len(events)})
+    start = 0
+    bid = 0
+    for b in bounds:
+        chunk = events[start:b]
+        start = b
+        bid += 1
+        batch = spark.createDataFrame(chunk, RAW_COLS) if chunk else (
+            spark.createDataFrame([], RAW_COLS)
+        )
+        apply_batch_transactional(reg, buf, batch, TXN_TOPIC, batch_id=bid)
+        in_orders = {r["id"] for r in so.read().collect()}
+        in_cust = {r["id"] for r in sc.read().collect()}
+        assert in_orders == in_cust, (
+            f"torn transaction(s): {in_orders ^ in_cust} after batch {bid}"
+        )
+    assert {r["id"] for r in so.read().collect()} == set(range(1, n_txns + 1))
