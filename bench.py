@@ -60,6 +60,7 @@ EXTENDED = (
     "dedup_exact_substring",  # span-level gram dedup (r6 cont.)
     "cdc_temporal_pit_join",  # point-in-time SCD2 lookup (r6 cont.)
     "events_concurrency_peak",  # sweep-line bucketed ledger (r6 cont.)
+    "text_bpe_merges",  # BPE vocab induction, 5 merge rounds (r6 cont.)
 )
 
 

@@ -207,3 +207,55 @@ def test_atomicity_any_batching(spark, tmp_path_factory, n_txns, cuts):
             f"torn transaction(s): {in_orders ^ in_cust} after batch {bid}"
         )
     assert {r["id"] for r in so.read().collect()} == set(range(1, n_txns + 1))
+
+
+def test_transactional_stream_with_checkpoint(spark, tmp_path):
+    """The real writeStream path: incomplete transaction held back in
+    batch 1, completed in batch 2 on the SAME checkpoint (only the new
+    file processed), state visible only after completion."""
+    from spark_streaming_with_debezium_spark.cdc.transactions import (
+        run_transactional_stream,
+    )
+
+    reg, buf, so, sc = _setup(spark, tmp_path)
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    raw_schema = T.StructType(
+        [
+            T.StructField("topic", T.StringType()),
+            T.StructField("key", T.StringType()),
+            T.StructField("value", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+        ]
+    )
+
+    def _jl(row):
+        return json.dumps(
+            dict(zip(("topic", "key", "value", "partition", "offset"), row))
+        )
+
+    (src / "b1.json").write_text(
+        _jl(_env("srv.db.orders", "c", 1, 0, {"total": 10}, txn="TX"))
+    )
+    run_transactional_stream(
+        reg, buf, spark.readStream.schema(raw_schema).json(str(src)),
+        ckpt, TXN_TOPIC,
+    ).awaitTermination()
+    assert _state(so) == []  # torn transaction never visible
+
+    (src / "b2.json").write_text(
+        "\n".join(
+            [
+                _jl(_env("srv.db.customers", "c", 1, 1, {"email": "x"}, txn="TX")),
+                _jl(_end("TX", 2, 2)),
+            ]
+        )
+    )
+    run_transactional_stream(
+        reg, buf, spark.readStream.schema(raw_schema).json(str(src)),
+        ckpt, TXN_TOPIC,
+    ).awaitTermination()
+    assert _state(so) == [(1, 10)]
+    assert _state(sc) == [(1, "x")]
