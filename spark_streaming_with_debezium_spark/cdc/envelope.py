@@ -71,6 +71,7 @@ _LOGICAL_ALIASES = {
     # TableSpec's declared DecimalType field (the Connect schema carries
     # scale as a parameter, not in the class name)
     "org.apache.kafka.connect.data.decimal": "decimal",
+    "io.debezium.data.variablescaledecimal": "variable-scale-decimal",
 }
 
 _DECIMAL_RE = re.compile(r"^decimal\((\d+),\s*(\d+)\)$")
@@ -92,7 +93,8 @@ def normalize_logical(logical: str) -> str:
     if m:
         return f"decimal({int(m.group(1))},{int(m.group(2))})"
     if low in ("date", "timestamp-millis", "timestamp-micros",
-               "zoned-timestamp", "time-micros", "decimal"):
+               "zoned-timestamp", "time-micros", "decimal",
+               "variable-scale-decimal"):
         return low
     raise ValueError(f"unknown logical type annotation: {logical!r}")
 
@@ -100,6 +102,13 @@ def normalize_logical(logical: str) -> str:
 def wire_type(logical: str) -> T.DataType:
     """The JSON wire type a logical column arrives as."""
     logical = normalize_logical(logical)
+    if logical == "variable-scale-decimal":
+        return T.StructType(  # {scale, base64 unscaled bytes}
+            [
+                T.StructField("scale", T.IntegerType()),
+                T.StructField("value", T.StringType()),
+            ]
+        )
     if (
         _DECIMAL_RE.match(logical)
         or logical == "decimal"
@@ -121,14 +130,16 @@ def logical_type(logical: str) -> T.DataType:
         return T.DateType()
     if logical == "time-micros":
         return T.LongType()  # Spark has no TIME type; micros since midnight
+    if logical == "variable-scale-decimal":
+        return T.StringType()  # exact decimal string (per-row scale)
     return T.TimestampType()
 
 
-def connect_decimal(col: Column, precision: int, scale: int) -> Column:
-    """Decode a Kafka Connect ``Decimal`` wire value (base64 big-endian
-    two's-complement unscaled bytes) to ``DecimalType(precision, scale)``
-    — pure Catalyst, no UDF, so a 100 TB backfill decodes inside
-    whole-stage codegen.
+def _connect_unscaled(col: Column) -> Column:
+    """Base64 big-endian two's-complement bytes → the exact signed
+    unscaled value as ``decimal(38,0)`` (NULL for empty/oversized/
+    >38-digit payloads) — the shared core of :func:`connect_decimal`
+    and :func:`connect_variable_decimal`.
 
     Plan: ``unbase64`` → ``hex`` (2 chars/byte) → SIGN-MAGNITUDE: the
     magnitude of a negative two's-complement value is bitwise-NOT + 1,
@@ -143,8 +154,6 @@ def connect_decimal(col: Column, precision: int, scale: int) -> Column:
     corrupt payload whose magnitude exceeds 38 digits overflows the
     try-arithmetic into NULL instead of wrapping or failing the job.
     """
-    from decimal import Decimal as _D
-
     b = F.unbase64(col.cast("string"))
     hx = F.hex(b)  # uppercase, exactly 2 chars per byte
     n_bytes = F.length(b)
@@ -171,16 +180,61 @@ def connect_decimal(col: Column, precision: int, scale: int) -> Column:
             F.lit(0).cast(dec38), F.try_add(mag, F.lit(1).cast(dec38))
         ),
     ).otherwise(mag)
+    return F.when(
+        (n_bytes > F.lit(0)) & (n_bytes <= F.lit(_MAX_DECIMAL_BYTES)), signed
+    )
+
+
+def connect_decimal(col: Column, precision: int, scale: int) -> Column:
+    """Decode a Kafka Connect ``Decimal`` wire value (base64 big-endian
+    two's-complement unscaled bytes) to ``DecimalType(precision, scale)``
+    — pure Catalyst, no UDF, so a 100 TB backfill decodes inside
+    whole-stage codegen. Core decode: :func:`_connect_unscaled`.
+    """
+    from decimal import Decimal as _D
+
+    signed = _connect_unscaled(col)
     # exact rescale via multiplication by the 10^-scale decimal literal
     # (division's fixed (38,6)-ish result type can't hold wide integer
     # digit counts; multiplication keeps scale = `scale` exactly);
     # try_* throughout so corrupt out-of-range payloads land NULL
-    value = F.try_multiply(
+    return F.try_multiply(
         signed, F.lit(_D(1).scaleb(-scale)).cast(f"decimal({scale + 1},{scale})")
     ).try_cast(T.DecimalType(precision, scale))
-    return F.when(
-        (n_bytes > F.lit(0)) & (n_bytes <= F.lit(_MAX_DECIMAL_BYTES)), value
+
+
+def connect_variable_decimal(col: Column) -> Column:
+    """Decode ``io.debezium.data.VariableScaleDecimal`` (PostgreSQL
+    NUMERIC with no declared precision): wire value is a STRUCT
+    ``{scale: int32, value: base64 bytes}`` whose scale varies PER ROW,
+    so no fixed ``DecimalType`` exists. Emitted as the EXACT decimal
+    string (sign, integer digits, point, fraction digits — trailing
+    zeros preserved as written by the source): string assembly keeps
+    all 38 digits where a double would round, and stays pure Catalyst.
+    """
+    unscaled = _connect_unscaled(col["value"])
+    sc = F.coalesce(col["scale"], F.lit(0))
+    sign = F.when(unscaled < 0, F.lit("-")).otherwise(F.lit(""))
+    # magnitude digits by STRIPPING the sign character, never abs():
+    # Spark's decimal abs/negate round through a 34-digit MathContext,
+    # silently corrupting 35-38 digit magnitudes (same trap the
+    # two's-complement kernel dodges with 0 - x try-arithmetic)
+    ustr = unscaled.cast("string")
+    digits = F.when(
+        unscaled < 0, ustr.substr(F.lit(2), F.length(ustr))
+    ).otherwise(ustr)
+    s = F.greatest(sc, F.lit(0))
+    # pad so there is at least one integer digit left of the point
+    padded = F.lpad(digits, F.greatest(F.length(digits), s + 1), "0")
+    int_part = F.substring(padded, F.lit(1), F.length(padded) - s)
+    frac = F.substring(padded, F.length(padded) - s + 1, s)
+    with_point = F.when(
+        s > 0, F.concat(sign, int_part, F.lit("."), frac)
+    ).otherwise(
+        # negative scale = trailing zeros (unscaled × 10^-scale)
+        F.concat(sign, digits, F.repeat(F.lit("0"), -F.least(sc, F.lit(0))))
     )
+    return F.when(unscaled.isNotNull() & col.isNotNull(), with_point)
 
 
 def encode_connect_decimal(unscaled: Column) -> Column:
@@ -209,6 +263,8 @@ def decode_logical(col: Column, logical: str) -> Column:
         # ISO-8601 with offset ('2024-03-01T12:00:00.123456Z' or
         # '+02:00'); to_timestamp normalizes into the session zone
         return F.to_timestamp(col)
+    if logical == "variable-scale-decimal":
+        return connect_variable_decimal(col)
     # time-micros passes through (no Spark TIME type)
     return col
 

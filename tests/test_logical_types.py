@@ -331,3 +331,111 @@ def test_annotation_for_unknown_column_raises():
     )
     with pytest.raises(ValueError, match="unknown column 'prize'"):
         spec.logical_map
+
+
+# ---------------------------------------------------------------------------
+# VariableScaleDecimal (io.debezium.data.VariableScaleDecimal)
+# ---------------------------------------------------------------------------
+
+
+def _expect_vsd(u: int, s: int | None) -> str:
+    s = s or 0
+    sign = "-" if u < 0 else ""
+    d = str(abs(u))
+    if s <= 0:
+        return sign + d + "0" * (-s)
+    d = d.rjust(s + 1, "0")
+    return sign + d[:-s] + "." + d[-s:]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**38) + 1, max_value=10**38 - 1),
+            st.integers(min_value=-5, max_value=25),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_variable_scale_decimal_matches_python(spark, pairs):
+    """Per-row-scale NUMERIC decode: exact decimal string for any
+    (unscaled, scale) across the full DECIMAL(38) range, negative
+    scales included."""
+    from spark_streaming_with_debezium_spark.cdc.envelope import (
+        connect_variable_decimal,
+    )
+
+    df = spark.createDataFrame(
+        [(s, _b64(u)) for u, s in pairs], "scale int, value string"
+    )
+    got = [
+        r["out"]
+        for r in df.select(
+            connect_variable_decimal(F.struct("scale", "value")).alias("out")
+        ).collect()
+    ]
+    assert got == [_expect_vsd(u, s) for u, s in pairs]
+
+
+def test_variable_scale_decimal_through_envelope(spark):
+    """End-to-end: a NUMERIC column annotated as
+    io.debezium.data.VariableScaleDecimal parses from the wire struct
+    and lands as the exact string; corrupt payloads land NULL."""
+    spec = TableSpec(
+        name="accounts",
+        key_cols=("id",),
+        value_schema=T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("balance", T.StringType()),
+            ]
+        ),
+        logical=(("balance", "io.debezium.data.VariableScaleDecimal"),),
+    )
+
+    def env(i, off, scale, b64):
+        return (
+            json.dumps({"payload": {"id": i}}),
+            json.dumps(
+                {
+                    "payload": {
+                        "before": None,
+                        "after": {
+                            "id": i,
+                            "balance": {"scale": scale, "value": b64},
+                        },
+                        "source": {"ts_ms": 1},
+                        "op": "c",
+                        "ts_ms": 1,
+                    }
+                }
+            ),
+            0,
+            off,
+        )
+
+    raw = spark.createDataFrame(
+        [
+            env(1, 0, 4, _b64(987654321)),
+            env(2, 1, 0, _b64(-42)),
+            env(3, 2, 2, _b64(10**60)),  # 26-byte payload: over the
+            # decoder's 21-byte bound -> NULL (unbase64 is lenient with
+            # malformed text, so byte-width is the reliable corruption)
+        ],
+        "key string, value string, partition int, offset long",
+    )
+    rows = {
+        r["id"]: r["balance"]
+        for r in parse_envelope(raw, spec, seq_cols=("partition", "offset"))
+        .select("id", "balance")
+        .collect()
+    }
+    assert rows[1] == "98765.4321"
+    assert rows[2] == "-42"
+    assert rows[3] is None
