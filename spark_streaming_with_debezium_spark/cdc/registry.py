@@ -34,6 +34,7 @@ class CdcRegistry:
         state_root: str,
         n_buckets: int = 64,
         drift_policy: str | None = None,
+        unknown_topic_dir: str | None = None,
     ):
         self.spark = spark
         self.state_root = state_root
@@ -42,6 +43,12 @@ class CdcRegistry:
         #: handling (cdc/drift.py); evolved specs replace the route's
         #: spec so later batches parse with the widened schema.
         self.drift_policy = drift_policy
+        #: When set, events on topics with NO registered route append
+        #: here (raw, with a batch_id column) instead of vanishing —
+        #: the operational tell for a connector publishing a table
+        #: nobody registered (new table, typo'd topic prefix). None
+        #: keeps the old drop behavior.
+        self.unknown_topic_dir = unknown_topic_dir
         self._routes: dict[str, tuple[TableSpec, ParquetStateTable]] = {}
 
     def register(self, spec: TableSpec) -> ParquetStateTable:
@@ -75,10 +82,18 @@ class CdcRegistry:
                 r.topic
                 for r in raw_batch.select("topic").distinct().collect()
             }
+            unknown = [t for t in present if t not in self._routes]
+            if unknown and self.unknown_topic_dir:
+                (
+                    raw_batch.filter(F.col("topic").isin(unknown))
+                    .withColumn("batch_id", F.lit(batch_id).cast("long"))
+                    .write.mode("append")
+                    .parquet(self.unknown_topic_dir)
+                )
             for topic in present:
                 route = self._routes.get(topic)
                 if route is None:
-                    continue  # unknown topic: ignore (or dead-letter)
+                    continue  # unregistered: captured above (or dropped)
                 spec, state = route
                 table_batch = raw_batch.filter(F.col("topic") == topic)
                 if self.drift_policy is not None:

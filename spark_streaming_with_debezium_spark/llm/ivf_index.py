@@ -84,3 +84,53 @@ class IvfIndex:
             .filter(F.col("rnk") <= k)
             .select("query_id", "vec_id", F.round("cos", 6).alias("cos_sim"), "rnk")
         )
+
+    def upsert(self, vectors: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> None:
+        """Incremental maintenance: assign NEW vectors to the EXISTING
+        centroids and append them cell-partitioned — no re-clustering,
+        no rewrite of resident cells. This is how production IVF serves
+        a growing corpus: centroids train once on a representative
+        sample (they drift slowly), inserts are a broadcast-assign +
+        partitioned append whose cost is O(batch), and `search` needs
+        no code change because probed cells simply contain more rows.
+        Re-delivered ids are dropped against the resident id set via a
+        left-anti join on the touched cells only (same partition-pruned
+        probe discipline as `search`). Rebuild (`build`) when
+        `cell_balance` reports drift — the standard IVF re-train
+        policy, now a measured signal instead of a guess."""
+        v = vectors.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ).withColumn("nrm", norm(F.col("embedding")))
+        cents = self.spark.read.parquet(self._cent_dir)
+        assigned = nearest_cells(v, cents, "embedding", "nrm", 1, "cell")
+        touched = [r.cell for r in assigned.select("cell").distinct().collect()]
+        resident = self.spark.read.parquet(self._data_dir).filter(
+            F.col("cell").isin(touched)
+        ).select("cell", "vec_id")
+        fresh = assigned.join(resident, ["cell", "vec_id"], "left_anti")
+        (
+            fresh.repartition(F.col("cell"))
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(self._data_dir)
+        )
+
+    def cell_balance(self) -> DataFrame:
+        """Index-health report: per-cell row counts plus the skew ratio
+        (max/mean) — the re-train trigger. After heavy upserting, new
+        data concentrating in few cells degrades probe selectivity;
+        rebuild when the ratio drifts well past its post-build value."""
+        counts = (
+            self.spark.read.parquet(self._data_dir)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_vectors"))
+        )
+        stats = counts.agg(
+            F.max("n_vectors").alias("mx"), F.avg("n_vectors").alias("mean")
+        )
+        return counts.crossJoin(F.broadcast(stats)).select(
+            "cell",
+            "n_vectors",
+            F.round(F.col("mx") / F.col("mean"), 6).alias("skew_ratio"),
+        )

@@ -163,3 +163,59 @@ def test_cli_runner_end_to_end(spark, tmp_path):
 
     state = ParquetStateTable(spark, str(tmp_path / "state" / "customers"), ["id"], 4)
     assert {(r.id, r.email) for r in state.read().collect()} == {(1, "new@x.com")}
+
+
+def test_unknown_topic_dead_letter(spark, tmp_path):
+    """Events on unregistered topics append to unknown_topic_dir (with
+    the batch id) instead of silently vanishing; registered topics are
+    unaffected."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from spark_streaming_with_debezium_spark.cdc.envelope import TableSpec
+    from spark_streaming_with_debezium_spark.cdc.registry import CdcRegistry
+
+    unk = str(tmp_path / "unknown")
+    reg = CdcRegistry(
+        spark, str(tmp_path / "state"), n_buckets=2, unknown_topic_dir=unk
+    )
+    spec = TableSpec(
+        name="t1",
+        key_cols=("id",),
+        value_schema=T.StructType([T.StructField("id", T.LongType())]),
+        topic="srv.db.t1",
+    )
+    st = reg.register(spec)
+    st.init(spark.createDataFrame([], "id long"))
+
+    def env(topic, i, off):
+        return (
+            topic,
+            json.dumps({"payload": {"id": i}}),
+            json.dumps(
+                {
+                    "payload": {
+                        "before": None,
+                        "after": {"id": i},
+                        "source": {"ts_ms": 1},
+                        "op": "c",
+                        "ts_ms": 1,
+                    }
+                }
+            ),
+            0,
+            off,
+        )
+
+    batch = spark.createDataFrame(
+        [env("srv.db.t1", 1, 0), env("srv.db.NEWTABLE", 9, 1)],
+        "topic string, key string, value string, partition int, offset long",
+    )
+    reg.apply_batch(batch, batch_id=7)
+    assert [r["id"] for r in st.read().collect()] == [1]
+    dead = spark.read.parquet(unk)
+    rows = dead.collect()
+    assert len(rows) == 1
+    assert rows[0]["topic"] == "srv.db.NEWTABLE"
+    assert rows[0]["batch_id"] == 7

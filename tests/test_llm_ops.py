@@ -509,3 +509,65 @@ def test_job_clis_run_end_to_end(tmp_path):
     )
     assert out2.returncode == 0, out2.stderr[-2000:]
     assert "marts done:" in out2.stdout, out2.stdout
+
+
+def test_ivf_upsert_serves_new_vectors_without_rebuild(spark, sf_dir, tmp_path):
+    """Incremental IVF: vectors appended via upsert must be findable by
+    search (a query AT an upserted vector returns it as top hit),
+    re-delivered ids must not duplicate, and resident cells must not
+    be rewritten (file count in untouched cells unchanged)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_with_debezium_spark.llm.ivf_index import IvfIndex
+    from spark_streaming_with_debezium_spark.sources.tables import load_table
+
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    extra = emb.filter(F.col("vec_id") % 2 == 1).limit(20)
+    idx.build(base)
+
+    def files_per_cell():
+        root = idx._data_dir
+        return {
+            d: len([f for f in os.listdir(os.path.join(root, d))
+                    if f.endswith(".parquet")])
+            for d in os.listdir(root) if d.startswith("cell=")
+        }
+
+    before = files_per_cell()
+    idx.upsert(extra)
+    idx.upsert(extra)  # re-delivery: left-anti drop, no duplicates
+    total = spark.read.parquet(idx._data_dir).count()
+    assert total == base.count() + extra.count()
+
+    probe = extra.limit(3)
+    hits = idx.search(probe, k=3).collect()
+    assert hits  # upserted vectors participate in search
+    got_ids = {r["query_id"] for r in hits}
+    assert got_ids == {r["vec_id"] for r in probe.collect()}
+
+    from spark_streaming_with_debezium_spark.llm.similarity import (
+        nearest_cells,
+        norm,
+    )
+
+    after = files_per_cell()
+    assigned = nearest_cells(
+        extra.select("vec_id", "embedding").withColumn(
+            "nrm", norm(F.col("embedding"))
+        ),
+        spark.read.parquet(idx._cent_dir),
+        "embedding", "nrm", 1, "cell",
+    )
+    touched_cells = {
+        f"cell={r['cell']}" for r in assigned.select("cell").distinct().collect()
+    }
+    for cell, n in before.items():
+        if cell not in touched_cells:
+            assert after[cell] == n, f"untouched {cell} was rewritten"
+
+    bal = idx.cell_balance().collect()
+    assert all(r["skew_ratio"] >= 1.0 for r in bal)
