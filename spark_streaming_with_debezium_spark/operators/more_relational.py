@@ -2228,3 +2228,75 @@ def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_active_sessions"),
         F.max("conc").cast("long").alias("peak_concurrency"),
     )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH vals AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ), med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM vals GROUP BY event_type
+    ), dev AS (
+      SELECT v.event_type, v.value, m.med, abs(v.value - m.med) AS dev
+      FROM vals v JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           round(d.med, 6) AS median_value,
+           round(a.mad, 6) AS mad,
+           CAST(SUM(CASE WHEN d.dev > 3 * 1.4826 * a.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type, d.med, a.mad
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: median/MAD outlier counts per event
+    type — the heavy-tail-safe twin of `events_anomaly_zscore` (mean
+    and stddev are themselves dragged by the outliers they're supposed
+    to find; the median absolute deviation is not, hence the
+    3×1.4826·MAD consistency-scaled fence).
+
+    Two exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, the `agg_percentiles` mapping): one for the
+    per-type median, one for the median of absolute deviations after a
+    broadcast-sized join of per-type medians back onto the values.
+    Both aggregates group on event_type (5 values here — at scale the
+    exact percentile swaps for `approx_percentile` exactly like the
+    `agg_approx_percentile` face; the fence logic is unchanged)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(F.col("dev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 6).alias("median_value"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+            "n_events",
+        )
+    )
