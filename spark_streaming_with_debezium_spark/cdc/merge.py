@@ -126,6 +126,77 @@ class ParquetStateTable:
         self.path = path
         self.key_cols = list(key_cols)
         self.n_buckets = n_buckets
+        self._recover_rebucket()
+        # The STORED bucket count wins over the constructor arg: after a
+        # rebucket, a reader opening with a stale n_buckets would prune
+        # and write buckets under the WRONG modulus (silent key loss).
+        stored_n = self._stored_n_buckets()
+        if stored_n is not None:
+            self.n_buckets = stored_n
+
+    @property
+    def _meta_file(self) -> str:
+        return os.path.join(self.path, "_table_meta.json")
+
+    def _stored_n_buckets(self) -> int | None:
+        if os.path.exists(self._meta_file):
+            with open(self._meta_file) as f:
+                return int(json.load(f)["n_buckets"])
+        return None
+
+    def _write_meta(self, target_dir: str, n_buckets: int) -> None:
+        with open(os.path.join(target_dir, "_table_meta.json"), "w") as f:
+            json.dump({"n_buckets": n_buckets}, f)
+
+    def _recover_rebucket(self) -> None:
+        """Crash recovery for :meth:`rebucket`'s whole-table swap: the
+        parked old layout still present means the swap may not have
+        finished — if the live path is missing, roll BACK (restore the
+        parked layout); otherwise the swap completed and the parked
+        copy is garbage. A half-written new layout (never swapped in)
+        is always garbage."""
+        old_dir = self.path + "_rebucket_old"
+        new_dir = self.path + "_rebucket_new"
+        if os.path.exists(old_dir):
+            if not os.path.exists(self.path):
+                os.rename(old_dir, self.path)
+            else:
+                shutil.rmtree(old_dir, ignore_errors=True)
+        shutil.rmtree(new_dir, ignore_errors=True)
+
+    def rebucket(self, new_n_buckets: int) -> None:
+        """Online bucket-count migration: rewrite the WHOLE table into a
+        ``new_n_buckets`` hash layout and swap it in atomically — the
+        operational move when a table outgrows its bucket count (bucket
+        files past a few hundred MB make the touched-bucket rewrite
+        coarse) or shrinks far below it (tiny-file overhead). One full
+        read + one partitioned write (the same cost as init), no
+        merge downtime: call between micro-batches from the single
+        writer, exactly like :meth:`compact_buckets`. The new count is
+        persisted in the table's meta sidecar, so every later reader
+        and writer — whatever n_buckets its constructor guessed — uses
+        the stored modulus."""
+        if new_n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {new_n_buckets}")
+        df = self.read()
+        schema = self._stored_schema()
+        new_dir = self.path + "_rebucket_new"
+        old_dir = self.path + "_rebucket_old"
+        shutil.rmtree(new_dir, ignore_errors=True)
+        bucketed = bucket_of(df, self.key_cols, new_n_buckets)
+        bucketed.repartition(new_n_buckets, F.col("_bucket")).write.mode(
+            "overwrite"
+        ).partitionBy("_bucket").parquet(new_dir)
+        if schema is not None:
+            with open(os.path.join(new_dir, "_table_schema.json"), "w") as f:
+                json.dump(schema.jsonValue(), f)
+        self._write_meta(new_dir, new_n_buckets)
+        # swap: park old, land new, drop old — recovery handles a crash
+        # between any two steps (_recover_rebucket rolls back/forward)
+        os.rename(self.path, old_dir)
+        os.rename(new_dir, self.path)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        self.n_buckets = new_n_buckets
 
     def exists(self) -> bool:
         return os.path.exists(self.path)

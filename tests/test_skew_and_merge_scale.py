@@ -110,3 +110,55 @@ def test_bucket_compaction(spark, tmp_path):
     assert after == before
     files = [f for f in os.listdir(frag_dir) if f.endswith(".parquet")]
     assert len(files) == 1
+
+
+def test_rebucket_migrates_layout_and_persists_modulus(spark, tmp_path):
+    """rebucket: all rows preserved under the new layout, later merges
+    route by the STORED modulus even when a reader reopens with a stale
+    constructor n_buckets, and the crash-parked old layout is either
+    rolled back (live dir missing) or dropped (swap completed)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_with_debezium_spark.cdc.merge import ParquetStateTable
+
+    path = str(tmp_path / "state")
+    st = ParquetStateTable(spark, path, ["id"], n_buckets=4)
+    st.init(
+        spark.range(200).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        )
+    )
+    before = sorted(tuple(r) for r in st.read().collect())
+    st.rebucket(16)
+    assert st.n_buckets == 16
+    dirs = [d for d in os.listdir(path) if d.startswith("_bucket=")]
+    assert len(dirs) == 16
+    assert sorted(tuple(r) for r in st.read().collect()) == before
+
+    # Stale reader: constructor says 4, the meta sidecar says 16 — the
+    # stored modulus must win or merges would route keys to wrong dirs.
+    stale = ParquetStateTable(spark, path, ["id"], n_buckets=4)
+    assert stale.n_buckets == 16
+    changes = spark.createDataFrame(
+        [(5, 999, False), (1000, 17, False)], "id long, v long, deleted boolean"
+    )
+    stale.merge(changes)
+    got = {r["id"]: r["v"] for r in stale.read().collect()}
+    assert got[5] == 999 and got[1000] == 17 and len(got) == 201
+
+    # Crash between park and land: live dir gone, old parked → reopening
+    # must roll the parked layout back.
+    os.rename(path, path + "_rebucket_old")
+    recovered = ParquetStateTable(spark, path, ["id"], n_buckets=4)
+    assert recovered.n_buckets == 16
+    assert {r["id"] for r in recovered.read().collect()} == set(got)
+    assert not os.path.exists(path + "_rebucket_old")
+
+    # Completed swap with leftover park: parked copy is garbage.
+    shutil.copytree(path, path + "_rebucket_old")
+    again = ParquetStateTable(spark, path, ["id"], n_buckets=4)
+    assert again.n_buckets == 16
+    assert not os.path.exists(path + "_rebucket_old")
