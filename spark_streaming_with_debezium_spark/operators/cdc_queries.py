@@ -650,3 +650,88 @@ def cdc_temporal_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "balance_version",
         F.col("balance").alias("balance_at_click"),
     )
+
+
+@query(
+    "cdc_scd2_incremental",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, value,
+             epoch_us(ts) AS ts_us,
+             (event_type = 'error') AS is_del,
+             lead(epoch_us(ts)) OVER w AS next_us,
+             SUM(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS version
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    )
+    SELECT user_id, CAST(version AS BIGINT) AS version,
+           value AS balance,
+           CAST(ts_us AS BIGINT) AS valid_from_us,
+           CAST(next_us AS DOUBLE) AS valid_to_us,
+           (next_us IS NULL) AS is_current
+    FROM ordered WHERE NOT is_del
+    """,
+)
+def cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance under the value-hash gate: the
+    events log splits into TWO micro-batches (by event_id median) that
+    fold one after the other onto a real on-disk (key, version) state
+    table via `cdc/scd2.scd2_apply`; the oracle recomputes the same
+    type-2 history in one SQL pass over the whole log. Any divergence
+    — a version mis-numbered across the batch boundary, an open row
+    not closed by the next batch's first event, a delete consuming a
+    version — breaks the hash. The batch dual of what the Hypothesis
+    sweep in tests/test_scd2.py proves for arbitrary batchings.
+
+    Versions number over NON-delete changes ('error' events act as
+    deletes: they close the open version without opening one);
+    validity bounds are event-time epoch microseconds."""
+    from spark_streaming_with_debezium_spark.cdc.merge import ParquetStateTable
+    from spark_streaming_with_debezium_spark.cdc.scd2 import (
+        scd2_apply,
+        scd2_schema_ddl,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.col("value"),
+        F.when(F.col("event_type") == "error", "d").otherwise("u").alias("op"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.col("event_id").alias("offset"),
+    )
+    dim = ParquetStateTable(
+        spark,
+        _scratch_dir("scd2_inc_"),
+        ["user_id", "version"],
+        n_buckets=8,
+    )
+    dim.init(
+        spark.createDataFrame(
+            [], scd2_schema_ddl("user_id long", "value double")
+        )
+    )
+    mid = e.agg(F.max("offset")).collect()[0][0] or 0
+    for pred in (
+        F.col("offset") * 2 <= F.lit(mid),
+        F.col("offset") * 2 > F.lit(mid),
+    ):
+        scd2_apply(
+            dim,
+            e.filter(pred),
+            ["user_id"],
+            ["value"],
+            order_cols=("offset",),
+        )
+    return dim.read().select(
+        "user_id",
+        "version",
+        F.col("value").alias("balance"),
+        F.col("valid_from_ms").alias("valid_from_us"),
+        # double: nullable int64 renders float64 through the driver's
+        # pandas fetch; epoch-µs < 2^53 stays exact in a double
+        F.col("valid_to_ms").cast("double").alias("valid_to_us"),
+        "is_current",
+    )

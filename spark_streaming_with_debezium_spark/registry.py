@@ -86,13 +86,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: ago) filling the window. Names checked in the r5 window queue past
 #: the boundary — freshest evidence, lowest priority. Names not listed
 #: keep module registration order after these. The round-6 NEW block
-#: grew to NINE (graph_pagerank, dedup_exact_substring,
+#: grew to TEN (graph_pagerank, dedup_exact_substring,
 #: cdc_temporal_pit_join, events_concurrency_peak, text_bpe_merges,
-#: events_anomaly_mad landed after the first three), displacing the
-#: six newest-evidence r4 names (distinct_rows, sort_limit_topk,
-#: agg_rollup, agg_stats, agg_percentiles, agg_grouping_sets — all
-#: green r4) past the boundary so every never-checked query sits
-#: inside the 50-query window.
+#: events_anomaly_mad, cdc_scd2_incremental landed after the first
+#: three), displacing the seven newest-evidence r4 names
+#: (distinct_rows, sort_limit_topk, agg_rollup, agg_stats,
+#: agg_percentiles, agg_grouping_sets, agg_filtered — all green r4)
+#: past the boundary so every never-checked query sits inside the
+#: 50-query window.
 _PRIORITY = (
     # --- never driver-checked (round-5 late additions) ---
     "agg_skew_kurtosis_exact",
@@ -117,6 +118,7 @@ _PRIORITY = (
     "events_concurrency_peak",  # sweep-line intervals on bucketed sums
     "text_bpe_merges",  # distributed BPE vocab induction, fully oracled
     "events_anomaly_mad",  # robust median/MAD outlier fence
+    "cdc_scd2_incremental",  # incremental type-2 fold vs batch recompute
     # --- round-5 behavior-changed block (keep evidence fresh) ---
     "orders_rfm_segments",
     "pack_sequences",
