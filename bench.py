@@ -61,6 +61,7 @@ EXTENDED = (
     "cdc_temporal_pit_join",  # point-in-time SCD2 lookup (r6 cont.)
     "events_concurrency_peak",  # sweep-line bucketed ledger (r6 cont.)
     "text_bpe_merges",  # BPE vocab induction, 5 merge rounds (r6 cont.)
+    "cdc_scd2_incremental",  # 2-batch SCD2 fold incl. state build (r6 cont.)
 )
 
 
