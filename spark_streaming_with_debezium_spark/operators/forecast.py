@@ -1,0 +1,112 @@
+"""Time-series forecasting over aggregated event streams.
+
+The reference delegates analytics to its SQL layer (`README.md:34-40`);
+forecasting is the north-star step past `events_daily_filled` /
+`events_hourly_seasonality`: given the per-day series a pipeline
+already maintains, predict tomorrow's volume and score yesterday's
+prediction — the signal feeding capacity planning and anomaly pages.
+
+Determinism discipline: a textbook simple-exponential-smoothing
+recursion (``l_t = α·y_t + (1-α)·l_{t-1}``) is a sequential fold —
+expressible only as a deep CTE chain or pow() weights, and ``pow`` is
+NOT IEEE-exact (JVM `Math.pow` and libm may differ in the last ulp).
+Instead the forecast is a FIXED-HORIZON exponentially-weighted moving
+average: weights ``0.7^j`` for lags 1..7 are precomputed once in
+Python and embedded as identical double literals in both the Spark
+plan and the DuckDB oracle, so both engines evaluate the same
+left-associated multiply-add tree over the same doubles —
+bit-identical, no pow() at query time. (Fixed-window EWMA ≡ SES
+truncated after 7 terms; at α=0.3 the dropped tail weighs
+0.7⁷ ≈ 8 % — standard practice for windowed smoothing.)
+
+Scale design (100 TB): the window functions run over the per-(type,
+day) AGGREGATE, never raw events — one data-sized shuffle builds the
+daily counts, after which each window partition holds at most
+days-in-range rows (30 here; bounded by calendar, not data volume).
+This is the same shape every operator in this family uses
+(`events_daily_filled`, `revenue_growth_mom_yoy`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_streaming_with_debezium_spark.registry import query
+from spark_streaming_with_debezium_spark.sources.tables import load_table
+
+#: Smoothing factor α = 0.3 → lag weight (1-α)^(j-1); 7-day horizon.
+_ALPHA = 0.3
+_H = 7
+#: Exact double literals, computed ONCE here and shared verbatim by
+#: both engines (repr round-trips doubles exactly in Python 3).
+_WEIGHTS = tuple((1.0 - _ALPHA) ** j for j in range(_H))
+_WSUM = sum(_WEIGHTS)
+
+
+def _oracle() -> str:
+    terms = " + ".join(
+        f"(LAG(n_events, {j + 1}) OVER w * CAST({w!r} AS DOUBLE))"
+        for j, w in enumerate(_WEIGHTS)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS n_events
+      FROM events GROUP BY 1, 2
+    ), scored AS (
+      SELECT event_type, day, n_events,
+             CASE WHEN LAG(n_events, {_H}) OVER w IS NOT NULL THEN
+               ({terms}) / CAST({_WSUM!r} AS DOUBLE)
+             END AS forecast
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
+           round(forecast, 6) AS forecast,
+           round(abs(n_events - forecast), 6) AS abs_error
+    FROM scored WHERE forecast IS NOT NULL
+    """
+
+
+@query("events_forecast_ewma", oracle=_oracle())
+def events_forecast_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead volume forecast per event type: for each day with
+    a full 7-day history, predict the day's event count as the
+    exponentially-weighted average of the previous 7 daily counts
+    (α=0.3 decay), and score it against the actual — the
+    backtest-as-you-go framing (every row is a real out-of-sample
+    prediction, so |error| aggregates directly into forecast-quality
+    dashboards).
+
+    Weights are Python-precomputed double literals shared with the
+    DuckDB dual; the lag window runs over the tiny per-(type, day)
+    aggregate (module docstring has the determinism + scale
+    rationale)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n_events"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lags = [F.lag("n_events", j + 1).over(w) for j in range(_H)]
+    # Left-associated multiply-add over identical literals — the same
+    # expression tree the oracle's SQL builds; no pow() at query time.
+    num = lags[0] * F.lit(_WEIGHTS[0])
+    for j in range(1, _H):
+        num = num + lags[j] * F.lit(_WEIGHTS[j])
+    forecast = F.when(lags[-1].isNotNull(), num / F.lit(_WSUM))
+    return (
+        daily.withColumn("forecast", forecast)
+        .filter(F.col("forecast").isNotNull())
+        .select(
+            "event_type",
+            "day",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round("forecast", 6).alias("forecast"),
+            F.round(F.abs(F.col("n_events") - F.col("forecast")), 6).alias(
+                "abs_error"
+            ),
+        )
+    )

@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "spark_streaming_with_debezium_spark.operators.cdc_queries",
     "spark_streaming_with_debezium_spark.operators.sketches",
     "spark_streaming_with_debezium_spark.operators.graph",
+    "spark_streaming_with_debezium_spark.operators.forecast",
     "spark_streaming_with_debezium_spark.functions.scalar_queries",
     "spark_streaming_with_debezium_spark.streaming.batch_equiv",
     "spark_streaming_with_debezium_spark.llm.dedup",
@@ -89,11 +90,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: grew to TEN (graph_pagerank, dedup_exact_substring,
 #: cdc_temporal_pit_join, events_concurrency_peak, text_bpe_merges,
 #: events_anomaly_mad, cdc_scd2_incremental landed after the first
-#: three), displacing the seven newest-evidence r4 names
-#: (distinct_rows, sort_limit_topk, agg_rollup, agg_stats,
-#: agg_percentiles, agg_grouping_sets, agg_filtered — all green r4)
-#: past the boundary so every never-checked query sits inside the
-#: 50-query window.
+#: three), then to TWELVE (graph_triangle_count, events_forecast_ewma),
+#: displacing the nine newest-evidence r4 names (distinct_rows,
+#: sort_limit_topk, agg_rollup, agg_stats, agg_percentiles,
+#: agg_grouping_sets, agg_filtered, agg_cube, agg_count_distinct — all
+#: green r4) past the boundary so every never-checked query sits
+#: inside the 50-query window.
 _PRIORITY = (
     # --- never driver-checked (round-5 late additions) ---
     "agg_skew_kurtosis_exact",
@@ -119,6 +121,8 @@ _PRIORITY = (
     "text_bpe_merges",  # distributed BPE vocab induction, fully oracled
     "events_anomaly_mad",  # robust median/MAD outlier fence
     "cdc_scd2_incremental",  # incremental type-2 fold vs batch recompute
+    "graph_triangle_count",  # degree-oriented exact triangle census
+    "events_forecast_ewma",  # fixed-horizon EWMA backtest forecast
     # --- round-5 behavior-changed block (keep evidence fresh) ---
     "orders_rfm_segments",
     "pack_sequences",
