@@ -251,6 +251,18 @@ class ParquetStateTable:
         """Bootstrap from a snapshot (the reference's initial-load job,
         `StreamingJobInitialExecutor.scala:44-51`, minus its per-batch
         append quirks: one partitioned write)."""
+        if snapshot.isEmpty():
+            # Empty bootstrap (fresh incremental table): a distributed
+            # write of zero rows produces exactly an empty dir + the
+            # schema sidecar, but costs a full Spark job (~5 s of fixed
+            # scheduling at 32 cores). Produce the same on-disk state
+            # directly; `_read_bucketed` already serves schema-only
+            # tables from the sidecar.
+            shutil.rmtree(self.path, ignore_errors=True)
+            os.makedirs(self.path, exist_ok=True)
+            with open(self._schema_file, "w") as f:
+                json.dump(snapshot.schema.jsonValue(), f)
+            return
         bucketed = bucket_of(snapshot, self.key_cols, self.n_buckets)
         # Align tasks with buckets: each task then writes exactly one
         # bucket file instead of every task writing a sliver of every
