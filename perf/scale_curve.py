@@ -1,0 +1,162 @@
+"""Scaling-curve harness: does each flagship operator scale ~linearly?
+
+The per-round bench (bench.py) measures one scale point (sf0.1). This
+harness REPLICATES that data N× into a scratch dir — keys offset per
+replica so referential integrity holds and per-replica structure is
+disjoint — and times a representative operator set at ×1 vs ×N. The
+ratio against the ideal N× answers the question the small-SF bench
+cannot: is there a hidden fixed bottleneck (driver collect, single
+reducer) that goes superlinear, or fixed overhead that amortizes?
+
+Replication rules:
+- Fact/dim keys get per-replica offsets (orderkey, custkey, partkey,
+  suppkey, doc_id, event_id, user_id, vec_id), so joins stay valid and
+  per-replica subgraphs are disjoint (graph/dedup outputs scale ~N).
+- `documents.text` goes through a PER-REPLICA CHARACTER BIJECTION
+  (vowel rotation via translate): within a replica every pairwise
+  relation (jaccard, shingles, edit distance) is EXACTLY preserved —
+  a bijection on characters is a bijection on words and shingles —
+  while cross-replica twins of the same doc differ in ~40 % of
+  characters, so near-dup pair counts scale ~N, not N².
+- Embeddings replicate as-is with offset ids: ANN corpora grow N×,
+  the query set (vec_id < N_QUERIES) stays fixed — the serving shape.
+
+Usage:
+    python perf/scale_curve.py            # N=5, default query set
+    SPARK_GRAFT_SCALE_N=3 python perf/scale_curve.py q1_pricing_summary
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from spark_streaming_with_debezium_spark.registry import load_all  # noqa: E402
+from spark_streaming_with_debezium_spark.session import get_spark  # noqa: E402
+from spark_streaming_with_debezium_spark.sources.tables import load_table  # noqa: E402
+
+#: Key-offset constants comfortably above any real key at sf≤1.
+_OFFSETS = {
+    "o_orderkey": 100_000_000,
+    "l_orderkey": 100_000_000,
+    "o_custkey": 10_000_000,
+    "c_custkey": 10_000_000,
+    "l_partkey": 10_000_000,
+    "p_partkey": 10_000_000,
+    "l_suppkey": 1_000_000,
+    "s_suppkey": 1_000_000,
+    "doc_id": 10_000_000,
+    "event_id": 100_000_000,
+    "user_id": 10_000_000,
+    "vec_id": 10_000_000,
+}
+
+#: Vowel rotations: replica i applies translate(text, 'aeiou', rot[i]).
+_ROTS = ("aeiou", "eioua", "iouae", "ouaei", "uaeio", "aeiuo", "eiuoa", "iuoae")
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_QUERIES = (
+    "q1_pricing_summary",        # scan + hash agg
+    "join_inner_equi",           # fact-fact shuffle join
+    "q18_large_orders",          # join + agg + having
+    "dedup_exact_groups",        # hash-groupBy dedup
+    "dedup_minhash_lsh",         # banded LSH near-dup
+    "text_heavy_hitter_tokens",  # MG sketch + recount
+    "text_bm25_topk",            # inverted retrieval
+    "ann_cosine_topk",           # fixed queries, growing corpus
+    "events_sessionize_gap",     # sessionization window
+    "cdc_scd2_history",          # full-log SCD2 window pass
+    "graph_triangle_count",      # oriented wedge join
+)
+
+
+def build_scaled(spark, src_dir: str, dst_dir: str, n: int) -> None:
+    """Write the N×-replicated copy of ``src_dir`` into ``dst_dir``."""
+    os.makedirs(dst_dir, exist_ok=True)
+    for t in TABLES:
+        df = load_table(spark, src_dir, t)
+        if t in ("region", "nation"):  # true dims: never replicated
+            out = df
+        else:
+            parts = []
+            for i in range(n):
+                rep = df
+                for c in df.columns:
+                    if c in _OFFSETS:
+                        rep = rep.withColumn(c, F.col(c) + F.lit(i * _OFFSETS[c]))
+                if t == "documents" and i > 0:
+                    rep = rep.withColumn(
+                        "text", F.translate(F.col("text"), _ROTS[0], _ROTS[i])
+                    )
+                parts.append(rep)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(os.path.join(dst_dir, f"{t}.parquet"))
+
+
+def time_query(spark, q, sf_dir: str, runs: int = 2) -> float:
+    q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return round(times[len(times) // 2], 3)
+
+
+def main() -> None:
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "5"))
+    names = sys.argv[1:] or list(DEFAULT_QUERIES)
+    spark = get_spark("scale_curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = load_all()
+
+    dst = tempfile.mkdtemp(prefix=f"scale_x{n}_")
+    try:
+        t0 = time.perf_counter()
+        build_scaled(spark, src, dst, n)
+        build_sec = round(time.perf_counter() - t0, 3)
+        out = {}
+        for name in names:
+            q = queries[name]
+            base = time_query(spark, q, src)
+            scaled = time_query(spark, q, dst)
+            out[name] = {
+                "x1_sec": base,
+                f"x{n}_sec": scaled,
+                "ratio": round(scaled / base, 2) if base > 0 else None,
+            }
+        print(
+            json.dumps(
+                {
+                    "metric": "scale_curve",
+                    "replicas": n,
+                    "ideal_ratio": float(n),
+                    "build_sec": build_sec,
+                    "queries": out,
+                    "base_dir": src,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

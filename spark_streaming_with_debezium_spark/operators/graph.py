@@ -266,15 +266,43 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
             F.when(lower_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
         ).persist()
-        o1, o2 = oriented.alias("o1"), oriented.alias("o2")
-        wedges = o1.join(o2, F.col("o1.dst") == F.col("o2.src")).select(
-            F.col("o1.src").alias("w_src"), F.col("o2.dst").alias("w_dst")
+        # Edge-iterator with sorted adjacency instead of a materialized
+        # wedge join: per oriented edge (a,b) the triangle count is
+        # |N⁺(a) ∩ N⁺(b)|. The wedge-join formulation (o1 ⋈ o2 on
+        # dst=src, then semi-probe) materializes EVERY wedge as a row —
+        # Σ in·out rows through two shuffles — and went 2× superlinear
+        # at 5× data from shuffle spill (perf/scale_curve.py). Here the
+        # O(√E)-bounded out-neighbor lists ship to the edges once
+        # (broadcast when the node table is small, hash join at scale),
+        # the intersection runs as one array op per edge, and nothing
+        # larger than the edge list is ever shuffled or materialized.
+        adj = oriented.groupBy("src").agg(
+            F.array_sort(F.collect_list("dst")).alias("nbrs")
         )
-        tri = wedges.join(
-            oriented,
-            (wedges.w_src == oriented.src) & (wedges.w_dst == oriented.dst),
-            "left_semi",
-        ).agg(F.count(F.lit(1)).alias("n_triangles"))
+        tri = (
+            oriented.join(
+                adj.withColumnsRenamed({"src": "a", "nbrs": "na"}),
+                F.col("src") == F.col("a"),
+            )
+            .join(
+                adj.withColumnsRenamed({"src": "b", "nbrs": "nb"}),
+                F.col("dst") == F.col("b"),
+                # inner would drop edges whose head has no out-edges;
+                # left keeps them contributing zero (nb NULL → size -1
+                # guarded by coalesce)
+                "left",
+            )
+            .select(
+                F.coalesce(
+                    F.size(F.array_intersect("na", "nb")), F.lit(0)
+                ).alias("t")
+            )
+            .agg(
+                F.coalesce(F.sum("t"), F.lit(0))
+                .cast("bigint")
+                .alias("n_triangles")
+            )
+        )
         stats = deg.agg(
             F.count(F.lit(1)).alias("n_nodes"),
             F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
