@@ -135,3 +135,49 @@ def test_kafka_reader_fails_cleanly_without_package(spark):
 
     with pytest.raises(Exception, match="(?i)kafka|data source"):
         kafka_reader(spark, "localhost:9092", "topic")
+
+
+def test_jsonl_documents_roundtrip(spark, sf_dir, tmp_path):
+    """JSONL load under an explicit schema must reproduce the parquet
+    documents table exactly, and malformed lines must land in the
+    dead-letter frame — not crash the load, not silently null out."""
+    import json as _json
+
+    from spark_streaming_with_debezium_spark.sources.jsonl_source import (
+        read_jsonl,
+        split_corrupt,
+    )
+    from spark_streaming_with_debezium_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs.jsonl")
+    rows = [r.asDict() for r in docs.collect()]
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+        f.write("{not valid json\n")          # malformed line
+        f.write('{"doc_id": "NaNope"}\n')     # type mismatch on doc_id
+    schema = ", ".join(f"{name} {dt}" for name, dt in docs.dtypes)
+    clean, dead = split_corrupt(read_jsonl(spark, path, schema))
+    got = sorted(tuple(r) for r in clean.select(*docs.columns).collect())
+    want = sorted(tuple(r) for r in docs.collect())
+    assert got == want
+    assert sorted(r.raw_line[:4] for r in dead.collect()) == ['{"do', "{not"]
+
+
+def test_jsonl_requires_no_inference_pass(spark, tmp_path):
+    """The declared schema must reach the scan (no inference job) and
+    unreferenced fields must prune: a projection of one column shows
+    only that column (+ corrupt col) in the scan's ReadSchema."""
+    from spark_streaming_with_debezium_spark.sources.jsonl_source import (
+        read_jsonl,
+    )
+
+    path = str(tmp_path / "t.jsonl")
+    with open(path, "w") as f:
+        f.write('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    df = read_jsonl(spark, path, "a bigint, b string").select("a")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema")[-1]
+    assert "a:bigint" in read_schema and "b:string" not in read_schema
+    assert [r.a for r in sorted(df.collect())] == [1, 2]
