@@ -100,6 +100,16 @@ def build_scaled(spark, src_dir: str, dst_dir: str, n: int) -> None:
                     rep = rep.withColumn(
                         "text", F.translate(F.col("text"), _ROTS[0], _ROTS[i])
                     )
+                if t == "events" and i > 0:
+                    # Disjoint 35-day window per replica: N× data means
+                    # a LONGER history, not N coexisting copies of the
+                    # same month (which would make every cross-replica
+                    # user pair a genuine correlate/session collision —
+                    # quadratic OUTPUT by construction, not a plan
+                    # property).
+                    rep = rep.withColumn(
+                        "ts", F.timestamp_add("DAY", F.lit(35 * i), F.col("ts"))
+                    )
                 parts.append(rep)
             out = parts[0]
             for p in parts[1:]:
