@@ -210,43 +210,30 @@ FROM stats s, ecount e, tri t
 """
 
 
-@query("graph_triangle_count", oracle=_TRIANGLE_ORACLE)
-def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact triangle census of the part co-purchase graph (parts are
-    adjacent when some order contains both), one row: nodes, edges,
-    triangles, wedges, and the global clustering coefficient
-    3·T/W — how much co-purchase neighborhoods close into cliques vs
-    mere hub-and-spoke stars (the standard community-structure
-    diagnostic before running clustering on the graph).
+def triangle_census(edges: DataFrame) -> DataFrame:
+    """One-row exact triangle census of an undirected graph given as
+    DISTINCT canonical edges ``(pa, pb)`` with ``pa < pb``: nodes,
+    edges, triangles, wedges (Σ deg·(deg−1)/2), and the global
+    clustering coefficient 3·T/W.
 
-    Scale design — the classic degree-orientation ("forward") trick:
-    every undirected edge is directed from its lower-(degree, id)
-    endpoint to the higher, which (a) counts each triangle exactly
-    once at its lowest-degree corner with no /6 de-dup, and (b) bounds
-    every out-neighborhood by O(√E) regardless of skew, so the wedge
-    join o1.dst=o2.src never explodes on hub nodes — the difference
-    between |wedges| ~ Σ out² ≤ E^1.5 and the naive Σ deg² which a
-    power-law hub makes quadratic. Edge building is bounded too: TPC-H
-    orders hold ≤ 7 parts, so the per-order pair fan-out is a
-    constant factor on lineitem, one shuffle + distinct. All-integer
-    arithmetic; the single double division rounds at 1e-6."""
-    op = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .distinct()
-    )
-    # The orientation join reads edges three times (two deg joins + the
-    # EXISTS probe) — persist the small canonical edge list once.
+    Scale design — degree orientation + sorted-adjacency
+    edge-iterator: every undirected edge is directed from its
+    lower-(degree, id) endpoint to the higher, which (a) counts each
+    triangle exactly once at its lowest-degree corner with no /6
+    de-dup, and (b) bounds every out-neighborhood by O(√E) regardless
+    of skew. Triangles are then counted per oriented edge (a,b) as
+    |N⁺(a) ∩ N⁺(b)|: the O(√E)-bounded out-neighbor lists ship to the
+    edges once (broadcast when the node table is small, hash join at
+    scale) and the intersection is one array op per edge — nothing
+    larger than the edge list is ever shuffled or materialized. The
+    wedge-JOIN formulation (o1 ⋈ o2 on dst=src, then a semi-probe)
+    materializes every wedge as a row — Σ in·out rows through two
+    shuffles — and measured 2× superlinear at 5× data from shuffle
+    spill (perf/scale_curve.py) before this rewrite. All-integer
+    arithmetic; the single double division rounds at 1e-6.
+
+    Exactness is property-swept against a brute-force reference over
+    arbitrary graphs (tests/test_graph_ops.py)."""
     edges = edges.persist()
     try:
         deg = (
@@ -266,16 +253,6 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
             F.when(lower_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
         ).persist()
-        # Edge-iterator with sorted adjacency instead of a materialized
-        # wedge join: per oriented edge (a,b) the triangle count is
-        # |N⁺(a) ∩ N⁺(b)|. The wedge-join formulation (o1 ⋈ o2 on
-        # dst=src, then semi-probe) materializes EVERY wedge as a row —
-        # Σ in·out rows through two shuffles — and went 2× superlinear
-        # at 5× data from shuffle spill (perf/scale_curve.py). Here the
-        # O(√E)-bounded out-neighbor lists ship to the edges once
-        # (broadcast when the node table is small, hash join at scale),
-        # the intersection runs as one array op per edge, and nothing
-        # larger than the edge list is ever shuffled or materialized.
         adj = oriented.groupBy("src").agg(
             F.array_sort(F.collect_list("dst")).alias("nbrs")
         )
@@ -288,8 +265,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 adj.withColumnsRenamed({"src": "b", "nbrs": "nb"}),
                 F.col("dst") == F.col("b"),
                 # inner would drop edges whose head has no out-edges;
-                # left keeps them contributing zero (nb NULL → size -1
-                # guarded by coalesce)
+                # left keeps them contributing zero (nb NULL guarded
+                # by the coalesce)
                 "left",
             )
             .select(
@@ -310,7 +287,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_wedges"),
         )
         ecount = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-        # three 1-row aggregates → scalar cross joins (census-exempt).
+        # three 1-row aggregates -> scalar cross joins (census-exempt).
         out = (
             stats.crossJoin(ecount)
             .crossJoin(tri)
@@ -319,16 +296,56 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_edges",
                 "n_triangles",
                 "n_wedges",
-                F.round(
-                    3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+                # when(w>0): a wedge-free graph (isolated edges) has no
+                # defined clustering — NULL, not an ANSI 0/0 error
+                # (found by the Hypothesis brute-force sweep).
+                F.when(
+                    F.col("n_wedges") > 0,
+                    F.round(
+                        3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+                    ),
                 ).alias("global_clustering"),
             )
         )
+        # Materialize while the edge/adjacency caches are live; every
+        # consumer then reads the 1-row checkpoint, never the lineage.
         out = out.localCheckpoint(eager=True)
     finally:
         oriented.unpersist()
         edges.unpersist()
     return out
+
+
+@query("graph_triangle_count", oracle=_TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the part co-purchase graph (parts are
+    adjacent when some order contains both), one row: nodes, edges,
+    triangles, wedges, and the global clustering coefficient 3·T/W —
+    how much co-purchase neighborhoods close into cliques vs mere
+    hub-and-spoke stars (the standard community-structure diagnostic
+    before running clustering on the graph).
+
+    Edge building is bounded: TPC-H orders hold ≤ 7 parts, so the
+    per-order pair fan-out is a constant factor on lineitem, one
+    shuffle + distinct. The census itself is :func:`triangle_census`
+    (degree-oriented sorted-adjacency edge-iterator — see its
+    docstring for the scale rationale)."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .distinct()
+    )
+    return triangle_census(edges)
 
 
 @query("graph_pagerank", oracle=_pagerank_oracle())

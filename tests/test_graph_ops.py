@@ -133,3 +133,59 @@ def test_pagerank_matches_reference_any_digraph(spark, edges):
     assert set(got) == set(want)
     for n in want:
         assert round(got[n], 9) == round(want[n], 9), (n, got[n], want[n])
+
+
+def test_triangle_census_matches_bruteforce(spark):
+    """The degree-oriented edge-iterator census must agree with a
+    brute-force reference on arbitrary graphs — Hypothesis generates
+    edge sets including the adversarial shapes (hubs, ties in the
+    degree ordering, isolated stars, cliques)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from itertools import combinations
+
+    from spark_streaming_with_debezium_spark.operators.graph import (
+        triangle_census,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.sets(
+            st.tuples(
+                st.integers(min_value=0, max_value=14),
+                st.integers(min_value=0, max_value=14),
+            ).filter(lambda p: p[0] != p[1]),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def run(raw_pairs):
+        canon = {(min(a, b), max(a, b)) for a, b in raw_pairs}
+        nbrs = {}
+        for a, b in canon:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        want_tri = sum(
+            1
+            for trio in combinations(sorted(nbrs), 3)
+            if trio[1] in nbrs[trio[0]]
+            and trio[2] in nbrs[trio[0]]
+            and trio[2] in nbrs[trio[1]]
+        )
+        want_wedges = sum(d * (d - 1) // 2 for d in map(len, nbrs.values()))
+        edges = spark.createDataFrame(sorted(canon), ["pa", "pb"])
+        row = triangle_census(edges).collect()[0]
+        assert row["n_nodes"] == len(nbrs)
+        assert row["n_edges"] == len(canon)
+        assert row["n_triangles"] == want_tri
+        assert row["n_wedges"] == want_wedges
+        if want_wedges:
+            assert row["global_clustering"] == pytest.approx(
+                3.0 * want_tri / want_wedges, abs=1e-6
+            )
+
+    run()
