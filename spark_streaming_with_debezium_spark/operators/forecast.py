@@ -70,6 +70,39 @@ def _oracle() -> str:
     """
 
 
+def ewma_backtest(
+    daily: DataFrame,
+    partition_col: str = "event_type",
+    day_col: str = "day",
+    value_col: str = "n_events",
+) -> DataFrame:
+    """One-step-ahead EWMA backtest over any (partition, day, value)
+    series: rows with a full ``_H``-lag history get a forecast =
+    weighted average of the previous ``_H`` observed values (row-based
+    lags — gaps use the previous OBSERVED point, same as the SQL dual)
+    and an absolute error. Property-swept against a Python reference
+    in tests/test_graph_ops.py's sibling forecast sweep."""
+    w = Window.partitionBy(partition_col).orderBy(day_col)
+    lags = [F.lag(value_col, j + 1).over(w) for j in range(_H)]
+    num = lags[0] * F.lit(_WEIGHTS[0])
+    for j in range(1, _H):
+        num = num + lags[j] * F.lit(_WEIGHTS[j])
+    forecast = F.when(lags[-1].isNotNull(), num / F.lit(_WSUM))
+    return (
+        daily.withColumn("forecast", forecast)
+        .filter(F.col("forecast").isNotNull())
+        .select(
+            partition_col,
+            day_col,
+            F.col(value_col).cast("bigint").alias(value_col),
+            F.round("forecast", 6).alias("forecast"),
+            F.round(F.abs(F.col(value_col) - F.col("forecast")), 6).alias(
+                "abs_error"
+            ),
+        )
+    )
+
+
 @query("events_forecast_ewma", oracle=_oracle())
 def events_forecast_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-step-ahead volume forecast per event type: for each day with
@@ -89,24 +122,6 @@ def events_forecast_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(F.count(F.lit(1)).cast("double").alias("n_events"))
     )
-    w = Window.partitionBy("event_type").orderBy("day")
-    lags = [F.lag("n_events", j + 1).over(w) for j in range(_H)]
     # Left-associated multiply-add over identical literals — the same
     # expression tree the oracle's SQL builds; no pow() at query time.
-    num = lags[0] * F.lit(_WEIGHTS[0])
-    for j in range(1, _H):
-        num = num + lags[j] * F.lit(_WEIGHTS[j])
-    forecast = F.when(lags[-1].isNotNull(), num / F.lit(_WSUM))
-    return (
-        daily.withColumn("forecast", forecast)
-        .filter(F.col("forecast").isNotNull())
-        .select(
-            "event_type",
-            "day",
-            F.col("n_events").cast("bigint").alias("n_events"),
-            F.round("forecast", 6).alias("forecast"),
-            F.round(F.abs(F.col("n_events") - F.col("forecast")), 6).alias(
-                "abs_error"
-            ),
-        )
-    )
+    return ewma_backtest(daily)

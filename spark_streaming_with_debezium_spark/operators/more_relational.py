@@ -2300,3 +2300,85 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "dq_benford_first_digit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INTEGER) AS digit
+      FROM orders
+    ), counts AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM digits GROUP BY digit
+    ), tot AS (
+      SELECT CAST(SUM(n_orders) AS DOUBLE) AS total FROM counts
+    ), expected(digit, exp_share) AS (
+      VALUES (1, CAST(0.3010299956639812 AS DOUBLE)),
+      (2, CAST(0.17609125905568124 AS DOUBLE)),
+      (3, CAST(0.12493873660829992 AS DOUBLE)),
+      (4, CAST(0.09691001300805642 AS DOUBLE)),
+      (5, CAST(0.07918124604762482 AS DOUBLE)),
+      (6, CAST(0.06694678963061322 AS DOUBLE)),
+      (7, CAST(0.05799194697768673 AS DOUBLE)),
+      (8, CAST(0.05115252244738129 AS DOUBLE)),
+      (9, CAST(0.04575749056067514 AS DOUBLE))
+    )
+    SELECT c.digit, c.n_orders,
+           round(c.n_orders / t.total, 6) AS obs_share,
+           round(e.exp_share, 6) AS exp_share,
+           round((c.n_orders - e.exp_share * t.total)
+                 * (c.n_orders - e.exp_share * t.total)
+                 / (e.exp_share * t.total), 6) AS chi2_component
+    FROM counts c JOIN expected e ON c.digit = e.digit, tot t
+    """,
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: the distribution of the
+    leading digit of o_totalprice against log10(1+1/d), with the
+    per-digit chi-square component — the classic forensic
+    data-quality screen (fabricated or unit-mangled monetary columns
+    drift from Benford long before totals stop reconciling; flat or
+    digit-1-starved distributions are the tell).
+
+    Determinism: the leading digit goes through floor → BIGINT →
+    string (identical integer rendering in both engines — never
+    double→string, whose formatting differs); the expected shares are
+    log10 literals precomputed ONCE in Python and embedded verbatim in
+    both plans (`events_forecast_ewma`'s no-transcendentals-at-
+    query-time rule). One scan, one 9-group aggregate, a broadcast
+    9-row expected table and a 1-row total — nothing else moves."""
+    benford = spark.createDataFrame(
+        [(1, 0.3010299956639812), (2, 0.17609125905568124), (3, 0.12493873660829992), (4, 0.09691001300805642), (5, 0.07918124604762482), (6, 0.06694678963061322), (7, 0.05799194697768673), (8, 0.05115252244738129), (9, 0.04575749056067514)], "digit int, exp_share double"
+    )
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    total = counts.agg(F.sum("n_orders").cast("double").alias("total"))
+    exp_total = F.col("exp_share") * F.col("total")
+    return (
+        counts.join(F.broadcast(benford), "digit")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_orders",
+            F.round(F.col("n_orders") / F.col("total"), 6).alias("obs_share"),
+            F.round("exp_share", 6).alias("exp_share"),
+            F.round(
+                (F.col("n_orders") - exp_total)
+                * (F.col("n_orders") - exp_total)
+                / exp_total,
+                6,
+            ).alias("chi2_component"),
+        )
+    )
