@@ -62,6 +62,9 @@ EXTENDED = (
     "events_concurrency_peak",  # sweep-line bucketed ledger (r6 cont.)
     "text_bpe_merges",  # BPE vocab induction, 5 merge rounds (r6 cont.)
     "cdc_scd2_incremental",  # 2-batch SCD2 fold incl. state build (r6 cont.)
+    "graph_triangle_count",  # oriented adjacency edge-iterator (r6 cont.)
+    "events_forecast_ewma",  # literal-weight EWMA backtest (r6 cont.)
+    "dq_benford_first_digit",  # forensic leading-digit audit (r6 cont.)
 )
 
 

@@ -463,7 +463,11 @@ def test_extended_plan_census(spark, sf_dir):
     }
     # 1-row scalar-total broadcasts (corpus n_docs/avgdl etc.) — the
     # audited crossJoin sites from the r5 review, not data-data loops.
-    BNLJ_ALLOWED = {"text_bm25_topk", "corpus_curation_funnel"}
+    BNLJ_ALLOWED = {
+        "text_bm25_topk",
+        "corpus_curation_funnel",
+        "dq_benford_first_digit",  # 1-row corpus-total broadcast
+    }
     for name in bench.EXTENDED:
         txt = _single_plan(QUERIES[name].fn(spark, sf_dir))
         assert "CartesianProduct" not in txt, name
