@@ -72,9 +72,6 @@ def pagerank_fixed(
         e = edges.select(F.col("src"), F.col("dst")).persist()
         cached.append(e)
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        # Degree rides along with the edges so the loop joins ONE table.
-        ed = e.join(deg, "src").persist()
-        cached.append(ed)
         if all_nodes_have_out_edges:
             # Undirected graphs (every endpoint appears as a source):
             # the degree aggregate's keys ARE the node set — skip the
@@ -88,10 +85,26 @@ def pagerank_fixed(
             )
         nodes = nodes.persist()
         cached.append(nodes)
+        # One bounded count (also populates the node cache): when the
+        # rank vector is provably small, broadcast it into the per-
+        # iteration join so the (big, already-cached) edge side never
+        # re-shuffles. AQE cannot make this call itself — each
+        # iteration's ranks come from a localCheckpoint scan with no
+        # size stats until executed. Above the threshold the join
+        # falls back to the shuffle plan the 10⁹-node sizing in the
+        # module docstring assumes (ranks ~16 GB ≫ any broadcast).
+        broadcast_ranks = nodes.count() <= 5_000_000
+        # Degree rides along with the edges so the loop joins ONE
+        # table; the same smallness decision broadcasts deg (O(V),
+        # same cardinality as the rank vector) so the big edge side
+        # never shuffles during the build either.
+        ed = e.join(F.broadcast(deg) if broadcast_ranks else deg, "src").persist()
+        cached.append(ed)
         ranks = nodes.withColumn("rank", F.lit(1.0))
         for _ in range(n_iter):
+            rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
             contribs = (
-                ed.join(ranks, ed.src == ranks.node)
+                ed.join(rank_side, ed.src == rank_side.node)
                 .groupBy(F.col("dst").alias("node"))
                 .agg(
                     F.sum((F.col("rank") / F.col("deg")).cast(_DEC))
