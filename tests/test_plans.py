@@ -476,3 +476,44 @@ def test_extended_plan_census(spark, sf_dir):
         limit = MAX_EXCHANGES.get(name, 6)
         n_exch = txt.count("Exchange hashpartitioning")
         assert n_exch <= limit, f"{name}: {n_exch} shuffles"
+
+
+def test_repo_wide_cartesian_and_bnlj_census(spark, sf_dir):
+    """Round-6 gate, extending the window census to join strategies:
+    NO registered query may plan a CartesianProduct, and broadcast
+    nested loops are allowed only for the audited sites below — every
+    one a provably-small build side (1-row corpus totals / scalar
+    thresholds, bounded query sets, or the intentional tiny-dim cross
+    join demo). A new query that introduces a BNLJ must be audited and
+    added here consciously; a data×data nested loop can never sneak in
+    as a silent plan regression."""
+    from spark_streaming_with_debezium_spark.plans.explain import _single_plan
+
+    BNLJ_AUDITED = {
+        # 1-row scalar-total / threshold broadcasts
+        "dq_referential_integrity", "events_hourly_seasonality",
+        "dq_benford_first_digit", "orders_rfm_segments",
+        "corpus_curation_funnel", "sample_weights_by_source",
+        "q11_important_value_share", "text_keywords_tfidf",
+        "text_bm25_topk", "retrieval_rrf_hybrid", "basket_part_affinity",
+        "events_dau_wau_stickiness", "events_pareto_concentration",
+        "dq_orders_reconcile", "parts_abc_classification",
+        "sketch_hll_rolling_users", "q22_global_sales_opportunity",
+        "dedup_semdedup_cells", "text_token_rarity", "text_idf",
+        # bounded query-set / centroid broadcasts (ANN serving shape)
+        "ann_int8_rescore", "ann_cosine_topk", "ann_ivf_topk",
+        "text_similar_topk",
+        # the intentional cross-join demo over tiny dims
+        "join_cross",
+    }
+    offenders = {}
+    for name, q in QUERIES.items():
+        try:
+            txt = _single_plan(q.fn(spark, sf_dir))
+        except Exception:
+            continue  # env-gated queries may not build
+        if "CartesianProduct" in txt:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in txt and name not in BNLJ_AUDITED:
+            offenders[name] = "unaudited BroadcastNestedLoopJoin"
+    assert not offenders, offenders
