@@ -698,3 +698,99 @@ def sample_hash_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
         .filter(F.col("sample_rank") <= 5)
     )
+
+
+#: RAG chunking contract — part of the query surface (the oracle
+#: hard-codes the same numbers): 60-word windows, 12-word overlap.
+CHUNK_WORDS = 60
+CHUNK_OVERLAP = 12
+_CHUNK_STEP = CHUNK_WORDS - CHUNK_OVERLAP
+
+
+@query(
+    "rag_chunk_documents",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+      FROM documents WHERE length(trim(text)) > 0
+    ), sized AS (
+      SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n FROM w
+    ), st AS (
+      SELECT doc_id, words, n,
+             unnest(generate_series(1, greatest(n - {CHUNK_OVERLAP}, 1),
+                                    {_CHUNK_STEP})) AS start
+      FROM sized
+    )
+    SELECT md5(CAST(doc_id AS VARCHAR) || ':'
+               || CAST(CAST((start - 1) / {_CHUNK_STEP} AS BIGINT)
+                       AS VARCHAR)) AS chunk_id,
+           doc_id,
+           CAST((start - 1) / {_CHUNK_STEP} AS BIGINT) AS chunk_idx,
+           array_to_string(
+             list_slice(words, start,
+                        least(start + {CHUNK_WORDS} - 1, n)), ' ')
+             AS chunk_text,
+           CAST(least({CHUNK_WORDS}, n - start + 1) AS BIGINT) AS n_words
+    FROM st
+    """,
+)
+def rag_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-ready document chunking: every document explodes into
+    60-word windows with 12 words of overlap (start step 48) and a
+    stable content-addressable chunk id ``md5(doc_id:chunk_idx)`` —
+    the step between a curated corpus and an embedding/indexing run
+    (overlap keeps answers that straddle a boundary retrievable; the
+    stable id makes re-chunks idempotent upserts into a vector store,
+    the same keyed-merge discipline as the CDC state table).
+
+    Entirely array higher-order functions — split once, one
+    ``sequence`` of window starts per doc, ``posexplode`` + ``slice``
+    — no UDFs, no shuffle at all (chunking is embarrassingly
+    parallel; the plan is scan → project → generate). Start positions
+    and word counts are integers, chunk text re-joins the SAME word
+    array both engines split identically — value-hash-exact.
+    Degenerate docs (≤ overlap words) emit exactly one chunk from the
+    ``greatest(n − overlap, 1)`` bound; empty docs are filtered on
+    both sides."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    words = F.split(F.trim("text"), r"\s+")
+    base = d.select(
+        "doc_id",
+        words.alias("words"),
+        F.size(words).cast("long").alias("n"),
+    )
+    starts = F.sequence(
+        F.lit(1).cast("long"),
+        F.greatest(F.col("n") - CHUNK_OVERLAP, F.lit(1).cast("long")),
+        F.lit(_CHUNK_STEP).cast("long"),
+    )
+    chunk_idx = ((F.col("start") - 1) / _CHUNK_STEP).cast("bigint")
+    return (
+        base.select(
+            "doc_id",
+            "words",
+            "n",
+            F.explode(starts).alias("start"),
+        )
+        .select(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    chunk_idx.cast("string"),
+                )
+            ).alias("chunk_id"),
+            "doc_id",
+            chunk_idx.alias("chunk_idx"),
+            F.array_join(
+                F.slice(F.col("words"), F.col("start"), F.lit(CHUNK_WORDS)),
+                " ",
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(CHUNK_WORDS).cast("long"),
+                F.col("n") - F.col("start") + 1,
+            ).alias("n_words"),
+        )
+    )
