@@ -125,3 +125,94 @@ def events_forecast_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Left-associated multiply-add over identical literals — the same
     # expression tree the oracle's SQL builds; no pow() at query time.
     return ewma_backtest(daily)
+
+
+@query(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, CAST(SUM(y) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1
+    ), walk AS (
+      SELECT d.event_type, d.day, t.total, t.n_days,
+             CAST(SUM(d.y) OVER w AS BIGINT) AS prefix,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS i
+      FROM daily d JOIN tot t USING (event_type)
+      WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day)
+    ), scored AS (
+      SELECT event_type, day, n_days, total,
+             n_days * prefix - i * total AS num,
+             abs(n_days * prefix - i * total) AS abs_num
+      FROM walk
+    )
+    SELECT event_type, day AS changepoint_day, n_days,
+           round(CAST(num AS DOUBLE) / n_days, 6) AS cusum_at_peak,
+           round(CAST(total AS DOUBLE) / n_days, 6) AS mean_daily
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY abs_num DESC, day) = 1
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: the day where the
+    cumulative sum of deviations from the type's mean daily volume
+    peaks in magnitude — the classic single-changepoint estimator (a
+    level shift makes |CUSUM| grow to a maximum AT the shift; a
+    stationary series random-walks near zero). One row per type:
+    the change-point day, the peak CUSUM, and the mean it deviates
+    from.
+
+    Integer-exact determinism: S_i = Σ_{j≤i}(y_j − μ) re-arranged as
+    (n·prefix_i − i·total)/n keeps EVERY intermediate a long
+    (windowed prefix sums of counts, one multiply-subtract) until a
+    single double division — no windowed double accumulation, whose
+    summation ORDER differs between engines (DuckDB cumulative
+    windows may sum pairwise; Spark folds left). The argmax ties
+    break on earliest day in both plans. Windows run over the
+    per-(type, day) aggregate — bounded by calendar days, the same
+    scale shape as the EWMA backtest above."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("y").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    walk = (
+        daily.join(F.broadcast(tot), "event_type")
+        .withColumn(
+            "prefix",
+            F.sum("y").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("i", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "num", F.col("n_days") * F.col("prefix") - F.col("i") * F.col("total")
+        )
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("num")).desc(), "day"
+    )
+    return (
+        walk.withColumn("_rk", F.row_number().over(pick))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            "n_days",
+            F.round(F.col("num").cast("double") / F.col("n_days"), 6).alias(
+                "cusum_at_peak"
+            ),
+            F.round(
+                F.col("total").cast("double") / F.col("n_days"), 6
+            ).alias("mean_daily"),
+        )
+    )
