@@ -70,3 +70,69 @@ def test_ewma_backtest_matches_reference(spark):
             assert abs_err == pytest.approx(abs(values[d] - fc), abs=1e-6)
 
     run()
+
+
+def test_cusum_changepoint_matches_reference(spark):
+    """The integer-exact CUSUM argmax must agree with a direct Python
+    reference on arbitrary series — including exact ties in |CUSUM|
+    (earliest day wins) and flat series (every prefix sums to zero)."""
+    from spark_streaming_with_debezium_spark.registry import load_all
+
+    q = load_all()["events_changepoint_cusum"]
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=50),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def run(counts):
+        # materialize a synthetic events table: counts[i] events on day i
+        import shutil
+        import tempfile
+
+        rows = []
+        eid = 0
+        for i, c in enumerate(counts):
+            for _ in range(c):
+                rows.append(
+                    (eid, dt.datetime(2025, 3, 1 + i, 12, 0, 0), 1, "t", 1.0, "{}")
+                )
+                eid += 1
+        if not rows:  # all-zero days produce no events at all
+            return
+        tmp = tempfile.mkdtemp(prefix="cusum_prop_")
+        try:
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string",
+            ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+            got = q.fn(spark, tmp).collect()
+            # python reference over days WITH events (grouped series)
+            series = [(i, c) for i, c in enumerate(counts) if c > 0]
+            n = len(series)
+            total = sum(c for _, c in series)
+            best = None  # (abs_num, day_index) — max abs, earliest day
+            prefix = 0
+            for i, (day_idx, c) in enumerate(series, start=1):
+                prefix += c
+                num = n * prefix - i * total
+                key = (-abs(num), day_idx)
+                if best is None or key < best[0]:
+                    best = (key, day_idx, num)
+            assert len(got) == 1
+            row = got[0]
+            assert row["n_days"] == n
+            assert row["changepoint_day"] == dt.date(2025, 3, 1 + best[1])
+            assert row["cusum_at_peak"] == pytest.approx(best[2] / n, abs=1e-6)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    run()
