@@ -216,3 +216,102 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_daily"),
         )
     )
+
+
+#: ACF horizon: lags 1..7 (a week of daily structure).
+_ACF_MAX_LAG = 7
+
+
+def _acf_oracle() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT event_type, {k} AS lag, y, LAG(y, {k}) OVER "
+        "(PARTITION BY event_type ORDER BY day) AS x FROM daily"
+        for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), lagged AS ({arms}
+    ), sums AS (
+      SELECT event_type, lag,
+             CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sx2,
+             CAST(SUM(y * y) AS BIGINT) AS sy2
+      FROM lagged WHERE x IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag, m AS n_pairs,
+           round((m * sxy - sx * sy)
+                 / (sqrt(CAST(m * sx2 - sx * sx AS DOUBLE))
+                    * sqrt(CAST(m * sy2 - sy * sy AS DOUBLE))), 6) AS acf
+    FROM sums
+    WHERE m * sx2 - sx * sx > 0 AND m * sy2 - sy * sy > 0
+    """
+
+
+@query("events_autocorrelation", oracle=_acf_oracle())
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily event volume, lags 1..7 per
+    event type — the diagnostic read BEFORE choosing a forecaster
+    (high lag-1 ⇒ smoothing works, a lag-7 spike ⇒ weekly
+    seasonality, all-near-zero ⇒ white noise and `events_forecast_
+    ewma` can't beat the mean) and the companion to
+    `events_changepoint_cusum` (a level shift inflates ALL lags).
+
+    Exactness: lag-k Pearson over the day-ordered count series from
+    integer sufficient statistics — every sum a long (counts ≤ 2³¹,
+    ≤ calendar-days terms: no overflow), one double expression at the
+    end (the `agg_corr_exact` discipline). Zero-variance arms are
+    excluded by exact integer comparison in both engines. Lags fan
+    out as seven window columns unpivoted in-plan (Spark `stack` ≡
+    the SQL dual's UNION arms); all windows run over the calendar-
+    bounded per-(type, day) aggregate."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    # window expressions can't sit inside the stack() generator —
+    # materialize the lag columns first, then unpivot them
+    with_lags = daily.select(
+        "event_type",
+        "y",
+        *[
+            F.lag("y", k).over(w).alias(f"_x{k}")
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ],
+    )
+    lag_cols = [
+        c
+        for k in range(1, _ACF_MAX_LAG + 1)
+        for c in (F.lit(k), F.col(f"_x{k}"))
+    ]
+    lagged = with_lags.select(
+        "event_type",
+        "y",
+        F.stack(F.lit(_ACF_MAX_LAG), *lag_cols).alias("lag", "x"),
+    ).filter(F.col("x").isNotNull())
+    s = lagged.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    vx = F.col("m") * F.col("sx2") - F.col("sx") * F.col("sx")
+    vy = F.col("m") * F.col("sy2") - F.col("sy") * F.col("sy")
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.filter((vx > 0) & (vy > 0)).select(
+        "event_type",
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("m").alias("n_pairs"),
+        F.round(
+            num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))), 6
+        ).alias("acf"),
+    )
