@@ -315,3 +315,78 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))), 6
         ).alias("acf"),
     )
+
+
+@query(
+    "events_entropy_profile",
+    oracle="""
+    WITH per AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT day, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM per GROUP BY 1
+    ), terms AS (
+      SELECT p.day, t.n, t.n_types,
+             CAST((CAST(p.c AS DOUBLE) / t.n)
+                  * log2(CAST(p.c AS DOUBLE) / t.n)
+                  AS DECIMAL(38,18)) AS term
+      FROM per p JOIN tot t USING (day)
+    )
+    SELECT day, n AS n_events, n_types,
+           round(CAST(-SUM(term) AS DOUBLE), 6) AS entropy_bits,
+           CASE WHEN n_types > 1 THEN
+             round(CAST(-SUM(term) AS DOUBLE)
+                   / log2(CAST(n_types AS DOUBLE)), 6)
+           END AS evenness
+    FROM terms GROUP BY day, n, n_types
+    """,
+)
+def events_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily traffic-mix entropy: the Shannon entropy (bits) of each
+    day's event-type distribution plus Pielou evenness
+    (H / log₂(types)) — the distribution-drift monitor that catches
+    what volume counts can't: a day where one event type silently
+    swallows the mix (evenness → 0) or the mix flattens (→ 1) pages
+    before any per-type threshold fires.
+
+    Determinism: shares the idf/zipf precedent (log over doubles +
+    round 6); each −p·log₂p term computes from one exact integer
+    division pair, and the per-day SUM runs over DECIMAL(38,18)
+    interiors so partial-aggregation order can't perturb the total
+    (the repo-wide decimal-sum convention). Two calendar-bounded
+    aggregates + one broadcast-sized join — nothing data-sized moves
+    twice."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = per.groupBy("day").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_types")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    ent = (
+        per.join(F.broadcast(tot), "day")
+        .select(
+            "day",
+            "n",
+            "n_types",
+            (p * F.log2(p)).cast("decimal(38,18)").alias("term"),
+        )
+        .groupBy("day", "n", "n_types")
+        .agg((-F.sum("term")).cast("double").alias("h"))
+    )
+    return ent.select(
+        "day",
+        F.col("n").alias("n_events"),
+        "n_types",
+        F.round("h", 6).alias("entropy_bits"),
+        F.when(
+            F.col("n_types") > 1,
+            F.round(
+                F.col("h") / F.log2(F.col("n_types").cast("double")), 6
+            ),
+        ).alias("evenness"),
+    )

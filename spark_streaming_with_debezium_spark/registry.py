@@ -90,16 +90,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: grew to TEN (graph_pagerank, dedup_exact_substring,
 #: cdc_temporal_pit_join, events_concurrency_peak, text_bpe_merges,
 #: events_anomaly_mad, cdc_scd2_incremental landed after the first
-#: three), then to SIXTEEN (graph_triangle_count,
+#: three), then to SEVENTEEN (graph_triangle_count,
 #: events_forecast_ewma, dq_benford_first_digit, rag_chunk_documents,
-#: events_changepoint_cusum, events_autocorrelation), displacing the
-#: thirteen newest-evidence r4 names (distinct_rows, sort_limit_topk,
-#: agg_rollup, agg_stats, agg_percentiles, agg_grouping_sets,
-#: agg_filtered, agg_cube, agg_count_distinct, text_keywords_tfidf,
-#: multimodal_frame_sample, events_cumulative_users,
-#: dedup_edit_distance — all green r4, the last green r4+r5-adjacent —
-#: past the boundary so every never-checked query sits inside the
-#: 50-query window.
+#: events_changepoint_cusum, events_autocorrelation,
+#: events_entropy_profile), displacing the fourteen newest-evidence
+#: r4 names (distinct_rows, sort_limit_topk, agg_rollup, agg_stats,
+#: agg_percentiles, agg_grouping_sets, agg_filtered, agg_cube,
+#: agg_count_distinct, text_keywords_tfidf, multimodal_frame_sample,
+#: events_cumulative_users, dedup_edit_distance,
+#: embedding_label_cohesion — all green r4) past the boundary so
+#: every never-checked query sits inside the 50-query window.
 _PRIORITY = (
     # --- never driver-checked (round-5 late additions) ---
     "agg_skew_kurtosis_exact",
@@ -131,6 +131,7 @@ _PRIORITY = (
     "rag_chunk_documents",  # overlapping retrieval chunks, stable ids
     "events_changepoint_cusum",  # integer-exact CUSUM level-shift argmax
     "events_autocorrelation",  # lag-1..7 ACF, integer sufficient stats
+    "events_entropy_profile",  # daily traffic-mix entropy + evenness
     # --- round-5 behavior-changed block (keep evidence fresh) ---
     "orders_rfm_segments",
     "pack_sequences",
