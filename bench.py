@@ -65,6 +65,10 @@ EXTENDED = (
     "graph_triangle_count",  # oriented adjacency edge-iterator (r6 cont.)
     "events_forecast_ewma",  # literal-weight EWMA backtest (r6 cont.)
     "dq_benford_first_digit",  # forensic leading-digit audit (r6 cont.)
+    "rag_chunk_documents",  # zero-shuffle retrieval chunking (r6 cont.)
+    "events_changepoint_cusum",  # integer-exact CUSUM argmax (r6 cont.)
+    "events_autocorrelation",  # lag-1..7 ACF diagnostics (r6 cont.)
+    "events_entropy_profile",  # traffic-mix entropy drift (r6 cont.)
 )
 
 
