@@ -262,6 +262,12 @@ class ParquetStateTable:
             os.makedirs(self.path, exist_ok=True)
             with open(self._schema_file, "w") as f:
                 json.dump(snapshot.schema.jsonValue(), f)
+            # Both init paths rewrite the table dir, so both must re-land
+            # the bucket-count sidecar: a re-init after rebucket() that
+            # dropped it would let a later reader fall back to its
+            # constructor's n_buckets guess and prune/write buckets under
+            # the wrong modulus (silent key loss).
+            self._write_meta(self.path, self.n_buckets)
             return
         bucketed = bucket_of(snapshot, self.key_cols, self.n_buckets)
         # Align tasks with buckets: each task then writes exactly one
@@ -272,6 +278,7 @@ class ParquetStateTable:
         ).partitionBy("_bucket").parquet(self.path)
         with open(self._schema_file, "w") as f:
             json.dump(snapshot.schema.jsonValue(), f)
+        self._write_meta(self.path, self.n_buckets)
 
     #: Lossless numeric widenings Debezium emits on source type changes
     #: (e.g. INT column altered to BIGINT). Anything else (narrowing,

@@ -84,10 +84,17 @@ class CdcRegistry:
             }
             unknown = [t for t in present if t not in self._routes]
             if unknown and self.unknown_topic_dir:
+                # Partition by batch_id and overwrite ONLY that partition
+                # (dynamic mode): a foreachBatch crash-replay re-delivers
+                # the same batch_id, so the rewrite is idempotent — a
+                # blind append would duplicate quarantined rows on every
+                # replay even though the merge path itself is idempotent.
                 (
                     raw_batch.filter(F.col("topic").isin(unknown))
                     .withColumn("batch_id", F.lit(batch_id).cast("long"))
-                    .write.mode("append")
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
                     .parquet(self.unknown_topic_dir)
                 )
             for topic in present:

@@ -60,6 +60,27 @@ _ENDS_SCHEMA = "txn_id string, event_count long"
 _APPLIED_SCHEMA = "txn_id string, applied_batch long"
 
 
+def _fsync_tree(root: str) -> None:
+    """fsync every file and directory under ``root`` so the version's
+    parquet data is durable BEFORE the CURRENT pointer references it —
+    Spark's local parquet writes are not fsynced, and a power loss
+    after the pointer rename must not leave CURRENT pointing at
+    incompletely-durable data. On a real lake (S3/HDFS) close() is the
+    durability barrier and this walk is unnecessary."""
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for name in filenames:
+            fd = os.open(os.path.join(dirpath, name), os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        dfd = os.open(dirpath, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+
+
 def _durable_pointer(path: str, content: str) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -133,6 +154,7 @@ class TxnBuffer:
         events.write.mode("overwrite").parquet(os.path.join(base, "events"))
         ends.write.mode("overwrite").parquet(os.path.join(base, "ends"))
         applied.write.mode("overwrite").parquet(os.path.join(base, "applied"))
+        _fsync_tree(base)  # data durable BEFORE the pointer references it
         _durable_pointer(os.path.join(self.path, "CURRENT"), str(nxt))
         self._gc()
 

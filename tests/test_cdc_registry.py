@@ -219,3 +219,13 @@ def test_unknown_topic_dead_letter(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["topic"] == "srv.db.NEWTABLE"
     assert rows[0]["batch_id"] == 7
+
+    # Crash-replay of the SAME batch_id must not duplicate quarantined
+    # rows (batch_id-partitioned dynamic overwrite, not blind append) —
+    # while a genuinely new batch lands alongside the old one.
+    reg.apply_batch(batch, batch_id=7)
+    assert spark.read.parquet(unk).count() == 1
+    reg.apply_batch(batch, batch_id=8)
+    dead = spark.read.parquet(unk)
+    assert dead.count() == 2
+    assert {r["batch_id"] for r in dead.collect()} == {7, 8}

@@ -162,3 +162,33 @@ def test_rebucket_migrates_layout_and_persists_modulus(spark, tmp_path):
     again = ParquetStateTable(spark, path, ["id"], n_buckets=4)
     assert again.n_buckets == 16
     assert not os.path.exists(path + "_rebucket_old")
+
+
+def test_init_preserves_bucket_meta_after_rebucket(spark, tmp_path):
+    """Re-init after rebucket must re-land the bucket-count sidecar in
+    BOTH init paths (data and empty-snapshot): losing it would let a
+    later reader fall back to its constructor guess and prune/write
+    buckets under the wrong modulus — silent key loss."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "state")
+    st = ParquetStateTable(spark, path, ["id"], n_buckets=4)
+    st.init(spark.range(100).select("id", (F.col("id") * 3).alias("v")))
+    st.rebucket(16)
+
+    # Non-empty re-init: a fresh handle (stale ctor guess) then a merge
+    # must still route under the stored modulus 16.
+    st.init(spark.range(50).select("id", (F.col("id") * 5).alias("v")))
+    reader = ParquetStateTable(spark, path, ["id"], n_buckets=4)
+    assert reader.n_buckets == 16
+    reader.merge(
+        spark.createDataFrame([(7, 777, False)], "id long, v long, deleted boolean")
+    )
+    got = {r["id"]: r["v"] for r in reader.read().collect()}
+    assert got[7] == 777 and len(got) == 50
+
+    # Empty-snapshot re-init (fast path) must also persist the modulus.
+    st2 = ParquetStateTable(spark, path, ["id"], n_buckets=4)
+    st2.init(spark.createDataFrame([], "id long, v long"))
+    reader2 = ParquetStateTable(spark, path, ["id"], n_buckets=4)
+    assert reader2.n_buckets == 16
