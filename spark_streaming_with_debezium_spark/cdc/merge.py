@@ -30,13 +30,13 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
-import tempfile
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from spark_streaming_with_debezium_spark.storage.fs import StateFS, fs_for_path
 
 
 def apply_changes(
@@ -113,6 +113,14 @@ class ParquetStateTable:
     per-batch I/O is proportional to touched buckets. At 100 TB with
     n_buckets=8192 and a typical CDC batch touching a few thousand
     keys, a merge rewrites well under 1% of the table.
+
+    Storage: every file operation in the commit protocol goes through
+    :class:`~spark_streaming_with_debezium_spark.storage.fs.StateFS`,
+    selected by the path's URI scheme — a bare local path uses POSIX,
+    while ``hdfs://``/``s3a://``/``file://`` paths use the Hadoop
+    FileSystem client, so the same park/land/drop swap runs against the
+    lake the reference targets (`StreamingJobExecutor.scala:18`), not
+    just an ext4 mount.
     """
 
     def __init__(
@@ -121,9 +129,11 @@ class ParquetStateTable:
         path: str,
         key_cols: Sequence[str],
         n_buckets: int = 64,
+        fs: StateFS | None = None,
     ):
         self.spark = spark
         self.path = path
+        self.fs = fs if fs is not None else fs_for_path(spark, path)
         self.key_cols = list(key_cols)
         self.n_buckets = n_buckets
         self._recover_rebucket()
@@ -139,14 +149,15 @@ class ParquetStateTable:
         return os.path.join(self.path, "_table_meta.json")
 
     def _stored_n_buckets(self) -> int | None:
-        if os.path.exists(self._meta_file):
-            with open(self._meta_file) as f:
-                return int(json.load(f)["n_buckets"])
+        if self.fs.exists(self._meta_file):
+            return int(json.loads(self.fs.read_text(self._meta_file))["n_buckets"])
         return None
 
     def _write_meta(self, target_dir: str, n_buckets: int) -> None:
-        with open(os.path.join(target_dir, "_table_meta.json"), "w") as f:
-            json.dump({"n_buckets": n_buckets}, f)
+        self.fs.write_text_atomic(
+            os.path.join(target_dir, "_table_meta.json"),
+            json.dumps({"n_buckets": n_buckets}),
+        )
 
     def _recover_rebucket(self) -> None:
         """Crash recovery for :meth:`rebucket`'s whole-table swap: the
@@ -157,12 +168,12 @@ class ParquetStateTable:
         is always garbage."""
         old_dir = self.path + "_rebucket_old"
         new_dir = self.path + "_rebucket_new"
-        if os.path.exists(old_dir):
-            if not os.path.exists(self.path):
-                os.rename(old_dir, self.path)
+        if self.fs.exists(old_dir):
+            if not self.fs.exists(self.path):
+                self.fs.rename(old_dir, self.path)
             else:
-                shutil.rmtree(old_dir, ignore_errors=True)
-        shutil.rmtree(new_dir, ignore_errors=True)
+                self.fs.delete(old_dir)
+        self.fs.delete(new_dir)
 
     def rebucket(self, new_n_buckets: int) -> None:
         """Online bucket-count migration: rewrite the WHOLE table into a
@@ -182,33 +193,36 @@ class ParquetStateTable:
         schema = self._stored_schema()
         new_dir = self.path + "_rebucket_new"
         old_dir = self.path + "_rebucket_old"
-        shutil.rmtree(new_dir, ignore_errors=True)
+        self.fs.delete(new_dir)
         bucketed = bucket_of(df, self.key_cols, new_n_buckets)
         bucketed.repartition(new_n_buckets, F.col("_bucket")).write.mode(
             "overwrite"
         ).partitionBy("_bucket").parquet(new_dir)
         if schema is not None:
-            with open(os.path.join(new_dir, "_table_schema.json"), "w") as f:
-                json.dump(schema.jsonValue(), f)
+            self.fs.write_text_atomic(
+                os.path.join(new_dir, "_table_schema.json"),
+                json.dumps(schema.jsonValue()),
+            )
         self._write_meta(new_dir, new_n_buckets)
         # swap: park old, land new, drop old — recovery handles a crash
         # between any two steps (_recover_rebucket rolls back/forward)
-        os.rename(self.path, old_dir)
-        os.rename(new_dir, self.path)
-        shutil.rmtree(old_dir, ignore_errors=True)
+        self.fs.rename(self.path, old_dir)
+        self.fs.rename(new_dir, self.path)
+        self.fs.delete(old_dir)
         self.n_buckets = new_n_buckets
 
     def exists(self) -> bool:
-        return os.path.exists(self.path)
+        return self.fs.exists(self.path)
 
     @property
     def _schema_file(self) -> str:
         return os.path.join(self.path, "_table_schema.json")
 
     def _stored_schema(self) -> T.StructType | None:
-        if os.path.exists(self._schema_file):
-            with open(self._schema_file) as f:
-                return T.StructType.fromJson(json.load(f))
+        if self.fs.exists(self._schema_file):
+            return T.StructType.fromJson(
+                json.loads(self.fs.read_text(self._schema_file))
+            )
         return None
 
     def _read_bucketed(self) -> DataFrame:
@@ -216,7 +230,7 @@ class ParquetStateTable:
         # files to infer from — fall back to the schema sidecar.
         schema = self._stored_schema()
         has_data = self.exists() and any(
-            e.startswith("_bucket=") for e in os.listdir(self.path)
+            e.startswith("_bucket=") for e in self.fs.listdir(self.path)
         )
         if has_data:
             if schema is not None:
@@ -258,10 +272,11 @@ class ParquetStateTable:
             # scheduling at 32 cores). Produce the same on-disk state
             # directly; `_read_bucketed` already serves schema-only
             # tables from the sidecar.
-            shutil.rmtree(self.path, ignore_errors=True)
-            os.makedirs(self.path, exist_ok=True)
-            with open(self._schema_file, "w") as f:
-                json.dump(snapshot.schema.jsonValue(), f)
+            self.fs.delete(self.path)
+            self.fs.mkdirs(self.path)
+            self.fs.write_text_atomic(
+                self._schema_file, json.dumps(snapshot.schema.jsonValue())
+            )
             # Both init paths rewrite the table dir, so both must re-land
             # the bucket-count sidecar: a re-init after rebucket() that
             # dropped it would let a later reader fall back to its
@@ -276,8 +291,9 @@ class ParquetStateTable:
         bucketed.repartition(self.n_buckets, F.col("_bucket")).write.mode(
             "overwrite"
         ).partitionBy("_bucket").parquet(self.path)
-        with open(self._schema_file, "w") as f:
-            json.dump(snapshot.schema.jsonValue(), f)
+        self.fs.write_text_atomic(
+            self._schema_file, json.dumps(snapshot.schema.jsonValue())
+        )
         self._write_meta(self.path, self.n_buckets)
 
     #: Lossless numeric widenings Debezium emits on source type changes
@@ -325,8 +341,9 @@ class ParquetStateTable:
                     "lossless widening; rebuild the table instead"
                 )
             fields[by_name[name]] = T.StructField(name, new_dt)
-        with open(self._schema_file, "w") as f:
-            json.dump(T.StructType(fields).jsonValue(), f)
+        self.fs.write_text_atomic(
+            self._schema_file, json.dumps(T.StructType(fields).jsonValue())
+        )
 
     def _align_to_schema(self, df: DataFrame) -> DataFrame:
         """Project df onto the stored schema: NULL-fill columns the
@@ -358,11 +375,11 @@ class ParquetStateTable:
         if not self.exists():
             return 0
         fragmented = []
-        for d in os.listdir(self.path):
+        for d in self.fs.listdir(self.path):
             if d.startswith("_bucket="):
                 files = [
                     f
-                    for f in os.listdir(os.path.join(self.path, d))
+                    for f in self.fs.listdir(os.path.join(self.path, d))
                     if f.endswith(".parquet")
                 ]
                 if len(files) >= min_files:
@@ -371,17 +388,21 @@ class ParquetStateTable:
             return 0
         sub = self._read_bucketed().filter(F.col("_bucket").isin(fragmented))
         sub = sub.repartition(len(fragmented), F.col("_bucket"))
-        tmp = tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(self.path))
+        # Deterministic sibling scratch dir (single-writer discipline):
+        # a crash leaves it behind, and the delete-first on the next run
+        # sweeps it — same lifecycle a mkdtemp leak would have needed.
+        tmp = self.path + "_compact_tmp"
+        self.fs.delete(tmp)
         try:
             sub.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
             for b in fragmented:
                 src = os.path.join(tmp, f"_bucket={b}")
                 dst = os.path.join(self.path, f"_bucket={b}")
-                if os.path.exists(src):
-                    shutil.rmtree(dst, ignore_errors=True)
-                    shutil.move(src, dst)
+                if self.fs.exists(src):
+                    self.fs.delete(dst)
+                    self.fs.rename(src, dst)
         finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+            self.fs.delete(tmp)
         return len(fragmented)
 
     def merge(self, changes: DataFrame, data_cols: Sequence[str] | None = None) -> None:
@@ -405,20 +426,23 @@ class ParquetStateTable:
             merged = bucket_of(merged, self.key_cols, self.n_buckets).repartition(
                 max(len(touched), 1), F.col("_bucket")
             )
-            # Write to a temp dir first, then swap touched bucket dirs in;
-            # dynamic partition overwrite would do this natively on a real
-            # cluster (spark.sql.sources.partitionOverwriteMode=dynamic).
-            tmp = tempfile.mkdtemp(prefix="merge_", dir=os.path.dirname(self.path))
+            # Write to a scratch dir first, then swap touched bucket dirs
+            # in; dynamic partition overwrite would do this natively on a
+            # real cluster (spark.sql.sources.partitionOverwriteMode=
+            # dynamic) — the explicit swap keeps the "delete bucket that
+            # emptied out" case (every key in a bucket tombstoned) exact.
+            tmp = self.path + "_merge_tmp"
+            self.fs.delete(tmp)
             try:
                 merged.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
                 for b in touched:
                     src = os.path.join(tmp, f"_bucket={b}")
                     dst = os.path.join(self.path, f"_bucket={b}")
-                    if os.path.exists(dst):
-                        shutil.rmtree(dst)
-                    if os.path.exists(src):
-                        shutil.move(src, dst)
+                    if self.fs.exists(dst):
+                        self.fs.delete(dst)
+                    if self.fs.exists(src):
+                        self.fs.rename(src, dst)
             finally:
-                shutil.rmtree(tmp, ignore_errors=True)
+                self.fs.delete(tmp)
         finally:
             changes.unpersist()

@@ -15,8 +15,7 @@ dashboard say on Tuesday" capability CDC pipelines are asked for.
 
 from __future__ import annotations
 
-import os
-import shutil
+import os  # os.path.join only — file ops go through StateFS
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,26 +26,12 @@ from spark_streaming_with_debezium_spark.cdc.merge import (
     ParquetStateTable,
     apply_changes,
 )
+from spark_streaming_with_debezium_spark.storage.fs import StateFS, fs_for_path
 
-
-def _durable_write(path: str, text: str) -> None:
-    """Write ``text`` to ``path`` so a crash can never leave a torn or
-    empty file: write to a sibling tmp, flush+fsync, atomic rename,
-    then fsync the directory so the rename itself is durable. A torn
-    ``_base_seq``/``.pending`` that parses as 0 would silently
-    mis-recover (serve pre-retention state); rename-only visibility
-    makes the file either absent or complete."""
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(text)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, path)
-    dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
-    try:
-        os.fsync(dfd)
-    finally:
-        os.close(dfd)
+# Durable marker/pointer writes go through StateFS.write_text_atomic:
+# a torn ``_base_seq``/``.pending`` that parses as 0 would silently
+# mis-recover (serve pre-retention state); atomic-publish visibility
+# makes each file either absent or complete on every backend.
 
 
 class TimeTravelStateTable:
@@ -58,12 +43,15 @@ class TimeTravelStateTable:
         path: str,
         key_cols: Sequence[str],
         n_buckets: int = 16,
+        fs: StateFS | None = None,
     ):
         self.spark = spark
         self.path = path
+        self.fs = fs if fs is not None else fs_for_path(spark, path)
         self.key_cols = list(key_cols)
         self.current = ParquetStateTable(
-            spark, os.path.join(path, "current"), key_cols, n_buckets
+            spark, os.path.join(path, "current"), key_cols, n_buckets,
+            fs=self.fs,
         )
         self._snap_dir = os.path.join(path, "snapshot0")
         self._log_dir = os.path.join(path, "log")
@@ -87,21 +75,17 @@ class TimeTravelStateTable:
         self._data_cols = self._recover_data_cols()
 
     def _recover_base_seq(self) -> int:
-        if not os.path.exists(self._base_seq_path):
+        if not self.fs.exists(self._base_seq_path):
             return 0
-        with open(self._base_seq_path) as f:
-            return int(f.read().strip() or 0)
+        return int(self.fs.read_text(self._base_seq_path).strip() or 0)
 
     def _drop_folded_partitions(self, upto_seq: int) -> int:
         dropped = 0
-        if os.path.isdir(self._log_dir):
-            for d in os.listdir(self._log_dir):
-                if d.startswith("_batch_seq="):
-                    if int(d.split("=", 1)[1]) <= upto_seq:
-                        shutil.rmtree(
-                            os.path.join(self._log_dir, d), ignore_errors=True
-                        )
-                        dropped += 1
+        for d in self.fs.listdir(self._log_dir):
+            if d.startswith("_batch_seq="):
+                if int(d.split("=", 1)[1]) <= upto_seq:
+                    self.fs.delete(os.path.join(self._log_dir, d))
+                    dropped += 1
         return dropped
 
     def _recover_compaction(self) -> None:
@@ -124,51 +108,51 @@ class TimeTravelStateTable:
         - tmp without marker           → stray from a crash before the
           marker: roll back (remove tmp).
         The marker and ``_base_seq`` are written via
-        :func:`_durable_write` (write→fsync→rename), so a torn/empty
-        marker that would parse as 0 cannot exist.
+        ``StateFS.write_text_atomic``, so a torn/empty marker that
+        would parse as 0 cannot exist.
         """
         tmp = self._snap_dir + "_folding"
         old = self._snap_dir + "_old"
         pend = self._base_seq_path + ".pending"
-        has_tmp, has_pend = os.path.isdir(tmp), os.path.exists(pend)
-        has_snap, has_old = os.path.isdir(self._snap_dir), os.path.isdir(old)
+        has_tmp, has_pend = self.fs.isdir(tmp), self.fs.exists(pend)
+        has_snap, has_old = self.fs.isdir(self._snap_dir), self.fs.isdir(old)
         if has_pend:
-            with open(pend) as f:
-                upto = int(f.read().strip() or 0)
+            upto = int(self.fs.read_text(pend).strip() or 0)
             if has_snap and has_tmp and not has_old:
-                shutil.rmtree(tmp, ignore_errors=True)
-                os.remove(pend)
+                self.fs.delete(tmp)
+                self.fs.delete(pend)
             else:
                 if not has_snap and has_tmp:
-                    os.rename(tmp, self._snap_dir)
-                _durable_write(self._base_seq_path, str(upto))
+                    self.fs.rename(tmp, self._snap_dir)
+                self.fs.write_text_atomic(self._base_seq_path, str(upto))
                 self._drop_folded_partitions(upto)
-                shutil.rmtree(old, ignore_errors=True)
-                os.remove(pend)
+                self.fs.delete(old)
+                self.fs.delete(pend)
         else:
             if has_tmp:
-                shutil.rmtree(tmp, ignore_errors=True)
+                self.fs.delete(tmp)
             # an aside without a marker is unreachable by the protocol
             # (aside appears after the marker, marker removed after the
             # aside is gone) — but sweep it defensively
             if has_old and has_snap:
-                shutil.rmtree(old, ignore_errors=True)
+                self.fs.delete(old)
 
     def _recover_seq(self) -> int:
-        if not os.path.isdir(self._log_dir):
-            return self._base_seq
         seqs = [
             int(d.split("=", 1)[1])
-            for d in os.listdir(self._log_dir)
+            for d in self.fs.listdir(self._log_dir)
             if d.startswith("_batch_seq=")
         ]
         return max(seqs, default=self._base_seq)
 
     def _recover_data_cols(self) -> list[str] | None:
-        if not os.path.exists(self._data_cols_path):
+        if not self.fs.exists(self._data_cols_path):
             return None
-        with open(self._data_cols_path) as f:
-            cols = [line.strip() for line in f if line.strip()]
+        cols = [
+            line.strip()
+            for line in self.fs.read_text(self._data_cols_path).splitlines()
+            if line.strip()
+        ]
         return cols or None
 
     def init(self, snapshot: DataFrame) -> None:
@@ -178,14 +162,12 @@ class TimeTravelStateTable:
         # stale _batch_seq=N partitions would otherwise receive the next
         # merge's append (log writes are mode=append) and replay/as_of
         # would read old+new rows as one corrupted batch.
-        shutil.rmtree(self._log_dir, ignore_errors=True)
+        self.fs.delete(self._log_dir)
         self._seq = 0
         self._base_seq = 0
         self._data_cols = None
-        if os.path.exists(self._data_cols_path):
-            os.remove(self._data_cols_path)
-        if os.path.exists(self._base_seq_path):
-            os.remove(self._base_seq_path)
+        self.fs.delete(self._data_cols_path)
+        self.fs.delete(self._base_seq_path)
 
     def merge_logged(
         self, changes: DataFrame, data_cols: Sequence[str] | None = None
@@ -216,8 +198,9 @@ class TimeTravelStateTable:
                     "— historical replay would diverge"
                 )
             self._data_cols = list(data_cols)
-            with open(self._data_cols_path, "w") as f:
-                f.write("\n".join(self._data_cols))
+            self.fs.write_text_atomic(
+                self._data_cols_path, "\n".join(self._data_cols)
+            )
         self._seq += 1
         logged = changes.withColumn("_batch_seq", F.lit(self._seq))
         logged.write.mode("append").partitionBy("_batch_seq").parquet(self._log_dir)
@@ -245,7 +228,7 @@ class TimeTravelStateTable:
                 "snapshot by compact_log and can no longer be replayed"
             )
         snapshot = self.spark.read.parquet(self._snap_dir)
-        if seq <= self._base_seq or not os.path.exists(self._log_dir):
+        if seq <= self._base_seq or not self.fs.exists(self._log_dir):
             return snapshot
         log = self.spark.read.parquet(self._log_dir).filter(
             (F.col("_batch_seq") > self._base_seq) & (F.col("_batch_seq") <= seq)
@@ -280,10 +263,10 @@ class TimeTravelStateTable:
         # 1. materialize the folded snapshot into tmp (non-destructive)
         folded.write.mode("overwrite").parquet(tmp)
         # 2. durable write-ahead marker BEFORE any destructive step
-        _durable_write(pend, str(upto_seq))
+        self.fs.write_text_atomic(pend, str(upto_seq))
         # 3. swap via two atomic renames: aside the old, land the new
-        os.rename(self._snap_dir, old)
-        os.rename(tmp, self._snap_dir)
+        self.fs.rename(self._snap_dir, old)
+        self.fs.rename(tmp, self._snap_dir)
         # 4. persist the base, THEN drop the folded partitions —
         # stale partitions <= base are invisible to as_of (its filter
         # is _batch_seq > base), so a crash between these steps only
@@ -291,10 +274,10 @@ class TimeTravelStateTable:
         # aside copy is deleted LAST: until then every crash state
         # still holds at least one complete snapshot.
         self._base_seq = upto_seq
-        _durable_write(self._base_seq_path, str(upto_seq))
+        self.fs.write_text_atomic(self._base_seq_path, str(upto_seq))
         dropped = self._drop_folded_partitions(upto_seq)
-        shutil.rmtree(old, ignore_errors=True)
-        os.remove(pend)
+        self.fs.delete(old)
+        self.fs.delete(pend)
         return dropped
 
 
@@ -381,18 +364,19 @@ def purge_keys(table: TimeTravelStateTable, keys: DataFrame) -> dict[str, int]:
     store. At 100 TB: one bounded rewrite per store; the log rewrite
     preserves ``_batch_seq`` partitioning so as_of pruning is intact."""
     spark = table.spark
+    fs = table.fs
     k = F.broadcast(keys.select(*table.key_cols).distinct())
 
     def swap_in(dir_path: str, purged: DataFrame, part_col: str | None) -> None:
         tmp, old = dir_path + "_purging", dir_path + "_purged_old"
-        shutil.rmtree(tmp, ignore_errors=True)
+        fs.delete(tmp)
         w = purged.write.mode("overwrite")
         if part_col:
             w = w.partitionBy(part_col)
         w.parquet(tmp)
-        os.rename(dir_path, old)
-        os.rename(tmp, dir_path)
-        shutil.rmtree(old, ignore_errors=True)
+        fs.rename(dir_path, old)
+        fs.rename(tmp, dir_path)
+        fs.delete(old)
 
     dropped: dict[str, int] = {}
     # snapshot (plain parquet)
@@ -401,7 +385,7 @@ def purge_keys(table: TimeTravelStateTable, keys: DataFrame) -> dict[str, int]:
     dropped["snapshot"] = snap.count() - keep.count()
     swap_in(table._snap_dir, keep, None)
     # log (partitioned by _batch_seq) — may not exist yet
-    if os.path.isdir(table._log_dir):
+    if fs.isdir(table._log_dir):
         log = spark.read.parquet(table._log_dir)
         keep = log.join(k, table.key_cols, "left_anti")
         dropped["log"] = log.count() - keep.count()
@@ -419,12 +403,12 @@ def purge_keys(table: TimeTravelStateTable, keys: DataFrame) -> dict[str, int]:
     dropped["current"] = cur.count() - keep.count()
     cur_dir = table.current.path
     tmp, old = cur_dir + "_purging", cur_dir + "_purged_old"
-    shutil.rmtree(tmp, ignore_errors=True)
+    fs.delete(tmp)
     side = ParquetStateTable(
-        spark, tmp, table.key_cols, table.current.n_buckets
+        spark, tmp, table.key_cols, table.current.n_buckets, fs=fs
     )
     side.init(keep)  # reads cur_dir, writes tmp — disjoint paths
-    os.rename(cur_dir, old)
-    os.rename(tmp, cur_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    fs.rename(cur_dir, old)
+    fs.rename(tmp, cur_dir)
+    fs.delete(old)
     return dropped

@@ -45,12 +45,16 @@ the bucketed merge path.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_streaming_with_debezium_spark.cdc.registry import CdcRegistry
+from spark_streaming_with_debezium_spark.storage.fs import (
+    LocalFS,
+    StateFS,
+    fs_for_path,
+)
 
 _EVENTS_SCHEMA = (
     "topic string, key string, value string, partition int, offset long, "
@@ -65,8 +69,9 @@ def _fsync_tree(root: str) -> None:
     parquet data is durable BEFORE the CURRENT pointer references it —
     Spark's local parquet writes are not fsynced, and a power loss
     after the pointer rename must not leave CURRENT pointing at
-    incompletely-durable data. On a real lake (S3/HDFS) close() is the
-    durability barrier and this walk is unnecessary."""
+    incompletely-durable data. Only meaningful (and only invoked) on
+    the local-POSIX backend; on a real lake (S3/HDFS) close() is the
+    durability barrier."""
     for dirpath, _dirnames, filenames in os.walk(root):
         for name in filenames:
             fd = os.open(os.path.join(dirpath, name), os.O_RDONLY)
@@ -81,38 +86,24 @@ def _fsync_tree(root: str) -> None:
             os.close(dfd)
 
 
-def _durable_pointer(path: str, content: str) -> None:
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(content)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, path)
-    dfd = os.open(os.path.dirname(path), os.O_RDONLY)
-    try:
-        os.fsync(dfd)
-    finally:
-        os.close(dfd)
-
-
 class TxnBuffer:
     """Versioned pending store: ``v{n}/events`` + ``v{n}/ends`` parquet
     under a root, with a durable ``CURRENT`` pointer. Old versions are
     deleted only after the pointer moves, so every crash state holds
     one complete buffer."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, fs: StateFS | None = None):
         self.spark = spark
         self.path = path
-        os.makedirs(path, exist_ok=True)
+        self.fs = fs if fs is not None else fs_for_path(spark, path)
+        self.fs.mkdirs(path)
         self._gc()
 
     def _current(self) -> int | None:
         ptr = os.path.join(self.path, "CURRENT")
-        if not os.path.exists(ptr):
+        if not self.fs.exists(ptr):
             return None
-        with open(ptr) as f:
-            txt = f.read().strip()
+        txt = self.fs.read_text(ptr).strip()
         return int(txt) if txt else None
 
     def _gc(self) -> None:
@@ -120,9 +111,9 @@ class TxnBuffer:
         superseded, or half-written by a crash before the pointer
         moved)."""
         cur = self._current()
-        for d in os.listdir(self.path):
+        for d in self.fs.listdir(self.path):
             if d.startswith("v") and d[1:].isdigit() and int(d[1:]) != cur:
-                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+                self.fs.delete(os.path.join(self.path, d))
 
     def read(self) -> tuple[DataFrame, DataFrame, DataFrame]:
         cur = self._current()
@@ -154,8 +145,9 @@ class TxnBuffer:
         events.write.mode("overwrite").parquet(os.path.join(base, "events"))
         ends.write.mode("overwrite").parquet(os.path.join(base, "ends"))
         applied.write.mode("overwrite").parquet(os.path.join(base, "applied"))
-        _fsync_tree(base)  # data durable BEFORE the pointer references it
-        _durable_pointer(os.path.join(self.path, "CURRENT"), str(nxt))
+        if isinstance(self.fs, LocalFS):
+            _fsync_tree(base)  # data durable BEFORE the pointer moves
+        self.fs.write_text_atomic(os.path.join(self.path, "CURRENT"), str(nxt))
         self._gc()
 
 

@@ -48,12 +48,12 @@ construction.
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
+import os  # os.path.join only — file ops go through StateFS
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from spark_streaming_with_debezium_spark.storage.fs import StateFS, fs_for_path
 
 from spark_streaming_with_debezium_spark.llm.dedup import (
     banded_rows,
@@ -67,9 +67,10 @@ N_STORE_DIRS = 64
 class SignatureStore:
     """Bucket-partitioned MinHash signature store for accepted docs."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, fs: StateFS | None = None):
         self.spark = spark
         self.path = path
+        self.fs = fs if fs is not None else fs_for_path(spark, path)
         self._recover_compact()
 
     def _aside_root(self) -> str:
@@ -84,30 +85,26 @@ class SignatureStore:
         partition exists the swap completed → drop the aside copy; if
         it does not, the crash hit between the two renames → rename
         the aside copy back (roll back; the rewrite is redone by the
-        next compact). Also clears orphaned ``sigcompact_`` temp dirs
-        from a crashed rewrite."""
+        next compact). Also clears the orphaned ``_compact_tmp`` scratch
+        dir from a crashed rewrite."""
         aside_root = self._aside_root()
-        if os.path.isdir(aside_root):
-            for d in os.listdir(aside_root):
+        if self.fs.isdir(aside_root):
+            for d in self.fs.listdir(aside_root):
                 if not d.startswith("_bdir="):
                     continue
                 live = os.path.join(self.path, d)
                 parked = os.path.join(aside_root, d)
-                if os.path.isdir(live):
-                    shutil.rmtree(parked, ignore_errors=True)
+                if self.fs.isdir(live):
+                    self.fs.delete(parked)
                 else:
-                    os.rename(parked, live)
-            if not os.listdir(aside_root):
-                os.rmdir(aside_root)
-        parent = os.path.dirname(self.path) or "."
-        if os.path.isdir(parent):
-            for d in os.listdir(parent):
-                if d.startswith("sigcompact_"):
-                    shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+                    self.fs.rename(parked, live)
+            if not self.fs.listdir(aside_root):
+                self.fs.delete(aside_root)
+        self.fs.delete(self.path + "_compact_tmp")
 
     def exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            d.startswith("_bdir=") for d in os.listdir(self.path)
+        return self.fs.isdir(self.path) and any(
+            d.startswith("_bdir=") for d in self.fs.listdir(self.path)
         )
 
     def probe(self, touched_bdirs: list[int]) -> DataFrame | None:
@@ -135,11 +132,11 @@ class SignatureStore:
         if not self.exists():
             return 0
         fragmented = []
-        for d in os.listdir(self.path):
+        for d in self.fs.listdir(self.path):
             if d.startswith("_bdir="):
                 files = [
                     f
-                    for f in os.listdir(os.path.join(self.path, d))
+                    for f in self.fs.listdir(os.path.join(self.path, d))
                     if f.endswith(".parquet")
                 ]
                 if len(files) >= min_files:
@@ -150,16 +147,17 @@ class SignatureStore:
             F.col("_bdir").isin(fragmented)
         )
         sub = sub.repartition(len(fragmented), F.col("_bdir"))
-        tmp = tempfile.mkdtemp(prefix="sigcompact_", dir=os.path.dirname(self.path))
+        tmp = self.path + "_compact_tmp"
+        self.fs.delete(tmp)
         aside_root = self._aside_root()
         try:
             sub.write.mode("overwrite").partitionBy("_bdir").parquet(tmp)
-            os.makedirs(aside_root, exist_ok=True)
+            self.fs.mkdirs(aside_root)
             for b in fragmented:
                 src = os.path.join(tmp, f"_bdir={b}")
                 dst = os.path.join(self.path, f"_bdir={b}")
                 parked = os.path.join(aside_root, f"_bdir={b}")
-                if os.path.exists(src):
+                if self.fs.exists(src):
                     # Rename-only swap (the old rmtree(dst)-then-move
                     # could crash between the two and permanently lose
                     # the partition's accepted-doc signatures, letting
@@ -167,13 +165,13 @@ class SignatureStore:
                     # park the old partition, land the new, delete the
                     # parked copy last. _recover_compact rolls back or
                     # completes from any crash point.
-                    os.rename(dst, parked)
-                    os.rename(src, dst)
-                    shutil.rmtree(parked, ignore_errors=True)
-            if os.path.isdir(aside_root) and not os.listdir(aside_root):
-                os.rmdir(aside_root)
+                    self.fs.rename(dst, parked)
+                    self.fs.rename(src, dst)
+                    self.fs.delete(parked)
+            if self.fs.isdir(aside_root) and not self.fs.listdir(aside_root):
+                self.fs.delete(aside_root)
         finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+            self.fs.delete(tmp)
         return len(fragmented)
 
 
