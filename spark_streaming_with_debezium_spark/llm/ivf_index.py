@@ -26,12 +26,14 @@ from spark_streaming_with_debezium_spark.llm.similarity import (
     norm,
     train_centroids,
 )
+from spark_streaming_with_debezium_spark.storage.fs import StateFS, fs_for_path
 
 
 class IvfIndex:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, fs: StateFS | None = None):
         self.spark = spark
         self.path = path
+        self.fs = fs if fs is not None else fs_for_path(spark, path)
         self._data_dir = os.path.join(path, "cells")
         self._cent_dir = os.path.join(path, "centroids")
 
@@ -87,34 +89,78 @@ class IvfIndex:
 
     def upsert(self, vectors: DataFrame, id_col: str = "vec_id",
                vec_col: str = "embedding") -> None:
-        """Incremental maintenance: assign NEW vectors to the EXISTING
-        centroids and append them cell-partitioned — no re-clustering,
-        no rewrite of resident cells. This is how production IVF serves
-        a growing corpus: centroids train once on a representative
-        sample (they drift slowly), inserts are a broadcast-assign +
-        partitioned append whose cost is O(batch), and `search` needs
-        no code change because probed cells simply contain more rows.
-        Re-delivered ids are dropped against the resident id set via a
-        left-anti join on the touched cells only (same partition-pruned
-        probe discipline as `search`). Rebuild (`build`) when
-        `cell_balance` reports drift — the standard IVF re-train
-        policy, now a measured signal instead of a guess."""
+        """Incremental maintenance with TRUE upsert semantics: assign
+        the batch to the EXISTING centroids (no re-clustering), replace
+        any resident row carrying the same ``vec_id`` — including rows
+        living in a DIFFERENT cell because the embedding changed — and
+        land the batch with the same touched-partition swap as
+        ``ParquetStateTable.merge``. A batch id always wins over the
+        resident row (last-writer-wins), so re-delivery is idempotent
+        and a changed embedding never leaves a stale duplicate behind.
+
+        Cost: O(batch) assignment + one column-pruned (cell, vec_id)
+        scan of the index to locate superseded rows + a rewrite of only
+        the touched cells. At 100 TB the id-location scan reads two
+        columns of the cell files (parquet column pruning); a
+        deployment with very frequent upserts would maintain an
+        id→cell sidecar keyed like the CDC state table to make the
+        lookup partition-pruned too — same protocol, omitted here for
+        surface economy. Rebuild (`build`) when `cell_balance` reports
+        drift — the standard IVF re-train policy, a measured signal
+        instead of a guess."""
         v = vectors.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
         ).withColumn("nrm", norm(F.col("embedding")))
         cents = self.spark.read.parquet(self._cent_dir)
-        assigned = nearest_cells(v, cents, "embedding", "nrm", 1, "cell")
-        touched = [r.cell for r in assigned.select("cell").distinct().collect()]
-        resident = self.spark.read.parquet(self._data_dir).filter(
-            F.col("cell").isin(touched)
-        ).select("cell", "vec_id")
-        fresh = assigned.join(resident, ["cell", "vec_id"], "left_anti")
-        (
-            fresh.repartition(F.col("cell"))
-            .write.mode("append")
-            .partitionBy("cell")
-            .parquet(self._data_dir)
-        )
+        assigned = nearest_cells(v, cents, "embedding", "nrm", 1, "cell").cache()
+        try:
+            batch_ids = assigned.select("vec_id").distinct()
+            # Where do superseded rows live? Column-pruned projection of
+            # the whole index — ONLY (cell, vec_id) is read.
+            locations = self.spark.read.parquet(self._data_dir).select(
+                "cell", "vec_id"
+            )
+            stale_cells = (
+                locations.join(F.broadcast(batch_ids), "vec_id", "left_semi")
+                .select("cell")
+            )
+            touched = [
+                r.cell
+                for r in assigned.select("cell")
+                .union(stale_cells)
+                .distinct()
+                .collect()
+            ]
+            if not touched:
+                return
+            resident = self.spark.read.parquet(self._data_dir).filter(
+                F.col("cell").isin(touched)
+            )
+            kept = resident.join(F.broadcast(batch_ids), "vec_id", "left_anti")
+            out = kept.select("vec_id", "embedding", "nrm", "cell").unionByName(
+                assigned.select("vec_id", "embedding", "nrm", "cell")
+            )
+            # Touched-partition swap (scratch write + per-cell rename):
+            # handles the cell-emptied-out case (all resident rows
+            # superseded away, nothing new assigned) that a dynamic
+            # partition overwrite would silently leave stale.
+            tmp = self._data_dir + "_upsert_tmp"
+            self.fs.delete(tmp)
+            try:
+                out.repartition(len(touched), F.col("cell")).write.mode(
+                    "overwrite"
+                ).partitionBy("cell").parquet(tmp)
+                for c in touched:
+                    src = os.path.join(tmp, f"cell={c}")
+                    dst = os.path.join(self._data_dir, f"cell={c}")
+                    if self.fs.exists(dst):
+                        self.fs.delete(dst)
+                    if self.fs.exists(src):
+                        self.fs.rename(src, dst)
+            finally:
+                self.fs.delete(tmp)
+        finally:
+            assigned.unpersist()
 
     def cell_balance(self) -> DataFrame:
         """Index-health report: per-cell row counts plus the skew ratio

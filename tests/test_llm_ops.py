@@ -571,3 +571,53 @@ def test_ivf_upsert_serves_new_vectors_without_rebuild(spark, sf_dir, tmp_path):
 
     bal = idx.cell_balance().collect()
     assert all(r["skew_ratio"] >= 1.0 for r in bal)
+
+
+def test_ivf_upsert_replaces_changed_embeddings(spark, sf_dir, tmp_path):
+    """TRUE upsert: a vec_id re-delivered with a DIFFERENT embedding
+    must end up stored exactly once with the new embedding — even when
+    the new embedding assigns to a different cell than the resident row
+    (the stale row in the old cell is scrubbed, not left to serve
+    divergent results)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_streaming_with_debezium_spark.llm.ivf_index import IvfIndex
+    from spark_streaming_with_debezium_spark.sources.tables import load_table
+
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx.build(emb)
+    data = spark.read.parquet(idx._data_dir)
+    n0 = data.count()
+
+    # Re-deliver 10 existing ids carrying ANOTHER vector's embedding —
+    # guaranteed-different values, often a different nearest cell.
+    donors = emb.filter(F.col("vec_id") >= 10).limit(10).select(
+        F.col("embedding").alias("new_emb")
+    )
+    victims = emb.filter(F.col("vec_id") < 10).select("vec_id")
+    moved = (
+        victims.withColumn(
+            "rn", F.row_number().over(Window.orderBy("vec_id"))
+        )
+        .join(
+            donors.withColumn(
+                "rn", F.row_number().over(Window.orderBy(F.col("new_emb")[0]))
+            ),
+            "rn",
+        )
+        .select("vec_id", F.col("new_emb").alias("embedding"))
+    )
+    expected = {r["vec_id"]: r["embedding"] for r in moved.collect()}
+
+    idx.upsert(moved)
+    after = spark.read.parquet(idx._data_dir)
+    assert after.count() == n0  # replaced, not duplicated
+    got = {
+        r["vec_id"]: r["embedding"]
+        for r in after.filter(F.col("vec_id") < 10).collect()
+    }
+    assert len(got) == 10
+    for vid, e in expected.items():
+        assert list(got[vid]) == list(e), f"vec {vid} kept a stale embedding"
