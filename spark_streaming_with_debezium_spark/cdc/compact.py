@@ -44,3 +44,36 @@ def compact_latest(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def compact_latest_agg(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str] = ("ts_ms",),
+) -> DataFrame:
+    """Skew-robust LWW compaction: ``max_by(struct(payload),
+    struct(order))`` instead of a window.
+
+    Same result as :func:`compact_latest` whenever ``order_cols`` is a
+    total order within each key (the documented contract), but the
+    aggregate formulation gets PARTIAL AGGREGATION: a pathological hot
+    key (one key = half the batch — a re-imported row, a null-key
+    default, query4's scenario at scale) is reduced map-side on every
+    input partition before one row per key crosses the shuffle. The
+    window formulation must instead ship every hot-key event into a
+    single task's sort — the straggler this variant exists to avoid.
+    Use it when batches can carry heavy key skew; the window form
+    remains the default because its shuffle is the same hash
+    partitioning the downstream merge join reuses.
+
+    Descending order is built in (latest wins), matching
+    ``compact_latest``'s default."""
+    key_cols = list(key_cols)
+    payload = [c for c in changes.columns if c not in key_cols]
+    ord_struct = F.struct(*[F.col(c) for c in order_cols])
+    picked = changes.groupBy(*key_cols).agg(
+        F.max_by(F.struct(*[F.col(c) for c in payload]), ord_struct).alias("_p")
+    )
+    return picked.select(
+        *key_cols, *[F.col(f"_p.{c}").alias(c) for c in payload]
+    )
