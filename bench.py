@@ -216,9 +216,7 @@ def main() -> None:
         shutil.rmtree(udir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
+    payload = {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
@@ -234,9 +232,19 @@ def main() -> None:
                 "cdc_merge_n_events": cdc_tp["n_events"],
                 "zorder": zorder,
                 "sf": sf,
-            }
-        )
-    )
+    }
+    print(json.dumps(payload))
+    # Also persist the result next to the repo root: driver-captured
+    # BENCH tails are sometimes truncated progress-bar noise, so the
+    # canonical machine-readable record of each run lives on disk and
+    # round-over-round deltas never need tail archaeology.
+    try:
+        out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "bench_out.json")
+        with open(out_path, "w") as f:
+            json.dump(payload, f)
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
     spark.stop()
 
 

@@ -71,74 +71,108 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: Explicit registration-order priority. The driver's correctness gate
 #: checks a PREFIX of the registry (50 queries per round), so the
 #: queries that most need a driver-verified row must register first.
-#: Evidence ledger entering round 6: 160/172 round-5 queries carry at
-#: least one driver row; the TWELVE never-checked are the round-5 late
-#: additions queued at last round's boundary (round 5 added FOURTEEN
-#: new queries, of which the RRF hybrid and Welch t-test made that
-#: window and these twelve queued past it). Round 6 leads with those
-#: twelve (closing the ledger at every-query-ever-checked; two of them
-#: — the MG heavy-hitter, now tree-reduced, and the path trigrams,
-#: NULL-path fix — also changed behavior this round), then the TWO new
-#: round-6 queries (Debezium logical-type decoding; the time-travel
-#: change feed, which also sits on this round's changes_between
-#: presence-flag fix), then the round-5 behavior-changed block kept in
-#: window so those rewrites don't go evidence-stale (per the r5
-#: verdict), then the stalest r3/r4 names (last checked ≥ 2 rounds
-#: ago) filling the window. Names checked in the r5 window queue past
-#: the boundary — freshest evidence, lowest priority. Names not listed
-#: keep module registration order after these. The round-6 NEW block
-#: grew to TEN (graph_pagerank, dedup_exact_substring,
-#: cdc_temporal_pit_join, events_concurrency_peak, text_bpe_merges,
-#: events_anomaly_mad, cdc_scd2_incremental landed after the first
-#: three), then to SEVENTEEN (graph_triangle_count,
-#: events_forecast_ewma, dq_benford_first_digit, rag_chunk_documents,
-#: events_changepoint_cusum, events_autocorrelation,
-#: events_entropy_profile), displacing the fourteen newest-evidence
-#: r4 names (distinct_rows, sort_limit_topk, agg_rollup, agg_stats,
-#: agg_percentiles, agg_grouping_sets, agg_filtered, agg_cube,
-#: agg_count_distinct, text_keywords_tfidf, multimodal_frame_sample,
-#: events_cumulative_users, dedup_edit_distance,
-#: embedding_label_cohesion — all green r4) past the boundary so
-#: every never-checked query sits inside the 50-query window.
+#: Round-7 rotation policy (VERDICT r6 item 5): refresh the STALEST
+#: driver evidence. Per the CORRECTNESS_r01..r06 ledger, entering
+#: round 7 the registry split by last-checked round is r2:25, r3:43,
+#: r4:26, r5:45, r6:50, never:2 (the two new round-7 codec queries).
+#: The r7 window therefore leads with the two NEVER-checked queries +
+#: dedup_minhash_lsh (behavior-changed this round: engine-portable
+#: modular MinHash family, promoted from rows-only to a full DuckDB
+#: value-hash oracle), then the five CDC queries riding the
+#: StateFS-ported commit protocols (re-proving the storage refactor
+#: under the driver's hash gate), then the ENTIRE last-checked-r2
+#: block (24 more names), then 18 of the 43 last-checked-r3 names
+#: (join family, q1, windows, ann_ivf_topk whose IvfIndex gained true
+#: upsert, text_similar_topk). The remaining 25 r3 names + the r4
+#: block (26) are next in line for round 8. Displaced r5/r6-fresh
+#: names queue past the boundary in their prior order — freshest
+#: evidence, lowest priority. Names not listed keep module
+#: registration order after the listed ones.
 _PRIORITY = (
-    # --- never driver-checked (round-5 late additions) ---
+    # --- round-7 driver window (50) ---
+    "multimodal_decode_image",
+    "multimodal_decode_audio",
+    "dedup_minhash_lsh",
+    "cdc_current_state",
+    "cdc_state_rollup",
+    "cdc_envelope_roundtrip",
+    "cdc_change_feed",
+    "cdc_scd2_incremental",
+    "ann_lsh_topk",
+    "contamination_cross_source",
+    "dedup_clusters",
+    "dedup_simhash",
+    "embedding_cosine_neardup",
+    "embedding_normalize",
+    "embedding_quantize_int8",
+    "fn_array_agg_decimal",
+    "fn_arrays_extended",
+    "fn_conditionals_nulls",
+    "fn_datetime",
+    "fn_datetime_parts",
+    "fn_hashes",
+    "fn_json_extract",
+    "fn_math",
+    "fn_strings_extended",
+    "text_fingerprint",
+    "text_idf",
+    "text_langid",
+    "text_quality",
+    "text_redact",
+    "text_repetition",
+    "text_token_counts",
+    "window_running_frames",
+    "text_similar_topk",
+    "ann_ivf_topk",
+    "join_asof",
+    "join_broadcast_dims",
+    "join_inner_equi",
+    "join_range_band",
+    "join_left_anti",
+    "join_left_semi",
+    "join_full_outer",
+    "join_left_outer",
+    "q1_pricing_summary",
+    "window_lww_compaction",
+    "window_rank_topk_per_group",
+    "window_dense_ntile",
+    "filter_predicates",
+    "fn_casts",
+    "fn_map_higher_order",
+    "cdc_history_per_key",
+    # --- 50-query prefix boundary (round-7 driver window) ---
     "agg_skew_kurtosis_exact",
     "sample_hash_topk_per_group",
     "text_boilerplate_ngrams",
     "dq_profile_orders",
-    "text_heavy_hitter_tokens",  # also behavior-changed: MG tree-reduce
-    "events_path_trigrams",  # also behavior-changed: NULL event_type filter
+    "text_heavy_hitter_tokens",
+    "events_path_trigrams",
     "multimodal_resize",
     "dq_referential_integrity",
     "orders_spend_drawdown",
     "supplier_fulfillment_sla",
     "events_hourly_seasonality",
     "customer_order_degree_distribution",
-    # --- NEW round-6 queries ---
     "cdc_logical_types",
-    "cdc_change_feed",  # also rides the changes_between presence-flag fix
-    "cdc_incremental_agg",  # materialized-view maintenance under the hash
-    "graph_pagerank",  # iterative-loop pattern under the full hash gate
-    "dedup_exact_substring",  # Lee-et-al span-level dedup, fully oracled
-    "cdc_temporal_pit_join",  # SCD2 point-in-time feature lookup
-    "events_concurrency_peak",  # sweep-line intervals on bucketed sums
-    "text_bpe_merges",  # distributed BPE vocab induction, fully oracled
-    "events_anomaly_mad",  # robust median/MAD outlier fence
-    "cdc_scd2_incremental",  # incremental type-2 fold vs batch recompute
-    "graph_triangle_count",  # degree-oriented exact triangle census
-    "events_forecast_ewma",  # fixed-horizon EWMA backtest forecast
-    "dq_benford_first_digit",  # forensic leading-digit audit
-    "rag_chunk_documents",  # overlapping retrieval chunks, stable ids
-    "events_changepoint_cusum",  # integer-exact CUSUM level-shift argmax
-    "events_autocorrelation",  # lag-1..7 ACF, integer sufficient stats
-    "events_entropy_profile",  # daily traffic-mix entropy + evenness
-    # --- round-5 behavior-changed block (keep evidence fresh) ---
+    "cdc_incremental_agg",
+    "graph_pagerank",
+    "dedup_exact_substring",
+    "cdc_temporal_pit_join",
+    "events_concurrency_peak",
+    "text_bpe_merges",
+    "events_anomaly_mad",
+    "graph_triangle_count",
+    "events_forecast_ewma",
+    "dq_benford_first_digit",
+    "rag_chunk_documents",
+    "events_changepoint_cusum",
+    "events_autocorrelation",
+    "events_entropy_profile",
     "orders_rfm_segments",
     "pack_sequences",
     "corpus_curation_funnel",
     "timeseries_user_similarity",
     "curriculum_quality_tiers",
-    # --- stalest r3/r4 evidence (not in the r5 window) ---
     "events_funnel",
     "sample_weights_by_source",
     "multimodal_fake_decode",
@@ -169,13 +203,9 @@ _PRIORITY = (
     "agg_stats",
     "distinct_rows",
     "sort_limit_topk",
-    # --- 50-query prefix boundary (round-6 driver window) ---
     "sql_correlated_exists",
     "sql_in_subquery",
     "sql_scalar_subquery",
-    "cdc_current_state",
-    "cdc_envelope_roundtrip",
-    "cdc_state_rollup",
     "cdc_scd2_history",
     "text_bm25_topk",
     "decontaminate_train_ngram",
@@ -193,8 +223,8 @@ _PRIORITY = (
     "parts_abc_classification",
     "window_time_range_rolling",
     "text_zipf_fit",
-    "sketch_hll_distinct_docs",  # rows-only (sketch has no DuckDB dual)
-    "sketch_hll_rolling_users",  # rows-only
+    "sketch_hll_distinct_docs",
+    "sketch_hll_rolling_users",
     "agg_corr_exact",
     "agg_pivot",
     "fn_datetime_arith",
