@@ -106,11 +106,45 @@ def clusters_from_pairs(pairs: DataFrame) -> DataFrame:
     )
 
 
-@query("dedup_clusters", oracle=None)  # iterative => rows-only
+def _clusters_oracle() -> str:
+    """DuckDB dual of the WHOLE clustering face: the deterministic
+    MinHash+LSH verified pairs (shared CTEs from ``llm/dedup.py``) fed
+    into connected components via a recursive CTE (min-label closure —
+    every node collects every reachable label, MIN per node is its
+    component), then the canonical/size/member-list aggregation. The
+    iterative Spark loop and the recursive SQL closure are independent
+    formulations of the same fixpoint, so a value-hash match checks
+    convergence and labeling, not just row counts."""
+    from spark_streaming_with_debezium_spark.llm.dedup import minhash_pairs_ctes
+
+    return f"""
+    WITH RECURSIVE {minhash_pairs_ctes()},
+    vp AS (SELECT doc_a, doc_b FROM verified WHERE jac >= 0.5),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM vp
+      UNION ALL SELECT doc_b, doc_a FROM vp
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS comp FROM reach GROUP BY node)
+    SELECT comp AS canonical_doc,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+    FROM comp GROUP BY comp HAVING COUNT(*) > 1
+    """
+
+
+@query("dedup_clusters", oracle=_clusters_oracle())
 def dedup_clusters(spark, sf_dir: str) -> DataFrame:
     """Duplicate clusters from MinHash-LSH verified pairs: the
-    keep-list / drop-list a dedup pipeline actually applies. Verified
-    against a driver-side union-find in tests."""
+    keep-list / drop-list a dedup pipeline actually applies. Fully
+    oracle-checked since round 7 (recursive-CTE components over the
+    deterministic pair set — see :func:`_clusters_oracle`); also
+    verified against a driver-side union-find in tests."""
     from spark_streaming_with_debezium_spark.llm.dedup import dedup_minhash_lsh
 
     return clusters_from_pairs(dedup_minhash_lsh(spark, sf_dir))

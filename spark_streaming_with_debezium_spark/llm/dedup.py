@@ -390,12 +390,11 @@ def lsh_candidate_pairs(
     )
 
 
-def _minhash_lsh_oracle() -> str:
-    """Full DuckDB dual of the MinHash+LSH pipeline — shingling, the
-    modular hash family, banding, the bucket-size guard, pair
-    generation AND the exact-Jaccard verify — possible because every
-    hash step is engine-portable 64-bit arithmetic (same literals as
-    :func:`minhash_coeffs`)."""
+def minhash_pairs_ctes() -> str:
+    """The shared DuckDB CTE chain reproducing the MinHash+LSH pipeline
+    up to the ``verified`` relation (pairs + exact Jaccard) — used by
+    the :func:`dedup_minhash_lsh` oracle and by the cluster queries
+    built on its pairs (``llm/cluster.py``)."""
     coeffs = minhash_coeffs(32)
     mins = ",\n             ".join(
         f"MIN(({a} * b0 + {b}) % {MINHASH_P}) AS h{i}"
@@ -407,8 +406,7 @@ def _minhash_lsh_oracle() -> str:
         + ") AS bkey FROM sig"
         for b in range(8)
     )
-    return f"""
-    WITH w AS (
+    return f"""w AS (
       SELECT doc_id, lower(trim(text)) AS norm,
              string_split_regex(lower(trim(text)), '\\s+') AS words
       FROM documents
@@ -458,7 +456,17 @@ def _minhash_lsh_oracle() -> str:
       FROM pairs p
       JOIN dsh a ON a.doc_id = p.doc_a
       JOIN dsh b ON b.doc_id = p.doc_b
-    )
+    )"""
+
+
+def _minhash_lsh_oracle() -> str:
+    """Full DuckDB dual of the MinHash+LSH pipeline — shingling, the
+    modular hash family, banding, the bucket-size guard, pair
+    generation AND the exact-Jaccard verify — possible because every
+    hash step is engine-portable 64-bit arithmetic (same literals as
+    :func:`minhash_coeffs`)."""
+    return f"""
+    WITH {minhash_pairs_ctes()}
     SELECT doc_a, doc_b, round(jac, 6) AS jaccard
     FROM verified WHERE jac >= 0.5
     """
@@ -495,16 +503,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document.
+def simhash60(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash per document over the md5-60bit token hash.
 
     explode tokens → per-bit ±1 votes aggregated with SUM(sign) — a
     single groupBy on the doc id (the shuffle is by doc, so perfectly
-    parallel). Bits materialized from the votes' signs.
-    """
+    parallel). Bits materialized from the votes' signs. 60 bits (not
+    64) because the base hash is the engine-portable
+    :func:`_md5_60bit`, which makes the whole SimHash computable
+    bit-for-bit in DuckDB — the same promotion MinHash got: the query
+    carries a full value-hash oracle instead of a rows-only check."""
     tokens = F.explode(F.split(F.lower(F.trim(F.col(text_col))), "\\s+")).alias("tok")
     tok = docs.select(F.col(id_col), tokens).withColumn(
-        "h", F.xxhash64("tok")
+        "h", _md5_60bit(F.col("tok"))
     )
     votes = [
         F.sum(
@@ -512,22 +523,76 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
                 -1
             )
         ).alias(f"v{b}")
-        for b in range(64)
+        for b in range(60)
     ]
     agg = tok.groupBy(id_col).agg(*votes)
     sim = F.lit(0).cast("long")
-    for b in range(64):
-        bit = F.shiftleft(F.lit(1).cast("long"), b)  # b=63 wraps to sign bit
+    for b in range(60):
+        bit = F.lit(1 << b).cast("long")  # max bit 59: stays positive
         sim = sim + F.when(F.col(f"v{b}") > 0, bit).otherwise(F.lit(0).cast("long"))
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
-@query("dedup_simhash", oracle=None)  # Spark-hash specific => rows-only
+def _simhash_oracle() -> str:
+    """DuckDB dual of the full SimHash pipeline: token hash, 60 bit
+    votes, fingerprint assembly, 4×15-bit banding, pair generation and
+    the hamming≤6 popcount verify."""
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(60)
+    )
+    simexpr = "\n               + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(60)
+    )
+    bands = "\n      UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"(simhash >> {b * 15}) & 32767 AS bucket FROM s"
+        for b in range(4)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(CONCAT('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS hv
+      FROM w
+    ),
+    v AS (
+      SELECT doc_id,
+             {votes}
+      FROM h GROUP BY doc_id
+    ),
+    s AS (
+      SELECT doc_id,
+             {simexpr} AS simhash
+      FROM v
+    ),
+    banded AS ({bands}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sa, sb)) <= 6
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 4×16-bit band blocking, candidates kept when
-    hamming distance ≤ 6. Distributed: banding join, popcount verify."""
+    """SimHash near-dup: 4×15-bit band blocking over the 60-bit
+    engine-portable fingerprint, candidates kept when hamming distance
+    ≤ 6. Distributed: banding join, popcount verify. Fully
+    oracle-checked since round 7 (see :func:`simhash60`)."""
     d = load_table(spark, sf_dir, "documents")
-    sh = simhash64(d)
+    sh = simhash60(d)
     banded = sh.select(
         "doc_id",
         "simhash",
@@ -536,8 +601,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("simhash", b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("simhash", b * 15)
+                        .bitwiseAND(F.lit(0x7FFF))
                         .alias("bucket"),
                     )
                     for b in range(4)

@@ -154,31 +154,122 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _srp_signature(vec: Column, bits: int = 32, dim: int = 64) -> Column:
-    """Sign-random-projection signature from deterministic pseudo-random
-    hyperplanes: plane(b, i) = sign derived from xxhash64(b, i). Built
-    entirely from higher-order functions — no driver-side plane matrix,
-    so the same expression works on any executor count."""
-    def _signed_term(bb: int):
-        # factory so the lambda passed to zip_with has exactly 2 params
-        return lambda x, i: x.cast("double") * F.when(
-            F.pmod(F.xxhash64(F.lit(str(bb)), i), F.lit(2)) == 0, 1.0
-        ).otherwise(-1.0)
+def srp_planes(bits: int = 32, dim: int = 64) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix for sign-random-projection,
+    derived from md5 in PYTHON (hashlib) — the same literal matrix is
+    embedded in the Spark expression and the DuckDB oracle SQL, so the
+    signature computation is engine-portable with no in-engine hashing
+    at all (what lets ann_lsh_topk carry a full value-hash oracle)."""
+    import hashlib
 
-    sig = F.lit(0).cast("long")
+    planes = []
     for b in range(bits):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"{b},{i}".encode()).hexdigest()[:15], 16)
+            row.append(1.0 if h & 1 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def with_srp_signature(
+    df: DataFrame, vec_col: str, out_col: str = "sig",
+    bits: int = 32, dim: int = 64,
+) -> DataFrame:
+    """Attach the sign-random-projection signature from the literal
+    plane matrix (:func:`srp_planes`). Each projection is a strict
+    left-to-right double sum — ``0.0 + e₁·s₁ + e₂·s₂ + …`` — so the
+    IEEE result (and hence every sign bit) is reproducible bit-for-bit
+    by any engine evaluating the same expression order.
+
+    Each projection is a ``zip_with`` against a 64-double literal sign
+    array folded with ``aggregate`` — zip_with preserves index order
+    and aggregate folds strictly left, so the float result is identical
+    to the SQL oracle's explicit ``0.0 + e₁·s₁ + …`` chain. (A flat
+    2048-term expression computes the same values but exceeds janino's
+    method-size limit, throwing every stage into interpreted mode with
+    multi-MB task binaries — measured 10× slower than the HOF form.)"""
+    planes = srp_planes(bits, dim)
+    vec = F.col(vec_col)
+    projs = []
+    for b in range(bits):
+        signs = F.array(*[F.lit(v) for v in planes[b]])
         proj = F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), _signed_term(b)),
+            F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        sig = sig + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+        projs.append(proj.alias(f"_p{b}"))
+    staged = df.select("*", *projs)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"_p{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return sig
+    return staged.withColumn(out_col, sig).drop(*[f"_p{b}" for b in range(bits)])
 
 
-@query("ann_lsh_topk", oracle=None)  # approximate => rows-only; recall tested
+def _srp_oracle() -> str:
+    """DuckDB dual of the full SRP-LSH retrieval: literal-plane
+    projections (identical float op order), signature assembly, 4-bit
+    banding, candidate generation and the exact-cosine top-k re-rank."""
+    planes = srp_planes()
+    projs = ",\n             ".join(
+        f"0.0 + "
+        + " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE)*{planes[b][i]:g}"
+            for i in range(64)
+        )
+        + f" AS p{b}"
+        for b in range(32)
+    )
+    sig = "\n               + ".join(
+        f"(CASE WHEN p{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(32)
+    )
+    bands = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, (sig >> {b * 4}) & 15 AS bucket FROM sigs"
+        for b in range(8)
+    )
+    return f"""
+    WITH proj AS (
+      SELECT vec_id,
+             {projs}
+      FROM embeddings
+    ),
+    sigs AS (
+      SELECT vec_id,
+             {sig} AS sig
+      FROM proj
+    ),
+    banded AS ({bands}),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+      FROM banded q JOIN banded c
+        ON q.band = c.band AND q.bucket = c.bucket
+      WHERE q.vec_id < 8 AND c.vec_id != q.vec_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                    CAST(ce.embedding AS DOUBLE[])) AS cos
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, vec_id
+             ) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, round(cos, 6) AS cos_sim, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """
+
+
+@query("ann_lsh_topk", oracle=_srp_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-k via sign-random-projection LSH.
 
@@ -187,12 +278,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall vs ann_cosine_topk is asserted in tests (≥ 0.5 at these
     parameters on the synthetic clusters). Recall/cost is tuned by the
     band count — each extra band adds ~corpus/2^bits candidates.
-    """
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .withColumn("sig", _srp_signature(F.col("embedding")))
-        .withColumn("nrm", norm(F.col("embedding")))
-    )
+    Fully oracle-checked since round 7: the hyperplanes are a literal
+    ±1 matrix computed once in Python (:func:`srp_planes`) and embedded
+    in both engines' expressions with identical float evaluation order,
+    so signatures, banding, candidates and the re-rank all carry a
+    value-hash DuckDB dual."""
+    e = with_srp_signature(
+        load_table(spark, sf_dir, "embeddings"), "embedding"
+    ).withColumn("nrm", norm(F.col("embedding")))
     bands = F.array(
         *[
             F.struct(

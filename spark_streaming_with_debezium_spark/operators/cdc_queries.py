@@ -17,7 +17,10 @@ from spark_streaming_with_debezium_spark.cdc.compact import compact_latest
 from spark_streaming_with_debezium_spark.cdc.merge import apply_changes
 from spark_streaming_with_debezium_spark.functions.numeric import dsum, sql_dsum
 from spark_streaming_with_debezium_spark.registry import query
-from spark_streaming_with_debezium_spark.sources.tables import load_table
+from spark_streaming_with_debezium_spark.sources.tables import (
+    load_table,
+    table_column_max,
+)
 
 def _scratch_dir(prefix: str) -> str:
     """Per-invocation on-disk scratch for queries that build real state
@@ -445,7 +448,11 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "error").alias("deleted"),
         F.col("event_id"),
     )
-    mid = e.agg(F.max("event_id")).collect()[0][0] or 0
+    # Split point from parquet footer stats (zero data scan) — the
+    # agg(max).collect() form cost one extra full events scan per run.
+    mid = table_column_max(sf_dir, "events", "event_id")
+    if mid is None:  # stats absent: fall back to the scan
+        mid = e.agg(F.max("event_id")).collect()[0][0] or 0
     for pred in (
         F.col("event_id") * 2 <= F.lit(mid),
         F.col("event_id") * 2 > F.lit(mid),
@@ -551,7 +558,11 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("agg_count"),
         )
     )
-    mid = e.agg(F.max("event_id")).collect()[0][0] or 0
+    # Split point from parquet footer stats (zero data scan) — the
+    # agg(max).collect() form cost one extra full events scan per run.
+    mid = table_column_max(sf_dir, "events", "event_id")
+    if mid is None:  # stats absent: fall back to the scan
+        mid = e.agg(F.max("event_id")).collect()[0][0] or 0
     for pred in (
         F.col("event_id") * 2 <= F.lit(mid),
         F.col("event_id") * 2 > F.lit(mid),
@@ -713,7 +724,10 @@ def cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], scd2_schema_ddl("user_id long", "value double")
         )
     )
-    mid = e.agg(F.max("offset")).collect()[0][0] or 0
+    # offset aliases event_id — footer stats give its max scan-free.
+    mid = table_column_max(sf_dir, "events", "event_id")
+    if mid is None:
+        mid = e.agg(F.max("offset")).collect()[0][0] or 0
     for pred in (
         F.col("offset") * 2 <= F.lit(mid),
         F.col("offset") * 2 > F.lit(mid),

@@ -48,6 +48,43 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_column_max(sf_dir: str, name: str, col: str):
+    """Max of a numeric column from parquet FOOTER statistics — zero
+    data scan (row-group min/max stats are exact for int64). The
+    scale-honest way to pick a batch split point: the previous
+    formulation (`df.agg(max).collect()`) cost one extra full scan of
+    the table per query invocation. Falls back to None when stats are
+    absent (caller decides)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files = (
+        sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    mx = None
+    for fp in files:
+        meta = pq.ParquetFile(fp).metadata
+        col_idx = next(
+            (
+                i
+                for i in range(meta.num_columns)
+                if meta.row_group(0).column(i).path_in_schema == col
+            ),
+            None,
+        )
+        if col_idx is None:
+            continue
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(col_idx).statistics
+            if st is not None and st.has_min_max:
+                mx = st.max if mx is None else max(mx, st.max)
+    return mx
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
 ) -> dict[str, DataFrame]:
