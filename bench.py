@@ -69,6 +69,8 @@ EXTENDED = (
     "events_changepoint_cusum",  # integer-exact CUSUM argmax (r6 cont.)
     "events_autocorrelation",  # lag-1..7 ACF diagnostics (r6 cont.)
     "events_entropy_profile",  # traffic-mix entropy drift (r6 cont.)
+    "multimodal_decode_image",  # real BMP encode→decode via Arrow (r7)
+    "multimodal_decode_audio",  # real WAV write→RIFF parse (r7)
 )
 
 

@@ -405,6 +405,26 @@ class ParquetStateTable:
             self.fs.delete(tmp)
         return len(fragmented)
 
+    def lookup(self, keys: DataFrame) -> DataFrame:
+        """Point-lookup: the state rows whose key appears in ``keys``
+        (a DataFrame carrying the key columns). Reads ONLY the buckets
+        the requested keys hash into — the same partition pruning the
+        merge path uses — so the cost is O(touched buckets), not
+        O(state). The serving-path counterpart of ``merge``: 'give me
+        these customers' current rows' without a full table scan."""
+        keyed = bucket_of(
+            keys.select(*self.key_cols).distinct(), self.key_cols, self.n_buckets
+        )
+        touched = [r._bucket for r in keyed.select("_bucket").distinct().collect()]
+        if not touched:
+            return self.read().limit(0)
+        state = self._read_bucketed().filter(F.col("_bucket").isin(touched))
+        return state.drop("_bucket").join(
+            F.broadcast(keys.select(*self.key_cols).distinct()),
+            self.key_cols,
+            "left_semi",
+        )
+
     def merge(self, changes: DataFrame, data_cols: Sequence[str] | None = None) -> None:
         """Merge a compacted change batch, rewriting only touched buckets."""
         changes = bucket_of(changes, self.key_cols, self.n_buckets).cache()

@@ -36,6 +36,20 @@ class IvfIndex:
         self.fs = fs if fs is not None else fs_for_path(spark, path)
         self._data_dir = os.path.join(path, "cells")
         self._cent_dir = os.path.join(path, "centroids")
+        self._idmap_dir = os.path.join(path, "idmap")
+
+    def _idmap(self):
+        """vec_id → cell sidecar as a bucketed state table: upsert's
+        supersede lookup reads only the id-hash buckets the batch
+        touches instead of column-scanning the whole index. The same
+        machinery as the CDC state table — one protocol, two uses."""
+        from spark_streaming_with_debezium_spark.cdc.merge import (
+            ParquetStateTable,
+        )
+
+        return ParquetStateTable(
+            self.spark, self._idmap_dir, ["vec_id"], n_buckets=64, fs=self.fs
+        )
 
     def build(self, vectors: DataFrame, id_col: str = "vec_id",
               vec_col: str = "embedding", k: int = IVF_K,
@@ -55,6 +69,11 @@ class IvfIndex:
             .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(self._data_dir)
+        )
+        # id→cell sidecar (read back from the written cells so the map
+        # reflects exactly what landed on disk)
+        self._idmap().init(
+            self.spark.read.parquet(self._data_dir).select("vec_id", "cell")
         )
 
     def search(self, queries: DataFrame, k: int = 5, n_probe: int = 5,
@@ -98,16 +117,14 @@ class IvfIndex:
         resident row (last-writer-wins), so re-delivery is idempotent
         and a changed embedding never leaves a stale duplicate behind.
 
-        Cost: O(batch) assignment + one column-pruned (cell, vec_id)
-        scan of the index to locate superseded rows + a rewrite of only
-        the touched cells. At 100 TB the id-location scan reads two
-        columns of the cell files (parquet column pruning); a
-        deployment with very frequent upserts would maintain an
-        id→cell sidecar keyed like the CDC state table to make the
-        lookup partition-pruned too — same protocol, omitted here for
-        surface economy. Rebuild (`build`) when `cell_balance` reports
-        drift — the standard IVF re-train policy, a measured signal
-        instead of a guess."""
+        Cost: O(batch) assignment + an id-hash-bucket-pruned lookup of
+        the id→cell sidecar (``ParquetStateTable.lookup`` — reads only
+        the sidecar buckets the batch ids hash into, NOT the index) to
+        locate superseded rows + a rewrite of only the touched cells.
+        Indexes built before the sidecar existed fall back to a
+        column-pruned (cell, vec_id) scan. Rebuild (`build`) when
+        `cell_balance` reports drift — the standard IVF re-train
+        policy, a measured signal instead of a guess."""
         v = vectors.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
         ).withColumn("nrm", norm(F.col("embedding")))
@@ -115,15 +132,21 @@ class IvfIndex:
         assigned = nearest_cells(v, cents, "embedding", "nrm", 1, "cell").cache()
         try:
             batch_ids = assigned.select("vec_id").distinct()
-            # Where do superseded rows live? Column-pruned projection of
-            # the whole index — ONLY (cell, vec_id) is read.
-            locations = self.spark.read.parquet(self._data_dir).select(
-                "cell", "vec_id"
-            )
-            stale_cells = (
-                locations.join(F.broadcast(batch_ids), "vec_id", "left_semi")
-                .select("cell")
-            )
+            idmap = self._idmap()
+            if idmap.exists():
+                # Partition-pruned: only id-hash buckets holding batch
+                # ids are read; O(batch), independent of index size.
+                stale_cells = idmap.lookup(batch_ids).select("cell")
+            else:
+                # Pre-sidecar layout: column-pruned projection of the
+                # whole index — ONLY (cell, vec_id) is read.
+                locations = self.spark.read.parquet(self._data_dir).select(
+                    "cell", "vec_id"
+                )
+                stale_cells = (
+                    locations.join(F.broadcast(batch_ids), "vec_id", "left_semi")
+                    .select("cell")
+                )
             touched = [
                 r.cell
                 for r in assigned.select("cell")
@@ -159,6 +182,14 @@ class IvfIndex:
                         self.fs.rename(src, dst)
             finally:
                 self.fs.delete(tmp)
+            if idmap.exists():
+                # Keep the sidecar in lockstep: batch ids map to their
+                # (possibly new) cells; LWW merge is replay-idempotent.
+                idmap.merge(
+                    assigned.select(
+                        "vec_id", "cell", F.lit(False).alias("deleted")
+                    )
+                )
         finally:
             assigned.unpersist()
 

@@ -621,3 +621,33 @@ def test_ivf_upsert_replaces_changed_embeddings(spark, sf_dir, tmp_path):
     assert len(got) == 10
     for vid, e in expected.items():
         assert list(got[vid]) == list(e), f"vec {vid} kept a stale embedding"
+
+    # the id→cell sidecar tracked the moves: every batch id maps to the
+    # cell its row actually lives in
+    sidecar = {
+        r["vec_id"]: r["cell"]
+        for r in idx._idmap().lookup(moved.select("vec_id")).collect()
+    }
+    actual = {
+        r["vec_id"]: r["cell"]
+        for r in after.filter(F.col("vec_id") < 10).collect()
+    }
+    assert sidecar == actual
+
+    # Pre-sidecar layout (index built before the idmap existed): drop
+    # the sidecar — upsert must fall back to the full-projection scan
+    # and still deliver identical true-upsert semantics.
+    import shutil
+
+    shutil.rmtree(idx._idmap_dir)
+    moved2 = moved.withColumn("embedding", F.reverse("embedding"))
+    expected2 = {r["vec_id"]: r["embedding"] for r in moved2.collect()}
+    idx.upsert(moved2)
+    after2 = spark.read.parquet(idx._data_dir)
+    assert after2.count() == n0
+    got2 = {
+        r["vec_id"]: r["embedding"]
+        for r in after2.filter(F.col("vec_id") < 10).collect()
+    }
+    for vid, e in expected2.items():
+        assert list(got2[vid]) == list(e)

