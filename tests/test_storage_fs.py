@@ -106,6 +106,55 @@ def test_state_table_lifecycle_on_hadoop_fs(spark, tmp_path):
     assert reader.n_buckets == 16  # meta survived the empty re-init
 
 
+def test_crash_recovery_protocols_on_hadoop_fs(spark, tmp_path):
+    """The two park/land/drop swap protocols recover from planted crash
+    states when ALL file operations go through the Hadoop client — the
+    recovery logic is protocol-level, not POSIX-level."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_with_debezium_spark.cdc.timetravel import (
+        TimeTravelStateTable,
+    )
+
+    # --- rebucket crash: parked old layout, live dir missing → rollback
+    path = "file://" + str(tmp_path / "st")
+    st = ParquetStateTable(spark, path, ["id"], n_buckets=4)
+    st.init(spark.range(50).select("id", (F.col("id") * 2).alias("v")))
+    st.rebucket(8)
+    before = sorted(tuple(r) for r in st.read().collect())
+    st.fs.rename(path, path + "_rebucket_old")  # simulate crash mid-swap
+    re = ParquetStateTable(spark, path, ["id"], n_buckets=4)
+    assert re.n_buckets == 8
+    assert sorted(tuple(r) for r in re.read().collect()) == before
+    assert not re.fs.exists(path + "_rebucket_old")
+
+    # --- compact_log crash BEFORE swap (tmp+marker+old snapshot) → rollback
+    tpath = "file://" + str(tmp_path / "tt")
+    t = TimeTravelStateTable(spark, tpath, ["id"], n_buckets=4)
+    t.init(spark.createDataFrame([(1, "a")], "id long, v string"))
+    chg = "id long, v string, deleted boolean"
+    t.merge_logged(spark.createDataFrame([(2, "b", False)], chg))
+    t.merge_logged(spark.createDataFrame([(3, "c", False)], chg))
+    expect2 = sorted(tuple(r) for r in t.as_of(2).collect())
+    tmp_dir = t._snap_dir + "_folding"
+    pend = t._base_seq_path + ".pending"
+    t.as_of(1).write.mode("overwrite").parquet(tmp_dir)
+    t.fs.write_text_atomic(pend, "1")
+    re1 = TimeTravelStateTable(spark, tpath, ["id"], n_buckets=4)
+    assert not re1.fs.isdir(tmp_dir) and not re1.fs.exists(pend)
+    assert re1._base_seq == 0
+    assert sorted(tuple(r) for r in re1.as_of(2).collect()) == expect2
+
+    # --- crash MID-swap (snapshot gone, tmp+marker present) → roll forward
+    re1.as_of(1).write.mode("overwrite").parquet(tmp_dir)
+    re1.fs.write_text_atomic(pend, "1")
+    re1.fs.delete(re1._snap_dir)
+    re2 = TimeTravelStateTable(spark, tpath, ["id"], n_buckets=4)
+    assert re2._base_seq == 1
+    assert re2.fs.isdir(re2._snap_dir) and not re2.fs.exists(pend)
+    assert sorted(tuple(r) for r in re2.as_of(2).collect()) == expect2
+
+
 def test_timetravel_and_txn_buffer_on_hadoop_fs(spark, tmp_path):
     """The versioned stores built on the same protocols — time-travel
     log fold and the transaction buffer's write-then-pointer commit —
