@@ -390,11 +390,10 @@ def lsh_candidate_pairs(
     )
 
 
-def minhash_pairs_ctes() -> str:
-    """The shared DuckDB CTE chain reproducing the MinHash+LSH pipeline
-    up to the ``verified`` relation (pairs + exact Jaccard) — used by
-    the :func:`dedup_minhash_lsh` oracle and by the cluster queries
-    built on its pairs (``llm/cluster.py``)."""
+def minhash_banded_ctes() -> str:
+    """DuckDB CTE chain reproducing the MinHash pipeline up to the
+    band-bucketed, size-guarded ``kept`` relation (plus the ``sh``
+    shingle lists) — the shared prefix of every LSH-derived oracle."""
     coeffs = minhash_coeffs(32)
     mins = ",\n             ".join(
         f"MIN(({a} * b0 + {b}) % {MINHASH_P}) AS h{i}"
@@ -441,7 +440,15 @@ def minhash_pairs_ctes() -> str:
              COUNT(*) OVER (PARTITION BY band, bucket) AS bsize
       FROM banded
     ),
-    kept AS (SELECT * FROM sized WHERE bsize <= 64),
+    kept AS (SELECT * FROM sized WHERE bsize <= 64)"""
+
+
+def minhash_pairs_ctes() -> str:
+    """The banded prefix plus pair generation and the exact-Jaccard
+    ``verified`` relation — used by the :func:`dedup_minhash_lsh`
+    oracle and by the cluster queries built on its pairs
+    (``llm/cluster.py``)."""
+    return f"""{minhash_banded_ctes()},
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM kept a JOIN kept b
@@ -500,6 +507,111 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = inter.cast("double") / union
     return j.filter(jac >= 0.5).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+def _fuzzy_decon_oracle() -> str:
+    """DuckDB dual of MinHash-based fuzzy decontamination: the banded
+    prefix, the deterministic content-hash split, the train×holdout
+    band collision join, and the exact-Jaccard verify + per-train-doc
+    rollup."""
+    return f"""
+    WITH {minhash_banded_ctes()},
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(text), 1, 2) < '0a' THEN 'eval'
+                  WHEN substr(md5(text), 1, 2) < '14' THEN 'heldout'
+                  ELSE 'train' END AS split
+      FROM documents
+    ),
+    kt AS (
+      SELECT k.doc_id, k.band, k.bucket
+      FROM kept k JOIN splits s ON s.doc_id = k.doc_id AND s.split = 'train'
+    ),
+    kh AS (
+      SELECT k.doc_id, k.band, k.bucket
+      FROM kept k JOIN splits s ON s.doc_id = k.doc_id AND s.split <> 'train'
+    ),
+    cand AS (
+      SELECT DISTINCT t.doc_id AS train_doc, h.doc_id AS holdout_doc
+      FROM kt t JOIN kh h ON t.band = h.band AND t.bucket = h.bucket
+    ),
+    dsh AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh),
+    verified AS (
+      SELECT c.train_doc, c.holdout_doc,
+             CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+               / (len(a.sset) + len(b.sset)
+                  - len(list_intersect(a.sset, b.sset))) AS jac
+      FROM cand c
+      JOIN dsh a ON a.doc_id = c.train_doc
+      JOIN dsh b ON b.doc_id = c.holdout_doc
+    )
+    SELECT train_doc AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_holdout_matches,
+           round(MAX(jac), 6) AS max_jaccard
+    FROM verified WHERE jac >= 0.5
+    GROUP BY train_doc
+    """
+
+
+@query("decontaminate_fuzzy_minhash", oracle=_fuzzy_decon_oracle())
+def decontaminate_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination: train-split documents that near-duplicate
+    any holdout/eval document (MinHash band collision, then exact
+    3-gram-shingle Jaccard ≥ 0.5) — the drop-list a pipeline applies
+    before training so paraphrased benchmark leakage goes with the
+    exact matches (`decontaminate_train_ngram` catches verbatim
+    leakage; this face catches near-verbatim). Same banded-blocking
+    cost shape as `dedup_minhash_lsh`: candidates are O(n·bucket),
+    never train×holdout. Fully oracle-checked (engine-portable MinHash
+    family + the deterministic md5-prefix split)."""
+    from spark_streaming_with_debezium_spark.llm.corpus_rules import split_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    splits = d.select("doc_id", split_expr().alias("split"))
+    sigs = minhash_signatures(d)
+    banded = banded_rows(sigs).drop("sig")
+    # same oversized-bucket guard as the pair generator, computed over
+    # BOTH splits (the oracle mirrors this exactly)
+    wb = Window.partitionBy("band", "bucket")
+    kept = (
+        banded.withColumn("bsize", F.count(F.lit(1)).over(wb))
+        .filter(F.col("bsize") <= 64)
+        .join(splits, "doc_id")
+    )
+    train_b = kept.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "band", "bucket"
+    )
+    hold_b = kept.filter(F.col("split") != "train").select(
+        F.col("doc_id").alias("holdout_doc"), "band", "bucket"
+    )
+    cand = (
+        train_b.join(hold_b, ["band", "bucket"])
+        .select("train_doc", "holdout_doc")
+        .distinct()
+    )
+    ws = d.select("doc_id", shingle_set(F.col("text")).alias("sh"))
+    j = (
+        cand.join(
+            ws.select(F.col("doc_id").alias("train_doc"), F.col("sh").alias("sa")),
+            "train_doc",
+        )
+        .join(
+            ws.select(F.col("doc_id").alias("holdout_doc"), F.col("sh").alias("sb")),
+            "holdout_doc",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = inter.cast("double") / union
+    return (
+        j.withColumn("jac", jac)
+        .filter(F.col("jac") >= 0.5)
+        .groupBy(F.col("train_doc").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_holdout_matches"),
+            F.round(F.max("jac"), 6).alias("max_jaccard"),
+        )
     )
 
 

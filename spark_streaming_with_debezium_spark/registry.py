@@ -90,6 +90,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: registration order after the listed ones.
 _PRIORITY = (
     # --- round-7 driver window (50) ---
+    "decontaminate_fuzzy_minhash",  # NEW r7 continuation: never checked
     "multimodal_decode_image",
     "multimodal_decode_audio",
     "dedup_minhash_lsh",
@@ -139,8 +140,11 @@ _PRIORITY = (
     "filter_predicates",
     "fn_casts",
     "fn_map_higher_order",
-    "cdc_history_per_key",
+    # cdc_history_per_key displaced past the boundary by the new
+    # decontaminate_fuzzy_minhash (never-checked beats r3-stale);
+    # first in line for round 8 with the rest of the r3 block.
     # --- 50-query prefix boundary (round-7 driver window) ---
+    "cdc_history_per_key",
     "agg_skew_kurtosis_exact",
     "sample_hash_topk_per_group",
     "text_boilerplate_ngrams",
