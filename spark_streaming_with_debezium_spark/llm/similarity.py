@@ -209,10 +209,10 @@ def with_srp_signature(
     return staged.withColumn(out_col, sig).drop(*[f"_p{b}" for b in range(bits)])
 
 
-def _srp_oracle() -> str:
-    """DuckDB dual of the full SRP-LSH retrieval: literal-plane
-    projections (identical float op order), signature assembly, 4-bit
-    banding, candidate generation and the exact-cosine top-k re-rank."""
+def srp_ranked_ctes() -> str:
+    """DuckDB CTE chain for the full SRP-LSH retrieval up to the
+    ``ranked`` relation — shared by the :func:`ann_lsh_topk` oracle and
+    the recall-report oracle built on top of it."""
     planes = srp_planes()
     projs = ",\n             ".join(
         f"0.0 + "
@@ -231,8 +231,7 @@ def _srp_oracle() -> str:
         f"SELECT vec_id, {b} AS band, (sig >> {b * 4}) & 15 AS bucket FROM sigs"
         for b in range(8)
     )
-    return f"""
-    WITH proj AS (
+    return f"""proj AS (
       SELECT vec_id,
              {projs}
       FROM embeddings
@@ -263,9 +262,15 @@ def _srp_oracle() -> str:
                PARTITION BY query_id ORDER BY cos DESC, vec_id
              ) AS rnk
       FROM scored
-    )
+    )"""
+
+
+def _srp_oracle() -> str:
+    """Full SRP-LSH oracle: the shared CTE chain + the top-k select."""
+    return f"""
+    WITH {srp_ranked_ctes()}
     SELECT query_id, vec_id, round(cos, 6) AS cos_sim, CAST(rnk AS INT) AS rnk
-    FROM ranked WHERE rnk <= 5
+    FROM ranked WHERE rnk <= {TOP_K}
     """
 
 
@@ -340,6 +345,70 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "vec_id", F.round("cos", 6).alias("cos_sim"), "rnk")
+    )
+
+
+def _recall_report_oracle() -> str:
+    """DuckDB dual of the LSH-vs-exact recall report: the SRP CTE chain
+    (shared with the ann_lsh_topk oracle) plus an independently-renamed
+    exact-top-k chain, joined per query."""
+    return f"""
+    WITH {srp_ranked_ctes()},
+    lsh AS (SELECT query_id, vec_id FROM ranked WHERE rnk <= {TOP_K}),
+    eq AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+    escored AS (
+      SELECT eq.query_id, e.vec_id,
+             {_COSINE_SQL.format(a='eq.qe', b='e.embedding')} AS cos
+      FROM eq JOIN embeddings e ON e.vec_id <> eq.query_id
+    ),
+    eranked AS (
+      SELECT query_id, vec_id, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+      FROM escored
+    ),
+    exact AS (SELECT query_id, vec_id FROM eranked WHERE rnk <= {TOP_K}),
+    hits AS (
+      SELECT e.query_id, COUNT(*) AS n_hits
+      FROM exact e JOIN lsh l
+        ON l.query_id = e.query_id AND l.vec_id = e.vec_id
+      GROUP BY e.query_id
+    ),
+    denom AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY query_id)
+    SELECT d.query_id,
+           CAST(d.n_exact AS BIGINT) AS n_exact,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / d.n_exact, 6) AS recall
+    FROM denom d LEFT JOIN hits h USING (query_id)
+    """
+
+
+@query("ann_recall_report", oracle=_recall_report_oracle())
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality monitoring as a QUERY: per-query recall@k of
+    the SRP-LSH face against the exact brute-force baseline — the
+    number a pipeline tracks to decide when to widen signatures or add
+    bands. Both faces are deterministic (literal planes, fixed tie
+    order), so even this meta-query carries a full value-hash DuckDB
+    oracle; at 100 TB the same report runs over a sampled query set.
+    """
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    approx = ann_lsh_topk(spark, sf_dir).select("query_id", "vec_id")
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    denom = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return denom.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+            / F.col("n_exact"),
+            6,
+        ).alias("recall"),
     )
 
 

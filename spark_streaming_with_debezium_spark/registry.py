@@ -91,6 +91,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 _PRIORITY = (
     # --- round-7 driver window (50) ---
     "decontaminate_fuzzy_minhash",  # NEW r7 continuation: never checked
+    "ann_recall_report",  # NEW r7 continuation: never checked
     "multimodal_decode_image",
     "multimodal_decode_audio",
     "dedup_minhash_lsh",
@@ -139,11 +140,12 @@ _PRIORITY = (
     "window_dense_ntile",
     "filter_predicates",
     "fn_casts",
-    "fn_map_higher_order",
-    # cdc_history_per_key displaced past the boundary by the new
-    # decontaminate_fuzzy_minhash (never-checked beats r3-stale);
-    # first in line for round 8 with the rest of the r3 block.
+    # fn_map_higher_order and cdc_history_per_key displaced past the
+    # boundary by the two never-checked r7-continuation queries
+    # (decontaminate_fuzzy_minhash, ann_recall_report); both lead the
+    # round-8 queue with the rest of the r3 block.
     # --- 50-query prefix boundary (round-7 driver window) ---
+    "fn_map_higher_order",
     "cdc_history_per_key",
     "agg_skew_kurtosis_exact",
     "sample_hash_topk_per_group",
