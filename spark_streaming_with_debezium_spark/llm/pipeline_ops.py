@@ -794,3 +794,323 @@ def rag_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_words"),
         )
     )
+
+
+#: Portable checksum modulus shared with the MinHash family (2^31-1):
+#: residues stay < 2^31, so even 10^9-row per-group sums fit in BIGINT
+#: on both engines.
+_CHECKSUM_P = 2147483647
+
+#: Token-budget mixing: each source keeps its best docs until 40% of
+#: its token mass is selected (numerator/denominator kept integer so
+#: the budget is engine-exact).
+BUDGET_NUM, BUDGET_DEN = 2, 5
+
+
+@query(
+    "corpus_token_budget_mix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS tok,
+             CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / n_chars AS alpha,
+             CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {_CHECKSUM_P} AS hid
+      FROM documents
+    ), r AS (
+      SELECT source, tok, hid,
+             CAST(SUM(tok) OVER (PARTITION BY source) AS BIGINT) AS tok_total,
+             CAST(SUM(tok) OVER (
+               PARTITION BY source ORDER BY alpha DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum
+      FROM t
+    ), s AS (
+      SELECT source, tok, hid, tok_total,
+             CAST(floor(CAST(tok_total * {BUDGET_NUM} AS DOUBLE)
+                        / {BUDGET_DEN}) AS BIGINT) AS budget_tok,
+             (cum <= CAST(floor(CAST(tok_total * {BUDGET_NUM} AS DOUBLE)
+                                / {BUDGET_DEN}) AS BIGINT)) AS sel
+      FROM r
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           CAST(MAX(tok_total) AS BIGINT) AS tok_total,
+           CAST(MAX(budget_tok) AS BIGINT) AS budget_tok,
+           CAST(SUM(CASE WHEN sel THEN tok ELSE 0 END) AS BIGINT)
+             AS tok_selected,
+           CAST(SUM(CASE WHEN sel THEN hid ELSE 0 END) AS BIGINT)
+             AS ids_checksum
+    FROM s GROUP BY source
+    """,
+)
+def corpus_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-constrained corpus selection: within every source,
+    keep documents in quality order (alpha-ratio desc, doc_id tiebreak)
+    until 40% of that source's token mass is spent — the greedy
+    budgeted-mix step between computing mixture *rates*
+    (:func:`sample_weights_by_source`) and materializing the actual
+    training subset. ``ids_checksum`` (sum of portable 60-bit doc-id
+    hashes mod 2^31-1, order-independent) pins the exact selected SET,
+    not just its size, so the oracle catches a selection that picks
+    different documents with identical totals.
+
+    Shape: one shuffle on ``source``; the per-source ordered cumsum is
+    a window whose partition count equals the source count — at 100 TB
+    with few huge sources, swap in the bucketed-cumulative helper
+    (``operators/scalable_windows.py``, the curriculum-tiers fix) for
+    bounded sorts; arithmetic is integer end-to-end so the rewrite is
+    bit-identical. The quality score and budget are integer-derived
+    doubles (exact division, floor), so ordering and cutoff agree
+    across engines bit-for-bit.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hid = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % _CHECKSUM_P
+    )
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast(
+        "double"
+    ) / F.col("n_chars")
+    base = d.select(
+        "doc_id",
+        "source",
+        token_count("text").cast("long").alias("tok"),
+        alpha.alias("alpha"),
+        hid.alias("hid"),
+    )
+    w_all = Window.partitionBy("source")
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy(F.col("alpha").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = base.select(
+        "source",
+        "tok",
+        "hid",
+        F.sum("tok").over(w_all).alias("tok_total"),
+        F.sum("tok").over(w_cum).alias("cum"),
+    )
+    budget = F.floor(
+        (F.col("tok_total") * BUDGET_NUM).cast("double") / BUDGET_DEN
+    ).cast("long")
+    s = r.withColumn("budget_tok", budget).withColumn(
+        "sel", F.col("cum") <= F.col("budget_tok")
+    )
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("sel"), 1).otherwise(0)).cast("long").alias("n_selected"),
+        F.max("tok_total").alias("tok_total"),
+        F.max("budget_tok").alias("budget_tok"),
+        F.sum(F.when(F.col("sel"), F.col("tok")).otherwise(0))
+        .cast("long")
+        .alias("tok_selected"),
+        F.sum(F.when(F.col("sel"), F.col("hid")).otherwise(0))
+        .cast("long")
+        .alias("ids_checksum"),
+    )
+
+
+#: DSIR hashed-feature space (2^10 here; 2^16+ at 100 TB — bounded and
+#: broadcastable either way) and the importance-model target domain.
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "zh"
+
+
+@query(
+    "sample_importance_dsir",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ), f AS (
+      SELECT doc_id, lang,
+             CAST(CONCAT('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+               % {DSIR_BUCKETS} AS feat
+      FROM toks
+    ), pdf AS (
+      SELECT doc_id, lang, feat, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM f GROUP BY 1, 2, 3
+    ), raw AS (
+      SELECT feat, CAST(SUM(cnt) AS BIGINT) AS cr FROM pdf GROUP BY feat
+    ), tgt AS (
+      SELECT feat, CAST(SUM(cnt) AS BIGINT) AS ct
+      FROM pdf WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY feat
+    ), tot AS (
+      SELECT CAST((SELECT SUM(cnt) FROM pdf) AS BIGINT) AS tr,
+             CAST((SELECT SUM(cnt) FROM pdf
+                   WHERE lang = '{DSIR_TARGET_LANG}') AS BIGINT) AS tt
+    ), lr AS (
+      SELECT r.feat,
+             ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) / (tt + {DSIR_BUCKETS}))
+               - ln(CAST(r.cr + 1 AS DOUBLE) / (tr + {DSIR_BUCKETS})) AS lr
+      FROM raw r LEFT JOIN tgt t ON r.feat = t.feat, tot
+    )
+    SELECT p.doc_id, p.lang,
+           CAST(SUM(p.cnt) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(CAST(p.cnt * l.lr AS DECIMAL(38,12))) AS DOUBLE), 6)
+             AS dsir_logweight
+    FROM pdf p JOIN lr l ON p.feat = l.feat
+    GROUP BY 1, 2
+    """,
+)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023):
+    per-document log importance weight ln(p_target/p_raw) under hashed
+    unigram bag models with Laplace(+1) smoothing — the weight a
+    domain-targeted sampler resamples by to tilt a raw corpus toward a
+    target domain (here the ``zh`` slice stands in for "target").
+
+    Scale shape, per the paper: features are HASHED into a fixed
+    ``DSIR_BUCKETS``-bucket space, so both language models are bounded
+    tables independent of corpus size — the log-ratio table broadcasts
+    (1024 rows here, 2^16 at 100 TB) and per-doc scoring is a map-side
+    join + one groupBy(doc_id). Two bounded-output shuffles total; no
+    step is O(vocabulary). Determinism: ratios are integer-derived
+    doubles (identical division), ln under the idf/zipf precedent, and
+    the per-doc sum accumulates in DECIMAL(38,12) so executor ordering
+    cannot move the result.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    feat = (
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    )
+    pdf = (
+        toks.select("doc_id", "lang", feat.alias("feat"))
+        .groupBy("doc_id", "lang", "feat")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    raw = pdf.groupBy("feat").agg(F.sum("cnt").alias("cr"))
+    tgt = (
+        pdf.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("feat")
+        .agg(F.sum("cnt").alias("ct"))
+    )
+    tot = F.broadcast(
+        pdf.agg(
+            F.sum("cnt").alias("tr"),
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("cnt")).otherwise(0)
+            ).alias("tt"),
+        )
+    )
+    lr = (
+        raw.join(tgt, "feat", "left")
+        .na.fill(0, ["ct"])
+        .crossJoin(tot)
+        .select(
+            "feat",
+            (
+                F.log(
+                    (F.col("ct") + 1).cast("double")
+                    / (F.col("tt") + DSIR_BUCKETS)
+                )
+                - F.log(
+                    (F.col("cr") + 1).cast("double")
+                    / (F.col("tr") + DSIR_BUCKETS)
+                )
+            ).alias("lr"),
+        )
+    )
+    return (
+        pdf.join(F.broadcast(lr), "feat")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.round(
+                F.sum((F.col("cnt") * F.col("lr")).cast("decimal(38,12)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("dsir_logweight"),
+        )
+    )
+
+
+#: Training-shard fan-out: hash-mod assignment (embarrassingly
+#: parallel; NO global sort — the ntile alternative serializes the
+#: corpus through one ordered pass, which cannot survive 100 TB).
+N_SHARDS = 8
+
+
+@query(
+    "shuffle_shard_manifest",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS tok,
+             CAST(CONCAT('0x', substr(
+               md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               AS hv
+      FROM documents
+    ), s AS (
+      SELECT hv % {N_SHARDS} AS shard, tok,
+             hv % {_CHECKSUM_P} AS hm
+      FROM h
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM s)
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(hm) AS BIGINT) AS checksum,
+           round(CAST(COUNT(*) AS DOUBLE) * {N_SHARDS} / n_all, 6)
+             AS balance_ratio
+    FROM s, tot GROUP BY shard, n_all
+    """,
+)
+def shuffle_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pre-training shuffle + shard manifest: every
+    document lands in one of ``N_SHARDS`` output shards by a salted
+    portable hash of its id — the "global shuffle" every LLM dataloader
+    needs, done WITHOUT a global sort (hash-mod assignment is a pure
+    projection; a ``ntile``-over-hash-order formulation funnels the
+    whole corpus through one ordered pass). The manifest is what the
+    writer job publishes: per-shard doc/token counts, an
+    order-independent content checksum (sum of hash residues mod
+    2^31-1 — catches a single misrouted document), and the
+    docs-per-shard balance ratio (hash balance is statistical, so the
+    manifest REPORTS the realized imbalance instead of assuming
+    uniformity). Re-runs and retried stages reproduce shard membership
+    exactly: no RNG state, no partitioning dependence.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shard|"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    s = d.select(
+        (hv % N_SHARDS).alias("shard"),
+        token_count("text").cast("long").alias("tok"),
+        (hv % _CHECKSUM_P).alias("hm"),
+    )
+    tot = F.broadcast(s.agg(F.count(F.lit(1)).alias("n_all")))
+    return (
+        s.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("n_tokens"),
+            F.sum("hm").alias("checksum"),
+        )
+        .crossJoin(tot)
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            "checksum",
+            F.round(
+                F.col("n_docs").cast("double") * N_SHARDS / F.col("n_all"), 6
+            ).alias("balance_ratio"),
+        )
+    )

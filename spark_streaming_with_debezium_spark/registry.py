@@ -92,6 +92,9 @@ _PRIORITY = (
     # --- round-7 driver window (50) ---
     "decontaminate_fuzzy_minhash",  # NEW r7 continuation: never checked
     "ann_recall_report",  # NEW r7 continuation: never checked
+    "corpus_token_budget_mix",  # NEW r7 continuation: never checked
+    "sample_importance_dsir",  # NEW r7 continuation: never checked
+    "shuffle_shard_manifest",  # NEW r7 continuation: never checked
     "multimodal_decode_image",
     "multimodal_decode_audio",
     "dedup_minhash_lsh",
@@ -137,14 +140,17 @@ _PRIORITY = (
     "q1_pricing_summary",
     "window_lww_compaction",
     "window_rank_topk_per_group",
+    # window_dense_ntile, filter_predicates, fn_casts,
+    # fn_map_higher_order and cdc_history_per_key displaced past the
+    # boundary by the five never-checked r7-continuation queries
+    # (decontaminate_fuzzy_minhash, ann_recall_report,
+    # corpus_token_budget_mix, sample_importance_dsir,
+    # shuffle_shard_manifest); all five lead the round-8 queue with
+    # the rest of the r3 block.
+    # --- 50-query prefix boundary (round-7 driver window) ---
     "window_dense_ntile",
     "filter_predicates",
     "fn_casts",
-    # fn_map_higher_order and cdc_history_per_key displaced past the
-    # boundary by the two never-checked r7-continuation queries
-    # (decontaminate_fuzzy_minhash, ann_recall_report); both lead the
-    # round-8 queue with the rest of the r3 block.
-    # --- 50-query prefix boundary (round-7 driver window) ---
     "fn_map_higher_order",
     "cdc_history_per_key",
     "agg_skew_kurtosis_exact",

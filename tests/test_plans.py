@@ -500,9 +500,12 @@ def test_repo_wide_cartesian_and_bnlj_census(spark, sf_dir):
         "dq_orders_reconcile", "parts_abc_classification",
         "sketch_hll_rolling_users", "q22_global_sales_opportunity",
         "dedup_semdedup_cells", "text_token_rarity", "text_idf",
+        "sample_importance_dsir",  # 1-row (tr, tt) totals broadcast
+        "shuffle_shard_manifest",  # 1-row n_all totals broadcast
         # bounded query-set / centroid broadcasts (ANN serving shape)
         "ann_int8_rescore", "ann_cosine_topk", "ann_ivf_topk",
         "text_similar_topk",
+        "ann_recall_report",  # composes the two audited ANN faces
         # the intentional cross-join demo over tiny dims
         "join_cross",
     }
