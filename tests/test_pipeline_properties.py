@@ -269,3 +269,95 @@ def test_global_running_matches_naive_window(spark, sf_dir):
         assert sorted(map(tuple, tiles.collect())) == sorted(
             map(tuple, ref.collect())
         ), k
+
+
+def test_token_budget_mix_respects_budget_and_greedy_prefix(spark, sf_dir):
+    """Per source: selected token mass never exceeds the 40% budget,
+    the selection is a PREFIX of the quality order (adding the next
+    unselected doc would bust the budget), and the checksum pins the
+    selected id set — all recomputed from the raw table in Python."""
+    from spark_streaming_with_debezium_spark.llm.pipeline_ops import (
+        _CHECKSUM_P,
+        BUDGET_DEN,
+        BUDGET_NUM,
+        corpus_token_budget_mix,
+    )
+    import hashlib
+    import math
+
+    got = {r.source: r for r in corpus_token_budget_mix(spark, sf_dir).collect()}
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text", "n_chars")
+        .collect()
+    )
+    by_source = {}
+    for r in docs:
+        toks = len(r.text.split())
+        alpha = len([c for c in r.text if c.isascii() and c.isalpha()]) / r.n_chars
+        hid = (
+            int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16)
+            % _CHECKSUM_P
+        )
+        by_source.setdefault(r.source, []).append((alpha, r.doc_id, toks, hid))
+    assert set(by_source) == set(got)
+    for source, rows in by_source.items():
+        rows.sort(key=lambda t: (-t[0], t[1]))
+        total = sum(t[2] for t in rows)
+        budget = math.floor(total * BUDGET_NUM / BUDGET_DEN)
+        cum, sel = 0, []
+        for alpha, doc_id, toks, hid in rows:
+            cum += toks
+            if cum <= budget:
+                sel.append((doc_id, toks, hid))
+            else:
+                break  # greedy prefix: first overflow ends selection
+        g = got[source]
+        assert g.tok_total == total and g.budget_tok == budget
+        assert g.n_selected == len(sel)
+        assert g.tok_selected == sum(t[1] for t in sel) <= budget
+        assert g.ids_checksum == sum(t[2] for t in sel)
+
+
+def test_dsir_weights_tilt_toward_target_domain(spark, sf_dir):
+    """The point of importance weighting: target-domain (zh) documents
+    must score a higher mean log weight than the rest of the corpus,
+    and token accounting must cover the whole corpus."""
+    from spark_streaming_with_debezium_spark.llm.pipeline_ops import (
+        sample_importance_dsir,
+    )
+
+    rows = sample_importance_dsir(spark, sf_dir).collect()
+    zh = [r.dsir_logweight / r.n_tokens for r in rows if r.lang == "zh"]
+    other = [r.dsir_logweight / r.n_tokens for r in rows if r.lang != "zh"]
+    assert zh and other
+    assert sum(zh) / len(zh) > sum(other) / len(other)
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = d.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+    ).collect()[0][0]
+    assert sum(r.n_tokens for r in rows) == n_tok
+    assert len(rows) == d.count()  # every doc gets a weight
+
+
+def test_shard_manifest_partitions_the_corpus(spark, sf_dir):
+    """Shards 0..N-1 cover every document exactly once, token totals
+    reconcile with the corpus, and hash balance stays within a loose
+    statistical band (the manifest's own balance_ratio)."""
+    from spark_streaming_with_debezium_spark.llm.pipeline_ops import (
+        N_SHARDS,
+        shuffle_shard_manifest,
+    )
+
+    rows = shuffle_shard_manifest(spark, sf_dir).collect()
+    assert sorted(r.shard for r in rows) == list(range(N_SHARDS))
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    n_tok = d.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+    ).collect()[0][0]
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.n_tokens for r in rows) == n_tok
+    for r in rows:
+        assert 0.4 <= r.balance_ratio <= 1.6, r
+        assert abs(r.balance_ratio - r.n_docs * N_SHARDS / n_docs) < 1e-6
