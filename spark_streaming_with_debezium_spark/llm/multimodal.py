@@ -11,11 +11,13 @@ Decode has TWO faces:
   container/codec parsing for the formats decodable with the Python
   standard library alone — 24-bit uncompressed **BMP** (file + DIB
   header, bottom-up rows, 4-byte row padding), binary **PPM (P6)**
-  (ASCII header + raw RGB), and PCM **WAV** (manual RIFF chunk walk:
-  ``fmt ``/``data`` chunks, word alignment, 16-bit little-endian
-  samples). Formats that need external codec libraries (JPEG, PNG,
-  MP3, MP4, …) raise ``NotImplementedError`` — that is the remaining
-  env-bound scope, no longer the whole decode path.
+  (ASCII header + raw RGB), truecolor **PNG** (chunk walk with CRC32
+  verification, zlib-inflated IDAT, full scanline filter
+  reconstruction: None/Sub/Up/Average/Paeth), and PCM **WAV** (manual
+  RIFF chunk walk: ``fmt ``/``data`` chunks, word alignment, 16-bit
+  little-endian samples). Formats that need external codec libraries
+  (JPEG, MP3, MP4, …) raise ``NotImplementedError`` — that is the
+  remaining env-bound scope, no longer the whole decode path.
 - **Deterministic fake** (``fake=True``): the byte-histogram stand-in
   retained for the Arrow-plumbing oracle (`multimodal_fake_decode`).
 
@@ -33,6 +35,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -123,6 +126,83 @@ def _parse_ppm(b: bytes) -> tuple[int, int, int, int, int]:
         sum_r += r
         sum_g += g
         sum_b += bl
+    return w, h, sum_r, sum_g, sum_b
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _parse_png(b: bytes) -> tuple[int, int, int, int, int]:
+    """Parse a truecolor (8-bit RGB) PNG → (width, height, sum_r,
+    sum_g, sum_b). Real decode of the compressed format: chunk walk
+    with CRC32 verification on every chunk, multi-IDAT concatenation,
+    zlib inflate, then per-scanline filter reconstruction — all five
+    filter types (None/Sub/Up/Average/Paeth) per the PNG spec §9."""
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 12 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        crc = int.from_bytes(b[pos + 8 + ln : pos + 12 + ln], "big")
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or ctype != 2 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit truecolor non-interlaced PNG supported "
+            f"(depth={depth}, color_type={ctype}, interlace={interlace})"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG decompressed size mismatch")
+    prev = bytes(stride)
+    sum_r = sum_g = sum_b = 0
+    pos = 0
+    for _y in range(h):
+        ft = raw[pos]
+        line = raw[pos + 1 : pos + 1 + stride]
+        pos += 1 + stride
+        recon = bytearray(stride)
+        for i in range(stride):
+            x = line[i]
+            a = recon[i - 3] if i >= 3 else 0
+            up = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if ft == 0:
+                v = x
+            elif ft == 1:
+                v = (x + a) & 0xFF
+            elif ft == 2:
+                v = (x + up) & 0xFF
+            elif ft == 3:
+                v = (x + ((a + up) >> 1)) & 0xFF
+            elif ft == 4:
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                v = (x + pred) & 0xFF
+            else:
+                raise ValueError(f"PNG filter type {ft} out of range")
+            recon[i] = v
+        prev = bytes(recon)
+        for i in range(0, stride, 3):
+            sum_r += recon[i]
+            sum_g += recon[i + 1]
+            sum_b += recon[i + 2]
     return w, h, sum_r, sum_g, sum_b
 
 
@@ -228,6 +308,12 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
                         (doc_id, "image/x-portable-pixmap", w, h, None, None,
                          None, sr, sg, sb, None)
                     )
+                elif b[:8] == _PNG_SIG:
+                    w, h, sr, sg, sb = _parse_png(b)
+                    rows.append(
+                        (doc_id, "image/png", w, h, None, None, None,
+                         sr, sg, sb, None)
+                    )
                 elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                     n_ch, rate, n_samp, sum_abs = _parse_wav(b)
                     rows.append(
@@ -237,9 +323,9 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
                 else:
                     raise NotImplementedError(
                         "payload format not decodable with the standard "
-                        "library (JPEG/PNG/MP3/MP4/... need external codec "
+                        "library (JPEG/MP3/MP4/... need external codec "
                         "libs absent from this environment); stdlib-decodable "
-                        "formats are BMP, PPM (P6) and PCM WAV"
+                        "formats are BMP, PPM (P6), PNG and PCM WAV"
                     )
             yield pd.DataFrame(rows, columns=cols)
 
@@ -290,6 +376,68 @@ def _make_ppm(doc_id: int) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + bytes(body)
 
 
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        len(data).to_bytes(4, "big")
+        + typ
+        + data
+        + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _make_png(doc_id: int) -> bytes:
+    """Build a REAL truecolor PNG with the SAME deterministic pixels as
+    :func:`_make_bmp`/:func:`_make_ppm`. Scanline ``y`` is written with
+    filter type ``y % 5``, so across a corpus (heights 3–6) every PNG
+    filter — Sub, Up, Average, Paeth included — is genuinely applied at
+    encode and reconstructed at decode; IDAT is zlib-compressed, every
+    chunk carries a real CRC."""
+    w = 4 + doc_id % 5
+    h = 3 + doc_id % 4
+    stride = w * 3
+    filtered = bytearray()
+    prev = bytes(stride)
+    for y in range(h):  # PNG stores top-down
+        line = bytearray()
+        for x in range(w):
+            line += bytes(
+                (
+                    (doc_id * 7 + 13 * x + 31 * y) % 256,
+                    (doc_id * 11 + 17 * x + 5 * y) % 256,
+                    (doc_id * 3 + 7 * x + 19 * y) % 256,
+                )
+            )
+        ft = y % 5
+        filtered.append(ft)
+        for i in range(stride):
+            x_ = line[i]
+            a = line[i - 3] if i >= 3 else 0
+            up = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if ft == 0:
+                f = x_
+            elif ft == 1:
+                f = (x_ - a) & 0xFF
+            elif ft == 2:
+                f = (x_ - up) & 0xFF
+            elif ft == 3:
+                f = (x_ - ((a + up) >> 1)) & 0xFF
+            else:
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                f = (x_ - pred) & 0xFF
+            filtered.append(f)
+        prev = bytes(line)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _make_wav(doc_id: int) -> bytes:
     """Real PCM WAV via the stdlib ``wave`` WRITER (an independent
     implementation from :func:`_parse_wav`'s manual RIFF walk); mono
@@ -306,10 +454,16 @@ def _make_wav(doc_id: int) -> bytes:
 
 
 def synthesize_media(docs: DataFrame, kind: str) -> DataFrame:
-    """(doc_id, payload) with REAL media bytes ('bmp' | 'ppm' | 'wav')
+    """(doc_id, payload) with REAL media bytes ('bmp' | 'ppm' | 'png' |
+    'wav')
     built deterministically per doc — the corpus for the codec-path
     queries. Arrow-batched like every media op."""
-    makers = {"bmp": _make_bmp, "ppm": _make_ppm, "wav": _make_wav}
+    makers = {
+        "bmp": _make_bmp,
+        "ppm": _make_ppm,
+        "png": _make_png,
+        "wav": _make_wav,
+    }
     make = makers[kind]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -514,9 +668,48 @@ def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     sees the bytes — so a bug anywhere in the encode→decode chain
     (offset math, padding, BGR order, row direction) breaks the hash.
     This retires the round-6 'decode path unproven' weak mark for the
-    stdlib-decodable formats; JPEG/PNG remain env-bound."""
+    stdlib-decodable formats; JPEG remains env-bound."""
     d = load_table(spark, sf_dir, "documents")
     media = synthesize_media(d, "bmp")
+    return decode_media(media, fake=False).select(
+        "doc_id", "width", "height", "sum_r", "sum_g", "sum_b"
+    )
+
+
+@query(
+    "multimodal_decode_png",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, x, y
+      FROM d, UNNEST(range(0, w)) AS tx(x), UNNEST(range(0, h)) AS ty(y)
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(SUM((doc_id * 7 + 13 * x + 31 * y) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((doc_id * 11 + 17 * x + 5 * y) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id * 3 + 7 * x + 19 * y) % 256) AS BIGINT) AS sum_b
+    FROM px
+    GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED image decode end-to-end: per doc, encode an
+    actual truecolor PNG (zlib-deflated IDAT, per-chunk CRC32, scanline
+    ``y`` filtered with type ``y % 5`` so Sub/Up/Average/Paeth are all
+    genuinely applied), then parse it back — CRC verification, inflate,
+    and full filter reconstruction — and report dimensions +
+    per-channel pixel sums. Same closed-form oracle as the BMP face
+    (identical pixel function), so the two independent container
+    formats must agree with each other AND with SQL; unlike BMP/PPM
+    this path exercises a real compression codec (zlib), shrinking the
+    env-bound decode gap to JPEG/MP3/MP4."""
+    d = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(d, "png")
     return decode_media(media, fake=False).select(
         "doc_id", "width", "height", "sum_r", "sum_g", "sum_b"
     )

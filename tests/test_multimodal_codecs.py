@@ -1,6 +1,7 @@
-"""Real stdlib media codecs (BMP / PPM / WAV): golden-byte parses,
-writer↔parser independence, cross-format agreement, and the scoped
-NotImplementedError for formats that genuinely need external libs."""
+"""Real stdlib media codecs (BMP / PPM / PNG / WAV): golden-byte
+parses, writer↔parser independence, cross-format agreement, and the
+scoped NotImplementedError for formats that genuinely need external
+libs."""
 
 from __future__ import annotations
 
@@ -10,9 +11,11 @@ import pytest
 
 from spark_streaming_with_debezium_spark.llm.multimodal import (
     _make_bmp,
+    _make_png,
     _make_ppm,
     _make_wav,
     _parse_bmp,
+    _parse_png,
     _parse_ppm,
     _parse_wav,
     decode_media,
@@ -98,10 +101,12 @@ def test_decode_media_real_mixed_formats(spark):
 
 
 def test_decode_media_unknown_format_scoped_error(spark):
-    """Formats needing external codecs still raise — but ONLY those."""
-    png_magic = bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+    """Formats needing external codecs still raise — but ONLY those
+    (PNG moved OUT of this class when the zlib decoder landed, so the
+    probe payload is now a JPEG SOI marker)."""
+    jpeg_magic = bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
     df = spark.createDataFrame(
-        [(1, png_magic)], "doc_id bigint, payload binary"
+        [(1, jpeg_magic)], "doc_id bigint, payload binary"
     )
     with pytest.raises(Exception, match="NotImplementedError|not decodable"):
         decode_media(df, fake=False).collect()
@@ -112,3 +117,61 @@ def test_synthesize_media_is_deterministic(spark):
     a = {r["doc_id"]: bytes(r["payload"])
          for r in synthesize_media(docs, "bmp").collect()}
     assert a[5] == _make_bmp(5) and a[6] == _make_bmp(6)
+
+
+@pytest.mark.parametrize("doc_id", [0, 7, 123, 4567])
+def test_png_agrees_with_bmp_and_ppm(doc_id):
+    """The compressed container must decode to the same statistics as
+    the two uncompressed ones — through zlib, CRC checks, and filter
+    reconstruction."""
+    assert _parse_png(_make_png(doc_id)) == _parse_bmp(_make_bmp(doc_id))
+
+
+def test_png_all_filter_types_exercised_and_reversed():
+    """doc_id % 4 == 3 gives height 6 ⇒ scanline filters 0,1,2,3,4,0 —
+    every PNG filter type applied at encode and reconstructed at
+    decode. Closed-form sums double-check the reconstruction."""
+    doc_id = 3  # w=7, h=6
+    w, h = 4 + doc_id % 5, 3 + doc_id % 4
+    assert h == 6
+    exp_r = sum((doc_id * 7 + 13 * x + 31 * y) % 256
+                for x in range(w) for y in range(h))
+    got = _parse_png(_make_png(doc_id))
+    assert got[0] == w and got[1] == h and got[2] == exp_r
+
+
+def test_png_crc_corruption_rejected():
+    b = bytearray(_make_png(11))
+    b[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        _parse_png(bytes(b))
+
+
+def test_png_golden_bytes():
+    """Hand-assembled 2×1 PNG (filter type 0, stored pixels
+    (1,2,3),(4,5,6)) parsed to hand-computed sums — independent of the
+    synthesizer."""
+    import zlib as z
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    raw = bytes([0, 1, 2, 3, 4, 5, 6])  # filter byte + 2 RGB pixels
+
+    def chunk(typ, data):
+        return (len(data).to_bytes(4, "big") + typ + data
+                + (z.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", z.compress(raw)) + chunk(b"IEND", b""))
+    assert _parse_png(png) == (2, 1, 1 + 4, 2 + 5, 3 + 6)
+
+
+def test_decode_media_png_mixed_in(spark):
+    """PNG payloads route through the real decoder inside the Arrow
+    batch path alongside the other formats."""
+    rows = [(1, bytearray(_make_png(1))), (2, bytearray(_make_bmp(1)))]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r["doc_id"]: r.asDict() for r in decode_media(df, fake=False).collect()}
+    assert got[1]["mime"] == "image/png"
+    assert got[2]["mime"] == "image/bmp"
+    for k in ("width", "height", "sum_r", "sum_g", "sum_b"):
+        assert got[1][k] == got[2][k]
