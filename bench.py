@@ -71,6 +71,10 @@ EXTENDED = (
     "events_entropy_profile",  # traffic-mix entropy drift (r6 cont.)
     "multimodal_decode_image",  # real BMP encode→decode via Arrow (r7)
     "multimodal_decode_audio",  # real WAV write→RIFF parse (r7)
+    "multimodal_decode_png",  # real zlib PNG encode→decode (r7 cont.)
+    "sample_importance_dsir",  # hashed-LM importance weights (r7 cont.)
+    "corpus_token_budget_mix",  # budgeted greedy selection (r7 cont.)
+    "shuffle_shard_manifest",  # hash-mod shard fan-out (r7 cont.)
 )
 
 
