@@ -1117,35 +1117,17 @@ def _bpe_oracle() -> str:
     return f"WITH {_BPE_BASE_SQL},{rounds}\n{finals}"
 
 
-@query("text_bpe_merges", oracle=_bpe_oracle())
-def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE vocabulary induction: the first
-    ``N_BPE_MERGES`` byte-pair-encoding merge rules learned from the
-    corpus — tokenizer training as a DataFrame program, the upstream
-    twin of `pack_sequences`' tokenizer-consuming side.
-
-    Standard BPE-on-word-histogram formulation (Sennrich et al. 2016):
-    the corpus is scanned ONCE into an alpha-token histogram; every
-    merge round then runs over that small (distinct words × cnt)
-    table — adjacent-symbol pair counts weighted by word frequency,
-    deterministic argmax (count desc, pair asc), leftmost
-    non-overlapping merge application. Symbol sequences are
-    double-space-joined strings; the merge is one `regexp_replace`
-    with \\b anchors (symbols are [a-z]+, so \\b is unambiguous and
-    RE2/Java-identical — both engines verified on the overlap cases
-    'a a a' and 'xa b').
-
-    Scale: per round = one explode+groupBy over the histogram (symbol
-    pairs, uniform keys) and ONE driver-collected row (the argmax —
-    bounded, K rows total across the loop, same bounded-collect
-    discipline as the MG heavy hitters). The corpus itself is touched
-    exactly once; production BPE trainers sample the histogram the
-    same way. localCheckpoint per round cuts the K-deep lineage."""
-    d = load_table(spark, sf_dir, "documents")
+def _learn_bpe(spark: SparkSession, sf_dir: str):
+    """Run the BPE induction loop (see :func:`text_bpe_merges` for the
+    algorithm and scale discussion). Returns ``(rules, seqs)``: the
+    learned merge rules and the final distinct-word histogram with all
+    merges applied — i.e. the word → encoded-symbol-sequence vocabulary
+    the APPLY step (:func:`text_bpe_encode`) joins against."""
     from spark_streaming_with_debezium_spark.llm.corpus_rules import (
         normalize_text,
     )
 
+    d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         F.explode(F.split(normalize_text("text"), " ")).alias("w")
     )
@@ -1190,7 +1172,120 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("seq", rf"\b{a}  {b}\b", a + b).alias("seq"),
             "cnt",
         ).localCheckpoint(eager=True)
+    return rules, seqs
+
+
+@query("text_bpe_merges", oracle=_bpe_oracle())
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction: the first
+    ``N_BPE_MERGES`` byte-pair-encoding merge rules learned from the
+    corpus — tokenizer training as a DataFrame program, the upstream
+    twin of `pack_sequences`' tokenizer-consuming side.
+
+    Standard BPE-on-word-histogram formulation (Sennrich et al. 2016):
+    the corpus is scanned ONCE into an alpha-token histogram; every
+    merge round then runs over that small (distinct words × cnt)
+    table — adjacent-symbol pair counts weighted by word frequency,
+    deterministic argmax (count desc, pair asc), leftmost
+    non-overlapping merge application. Symbol sequences are
+    double-space-joined strings; the merge is one `regexp_replace`
+    with \\b anchors (symbols are [a-z]+, so \\b is unambiguous and
+    RE2/Java-identical — both engines verified on the overlap cases
+    'a a a' and 'xa b').
+
+    Scale: per round = one explode+groupBy over the histogram (symbol
+    pairs, uniform keys) and ONE driver-collected row (the argmax —
+    bounded, K rows total across the loop, same bounded-collect
+    discipline as the MG heavy hitters). The corpus itself is touched
+    exactly once; production BPE trainers sample the histogram the
+    same way. localCheckpoint per round cuts the K-deep lineage."""
+    rules, _seqs = _learn_bpe(spark, sf_dir)
     return spark.createDataFrame(
         rules,
         "merge_rank bigint, pair string, new_symbol string, pair_count bigint",
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    """DuckDB dual of the APPLY step: re-learn the merge rules with the
+    same 5-round CTE chain as the text_bpe_merges oracle — the final
+    ``seq5`` relation IS the word → encoded-sequence vocabulary (the
+    symbols of a word concatenate back to the word, so ``w`` is
+    recovered by stripping spaces) — then join every document's alpha
+    words against it."""
+    rounds = ",".join(
+        _BPE_ROUND_SQL.format(r=r, p=r - 1) for r in range(1, N_BPE_MERGES + 1)
+    )
+    return f"""
+    WITH {_BPE_BASE_SQL},{rounds},
+    vocab AS (
+      SELECT replace(seq, ' ', '') AS w,
+             CAST(len(string_split(seq, '  ')) AS BIGINT) AS n_sym
+      FROM seq{N_BPE_MERGES}
+    ),
+    docw AS (
+      SELECT doc_id, UNNEST(string_split(
+        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+      FROM documents
+    ),
+    alpha AS (
+      SELECT doc_id, w FROM docw WHERE regexp_matches(w, '^[a-z]+$')
+    )
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_alpha_words,
+           CAST(SUM(v.n_sym) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(length(a.w)) AS BIGINT) AS n_chars_alpha,
+           round(CAST(SUM(v.n_sym) AS DOUBLE) / SUM(length(a.w)), 6)
+             AS bpe_per_char
+    FROM alpha a JOIN vocab v USING (w)
+    GROUP BY a.doc_id
+    """
+
+
+@query("text_bpe_encode", oracle=_bpe_encode_oracle())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of BPE: tokenize the whole corpus with the merge
+    rules :func:`text_bpe_merges` learns, reporting per-document BPE
+    token counts and the tokens-per-character compression the rules
+    achieve — the consuming half of the tokenizer lifecycle (train =
+    induction over the word histogram; encode = per-document token
+    accounting that feeds ``pack_sequences``' budget arithmetic).
+
+    Scale shape: encoding never touches documents word-by-word —
+    merges apply once per DISTINCT word on the bounded histogram
+    (:func:`_learn_bpe`'s final state is precisely the word →
+    symbol-sequence vocabulary), and the corpus joins against that
+    broadcastable vocab on the uniform word key. Per-word
+    merge application is O(vocab · merges), not O(corpus · merges) —
+    the same histogram trick production tokenizers use. The oracle
+    re-learns the rules AND re-encodes independently in SQL, so a
+    drift anywhere in the train→apply chain breaks the value hash.
+    """
+    _rules, seqs = _learn_bpe(spark, sf_dir)
+    vocab = seqs.select(
+        F.translate("seq", " ", "").alias("w"),
+        F.size(F.split("seq", "  ")).cast("long").alias("n_sym"),
+    )
+    from spark_streaming_with_debezium_spark.llm.corpus_rules import (
+        normalize_text,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(normalize_text("text"), " ")).alias("w")
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    j = words.join(F.broadcast(vocab), "w")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_alpha_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+            F.sum(F.length("w")).cast("long").alias("n_chars_alpha"),
+        )
+        .withColumn(
+            "bpe_per_char",
+            F.round(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_chars_alpha"), 6
+            ),
+        )
     )

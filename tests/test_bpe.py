@@ -44,3 +44,39 @@ def test_bpe_overlap_counts_and_merges_leftmost(spark, tmp_path):
     rows = _run_on_docs(spark, tmp_path, ["aaaa " * 4])
     assert rows[0][1:] == ("a a", "aa", 12), rows[0]
     assert rows[1][1:] == ("aa aa", "aaaa", 4), rows[1]
+
+
+def test_bpe_encode_matches_hand_tokenization(spark, tmp_path):
+    """Planted corpus where the merge sequence and the resulting
+    per-word token counts are hand-computable: encode must report
+    exactly those counts, and train→apply must be consistent (encoding
+    with the learned vocab, not a stale or re-derived one)."""
+    import os
+    import shutil
+
+    base = "/root/testdata/sf0.001"
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    for t in os.listdir(base):
+        shutil.copy(os.path.join(base, t), sf / t)
+    # one doc: 10x 'abab' + 2x 'xy'. Learned merges (see the planted
+    # bigram test): a b->ab, ab ab->abab, x y->xy, then no pairs left
+    # inside 'abab'/'xy' (rounds 4-5 merge whatever remains — here
+    # nothing, the histogram is exhausted after 3).
+    text = "abab " * 10 + "xy xy"
+    docs = spark.createDataFrame(
+        [("0", text, "en", "s", len(text))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    docs.write.mode("overwrite").parquet(str(sf / "documents.parquet"))
+    from spark_streaming_with_debezium_spark.registry import load_all
+
+    rows = load_all()["text_bpe_encode"].fn(spark, str(sf)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # 12 alpha words (10 'abab' + 2 'xy'); after merges each word is
+    # ONE token; chars = 10*4 + 2*2 = 44
+    assert r.n_alpha_words == 12
+    assert r.n_bpe_tokens == 12
+    assert r.n_chars_alpha == 44
+    assert abs(r.bpe_per_char - round(12 / 44, 6)) < 1e-9
