@@ -75,6 +75,7 @@ EXTENDED = (
     "sample_importance_dsir",  # hashed-LM importance weights (r7 cont.)
     "corpus_token_budget_mix",  # budgeted greedy selection (r7 cont.)
     "shuffle_shard_manifest",  # hash-mod shard fan-out (r7 cont.)
+    "text_bpe_encode",  # tokenizer apply over the vocab (r7 cont.)
 )
 
 
