@@ -520,3 +520,58 @@ def test_repo_wide_cartesian_and_bnlj_census(spark, sf_dir):
         elif "BroadcastNestedLoopJoin" in txt and name not in BNLJ_AUDITED:
             offenders[name] = "unaudited BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark, sf_dir):
+    """Runtime bloom-filter join pruning — the data-skipping lever that
+    matters when a selective dim filter faces a 100 TB fact scan and
+    neither DPP nor broadcast applies. Spark injects
+    ``bloom_filter_might_contain`` on the fact side only when the fact
+    scan exceeds ``applicationSideScanSizeThreshold`` (default 10 GB) —
+    i.e. it self-enables exactly at the scale where it pays. This test
+    pins BOTH behaviors: injection fires once the fact side crosses the
+    threshold (simulated by lowering it to 0), stays off below it, and
+    the filtered plan returns identical results (the bloom filter is a
+    may-contain prune, never a correctness device)."""
+    from spark_streaming_with_debezium_spark.sources.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    conf_keys = {
+        "spark.sql.autoBroadcastJoinThreshold": None,
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": None,
+    }
+    for k in conf_keys:
+        conf_keys[k] = spark.conf.get(k)
+
+    def plan_text():
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return j, j._jdf.queryExecution().optimizedPlan().toString()
+
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # below threshold (the local default): no injection
+        _, off_txt = plan_text()
+        assert "might_contain" not in off_txt
+        # fact scan "exceeds" the threshold: injection must fire
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        with_bloom, on_txt = plan_text()
+        assert "might_contain" in on_txt
+        rows_bloom = {tuple(r) for r in with_bloom.collect()}
+    finally:
+        for k, v in conf_keys.items():
+            spark.conf.set(k, v)
+    plain, _ = plan_text()
+    assert rows_bloom == {tuple(r) for r in plain.collect()}
