@@ -160,3 +160,144 @@ def dedup_clusters_ml(spark, sf_dir: str) -> DataFrame:
     from spark_streaming_with_debezium_spark.llm.ml_lsh import dedup_minhash_ml
 
     return clusters_from_pairs(dedup_minhash_ml(spark, sf_dir))
+
+
+def _group_split_oracle() -> str:
+    """DuckDB dual of the dedup-aware split: verified near-dup pairs →
+    recursive-CTE components → every document splits by the md5 prefix
+    of its GROUP representative's id (singletons represent themselves),
+    with the naive content-hash split computed alongside so the oracle
+    value-hashes both the assignment and the leakage comparison."""
+    from spark_streaming_with_debezium_spark.llm.dedup import minhash_pairs_ctes
+
+    return f"""
+    WITH RECURSIVE {minhash_pairs_ctes()},
+    vp AS (SELECT doc_a, doc_b FROM verified WHERE jac >= 0.5),
+    uedges AS (
+      SELECT doc_a AS u, doc_b AS v FROM vp
+      UNION ALL SELECT doc_b, doc_a FROM vp
+    ),
+    unodes AS (SELECT DISTINCT u AS node FROM uedges),
+    reach(node, label) AS (
+      SELECT node, node FROM unodes
+      UNION
+      SELECT e.v, r.label FROM reach r JOIN uedges e ON e.u = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS comp FROM reach GROUP BY node),
+    rep AS (
+      SELECT d.doc_id,
+             COALESCE(c.comp, d.doc_id) AS grp,
+             CASE WHEN substr(md5(CAST(COALESCE(c.comp, d.doc_id) AS VARCHAR)),
+                              1, 2) < '14'
+                  THEN 'holdout' ELSE 'train' END AS gsplit,
+             CASE WHEN substr(md5(d.text), 1, 2) < '14'
+                  THEN 'holdout' ELSE 'train' END AS nsplit
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ),
+    leak AS (
+      SELECT
+        CAST(SUM(CASE WHEN ra.gsplit <> rb.gsplit THEN 1 ELSE 0 END)
+             AS BIGINT) AS leak_pairs_grouped,
+        CAST(SUM(CASE WHEN ra.nsplit <> rb.nsplit THEN 1 ELSE 0 END)
+             AS BIGINT) AS leak_pairs_naive
+      FROM vp
+      JOIN rep ra ON vp.doc_a = ra.doc_id
+      JOIN rep rb ON vp.doc_b = rb.doc_id
+    ),
+    per AS (
+      SELECT gsplit, CAST(COUNT(*) AS BIGINT) AS n_docs FROM rep GROUP BY gsplit
+    ),
+    gsz AS (SELECT grp, gsplit, COUNT(*) AS n FROM rep GROUP BY grp, gsplit),
+    pg AS (
+      SELECT gsplit, CAST(COUNT(*) AS BIGINT) AS n_dup_groups
+      FROM gsz WHERE n > 1 GROUP BY gsplit
+    )
+    SELECT per.gsplit AS split, per.n_docs,
+           CAST(COALESCE(pg.n_dup_groups, 0) AS BIGINT) AS n_dup_groups,
+           l.leak_pairs_grouped, l.leak_pairs_naive
+    FROM per LEFT JOIN pg USING (gsplit), leak l
+    """
+
+
+@query("split_leakage_safe_groups", oracle=_group_split_oracle())
+def split_leakage_safe_groups(spark, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/holdout split: every near-dup CLUSTER travels
+    as one unit (split decided by the md5 prefix of the cluster
+    representative's id; singletons represent themselves), so no
+    verified near-duplicate pair can straddle the split — the leakage
+    a naive per-document content-hash split permits when two documents
+    are near-but-not-exact copies. The output carries the receipts:
+    ``leak_pairs_grouped`` (straddling pairs under the group split —
+    COMPUTED, structurally 0) next to ``leak_pairs_naive`` (the same
+    count under the naive split).
+
+    Scale shape: components via the iterative min-label propagation of
+    :func:`connected_components` (O(diameter) shuffle joins, no driver
+    graph state); the corpus then LEFT-joins the component table once
+    on doc_id (components cover only docs that appear in pairs — far
+    smaller than the corpus) and everything downstream is two bounded
+    aggregates plus a 1-row leakage broadcast."""
+    from pyspark.sql import SparkSession  # noqa: F401 (signature parity)
+
+    from spark_streaming_with_debezium_spark.llm.dedup import dedup_minhash_lsh
+    from spark_streaming_with_debezium_spark.sources.tables import load_table
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comps = connected_components(pairs)
+    d = load_table(spark, sf_dir, "documents")
+    grp = F.coalesce(F.col("comp"), F.col("doc_id"))
+    gsplit = F.when(
+        F.substring(F.md5(grp.cast("string")), 1, 2) < "14", "holdout"
+    ).otherwise("train")
+    nsplit = F.when(
+        F.substring(F.md5("text"), 1, 2) < "14", "holdout"
+    ).otherwise("train")
+    rep = d.join(comps, d.doc_id == comps.node, "left").select(
+        "doc_id",
+        grp.alias("grp"),
+        gsplit.alias("gsplit"),
+        nsplit.alias("nsplit"),
+    )
+    ra = rep.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("gsplit").alias("ga"),
+        F.col("nsplit").alias("na"),
+    )
+    rb = rep.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("gsplit").alias("gb"),
+        F.col("nsplit").alias("nb"),
+    )
+    leak = F.broadcast(
+        pairs.join(ra, "doc_a")
+        .join(rb, "doc_b")
+        .agg(
+            F.sum(F.when(F.col("ga") != F.col("gb"), 1).otherwise(0))
+            .cast("long")
+            .alias("leak_pairs_grouped"),
+            F.sum(F.when(F.col("na") != F.col("nb"), 1).otherwise(0))
+            .cast("long")
+            .alias("leak_pairs_naive"),
+        )
+    )
+    per = rep.groupBy(F.col("gsplit").alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    pg = (
+        rep.groupBy("grp", "gsplit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .groupBy(F.col("gsplit").alias("split"))
+        .agg(F.count(F.lit(1)).alias("n_dup_groups"))
+    )
+    return (
+        per.join(pg, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            F.coalesce(F.col("n_dup_groups"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_groups"),
+        )
+        .crossJoin(leak)
+    )

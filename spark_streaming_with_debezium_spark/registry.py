@@ -97,6 +97,7 @@ _PRIORITY = (
     "shuffle_shard_manifest",  # NEW r7 continuation: never checked
     "multimodal_decode_png",  # NEW r7 continuation: never checked
     "text_bpe_encode",  # NEW r7 continuation: never checked
+    "split_leakage_safe_groups",  # NEW r7 continuation: never checked
     "multimodal_decode_image",
     "multimodal_decode_audio",
     "dedup_minhash_lsh",
@@ -139,17 +140,18 @@ _PRIORITY = (
     "join_left_semi",
     "join_full_outer",
     "join_left_outer",
-    "q1_pricing_summary",
-    # window_lww_compaction, window_rank_topk_per_group,
-    # window_dense_ntile, filter_predicates, fn_casts,
-    # fn_map_higher_order and cdc_history_per_key displaced past the
-    # boundary by the seven never-checked r7-continuation queries
+    # q1_pricing_summary, window_lww_compaction,
+    # window_rank_topk_per_group, window_dense_ntile,
+    # filter_predicates, fn_casts, fn_map_higher_order and
+    # cdc_history_per_key displaced past the boundary by the eight
+    # never-checked r7-continuation queries
     # (decontaminate_fuzzy_minhash, ann_recall_report,
     # corpus_token_budget_mix, sample_importance_dsir,
-    # shuffle_shard_manifest, multimodal_decode_png,
-    # text_bpe_encode); all seven lead the round-8 queue with the
-    # rest of the r3 block.
+    # shuffle_shard_manifest, multimodal_decode_png, text_bpe_encode,
+    # split_leakage_safe_groups); all eight lead the round-8 queue
+    # with the rest of the r3 block.
     # --- 50-query prefix boundary (round-7 driver window) ---
+    "q1_pricing_summary",
     "window_lww_compaction",
     "window_rank_topk_per_group",
     "window_dense_ntile",

@@ -361,3 +361,54 @@ def test_shard_manifest_partitions_the_corpus(spark, sf_dir):
     for r in rows:
         assert 0.4 <= r.balance_ratio <= 1.6, r
         assert abs(r.balance_ratio - r.n_docs * N_SHARDS / n_docs) < 1e-6
+
+
+def test_group_split_colocates_every_near_dup_pair(spark, sf_dir):
+    """The group split's whole point, checked from the raw pair list:
+    every verified near-dup pair lands in ONE split; the reported
+    leakage columns must agree with an independent recount; doc counts
+    must cover the corpus."""
+    from spark_streaming_with_debezium_spark.llm.cluster import (
+        connected_components,
+        split_leakage_safe_groups,
+    )
+    from spark_streaming_with_debezium_spark.llm.dedup import dedup_minhash_lsh
+
+    rows = split_leakage_safe_groups(spark, sf_dir).collect()
+    assert {r.split for r in rows} <= {"train", "holdout"}
+    assert all(r.leak_pairs_grouped == 0 for r in rows)
+    d = load_table(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    # independent recount of the naive-split leakage from raw pairs
+    import hashlib
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").collect()
+    ]
+    texts = {r.doc_id: r.text for r in d.select("doc_id", "text").collect()}
+
+    def naive(doc):
+        return (
+            "holdout"
+            if hashlib.md5(texts[doc].encode()).hexdigest()[:2] < "14"
+            else "train"
+        )
+
+    expected_naive_leak = sum(1 for a, b in pairs if naive(a) != naive(b))
+    assert all(r.leak_pairs_naive == expected_naive_leak for r in rows)
+    # and the group split really is constant within each component
+    comps = {
+        r.node: r.comp
+        for r in connected_components(
+            dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+        ).collect()
+    }
+    def gsplit(doc):
+        rep = comps.get(doc, doc)
+        return (
+            "holdout"
+            if hashlib.md5(str(rep).encode()).hexdigest()[:2] < "14"
+            else "train"
+        )
+    assert all(gsplit(a) == gsplit(b) for a, b in pairs)

@@ -502,6 +502,7 @@ def test_repo_wide_cartesian_and_bnlj_census(spark, sf_dir):
         "dedup_semdedup_cells", "text_token_rarity", "text_idf",
         "sample_importance_dsir",  # 1-row (tr, tt) totals broadcast
         "shuffle_shard_manifest",  # 1-row n_all totals broadcast
+        "split_leakage_safe_groups",  # 1-row leakage-totals broadcast
         # bounded query-set / centroid broadcasts (ANN serving shape)
         "ann_int8_rescore", "ann_cosine_topk", "ann_ivf_topk",
         "text_similar_topk",
