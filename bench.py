@@ -76,6 +76,10 @@ EXTENDED = (
     "corpus_token_budget_mix",  # budgeted greedy selection (r7 cont.)
     "shuffle_shard_manifest",  # hash-mod shard fan-out (r7 cont.)
     "text_bpe_encode",  # tokenizer apply over the vocab (r7 cont.)
+    "events_attribution_last_touch",  # per-user window rollup (r7 cont.)
+    "events_time_to_convert",  # conversion-latency cohorts (r7 cont.)
+    "stream_trending_topk",  # sliding-window rank face (r7 cont.)
+    "pack_efficiency_report",  # packing observability rollup (r7 cont.)
 )
 
 

@@ -468,6 +468,75 @@ def pack_sequences(
 
 
 @query(
+    "pack_efficiency_report",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    run AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS running
+      FROM toks
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((SUM(n_tokens) + 2047) // 2048 AS BIGINT) AS n_seqs,
+           CAST((SUM(n_tokens) + 2047) // 2048 * 2048 - SUM(n_tokens)
+                AS BIGINT) AS tail_padding,
+           CAST(SUM(CASE WHEN n_tokens > 0
+                          AND (running - 1) // 2048
+                              <> (running - n_tokens) // 2048
+                         THEN 1 ELSE 0 END) AS BIGINT) AS boundary_docs,
+           round(CAST(SUM(n_tokens) AS DOUBLE)
+                 / CAST((SUM(n_tokens) + 2047) // 2048 * 2048 AS DOUBLE), 6)
+             AS utilization
+    FROM run GROUP BY 1
+    """,
+)
+def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing observability: per-source report over the
+    `pack_sequences` assignment — sequences produced, tail padding
+    (the only padding concat-and-chunk ever emits), documents split
+    across a sequence boundary (attention-contamination candidates),
+    and utilization = tokens / (sequences x 2048). The dashboard
+    number a training-data team watches to pick sequence length and
+    judge whether boundary-crossing losses justify bin-packing
+    instead.
+
+    Derives everything from the pack_sequences output itself (same
+    bucketed two-pass running sum, integer arithmetic end-to-end —
+    one double division per GROUP at the very end), so report and
+    packing cannot drift apart. A doc crosses a boundary iff its
+    first and last token land in different sequences:
+    floor((running-1)/2048) != seq_id, guarded for empty docs.
+    Scale shape: inherits pack_sequences' bounded windows, then ONE
+    map-side-combined rollup on source."""
+    packed = pack_sequences(spark, sf_dir)
+    start = F.col("seq_id") * 2048 + F.col("seq_offset")
+    end_seq = F.floor((start + F.col("n_tokens") - 1) / 2048)
+    crosses = (F.col("n_tokens") > 0) & (end_seq != F.col("seq_id"))
+    total = F.sum("n_tokens")
+    n_seqs = F.floor((total + 2047) / 2048).cast("long")
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        total.cast("long").alias("total_tokens"),
+        n_seqs.alias("n_seqs"),
+        (n_seqs * 2048 - total).cast("long").alias("tail_padding"),
+        F.sum(crosses.cast("long")).alias("boundary_docs"),
+        F.round(
+            total.cast("double") / (n_seqs * 2048).cast("double"), 6
+        ).alias("utilization"),
+    )
+
+
+@query(
     "curriculum_quality_tiers",
     oracle="""
     WITH scored AS (

@@ -2382,3 +2382,155 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_component"),
         )
     )
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH touched AS (
+      SELECT event_type, value,
+             LAST_VALUE(
+               CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch
+      FROM events
+    )
+    SELECT COALESCE(last_touch, 'direct') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           {sql_dsum('value')} AS attributed_value
+    FROM touched
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def events_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the user's most recent NON-purchase event before it (the
+    "channel"); purchases with no prior touch are 'direct'. The
+    classic clickstream-attribution operator (the reference's event
+    model — `StreamingJobExecutor.scala` routes the same Debezium
+    event envelope — has no analytics tier; this is the C-tier face).
+
+    One window per user ordered by (ts, event_id) — the tie-break
+    makes the carried-forward touch deterministic on both engines —
+    then a low-cardinality rollup on the attributed channel. Scale
+    shape: per-user partitions are bounded (a user's event history,
+    not the corpus), so the window sort never exceeds one user's rows;
+    the only global shuffle is the tiny channel rollup. The streaming
+    analogue carries last_touch as per-key state
+    (`applyInPandasWithState`), identical semantics."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("last_touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("last_touch"), F.lit("direct")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum("value").alias("attributed_value"),
+        )
+    )
+
+
+@query(
+    "events_time_to_convert",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    p AS (
+      SELECT s.user_id, s.signup_ts, MIN(e.ts) AS conv_ts
+      FROM s JOIN events e
+        ON e.user_id = s.user_id
+       AND e.event_type = 'purchase'
+       AND e.ts > s.signup_ts
+      GROUP BY 1, 2
+    )
+    SELECT CAST(s.signup_ts AS DATE) AS cohort_day,
+           CAST(COUNT(*) AS BIGINT) AS n_signups,
+           CAST(COUNT(p.conv_ts) AS BIGINT) AS n_converted,
+           round(CAST(COUNT(p.conv_ts) AS DOUBLE) / COUNT(*), 6)
+             AS conversion_rate,
+           round(quantile_cont(
+             (epoch_us(p.conv_ts) - epoch_us(p.signup_ts)) / 3600000000.0,
+             0.5), 6) AS median_hours,
+           round(quantile_cont(
+             (epoch_us(p.conv_ts) - epoch_us(p.signup_ts)) / 3600000000.0,
+             0.9), 6) AS p90_hours
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    GROUP BY 1
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency cohorts: per signup-day cohort, how many
+    users converted (first purchase strictly after their first signup)
+    and the exact median / p90 hours-to-convert — the
+    activation-latency report growth teams watch.
+
+    Latency is computed on MICROSECOND integers (`unix_micros`, exact
+    bigints on both engines) with one double division per row, so the
+    interpolated percentiles see bit-identical inputs (the
+    `agg_percentiles` convention). Plan: two conditional-min
+    aggregates on user_id (single shuffle each, map-side combined) —
+    the purchase side filters `ts > signup_ts` INSIDE the min, so no
+    window and no self-join over the raw stream; cohort rollup keys on
+    day (bounded cardinality). At 100 TB swap the exact percentile for
+    `approx_percentile` per the `agg_approx_percentile` face; the
+    cohort logic is unchanged."""
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        s.join(
+            e.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+            ),
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("signup_ts")),
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("conv_ts"))
+        .select("user_id", "conv_ts")
+    )
+    hours = (
+        F.unix_micros(F.col("conv_ts").cast("timestamp"))
+        - F.unix_micros(F.col("signup_ts").cast("timestamp"))
+    ) / F.lit(3600000000.0)
+    return (
+        s.join(p, "user_id", "left")
+        .select(
+            F.to_date("signup_ts").alias("cohort_day"),
+            hours.alias("hours"),
+            F.col("conv_ts"),
+        )
+        .groupBy("cohort_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.count("conv_ts").alias("n_converted"),
+            F.round(
+                F.count("conv_ts").cast("double") / F.count(F.lit(1)), 6
+            ).alias("conversion_rate"),
+            F.round(F.percentile("hours", F.lit(0.5)), 6).alias(
+                "median_hours"
+            ),
+            F.round(F.percentile("hours", F.lit(0.9)), 6).alias("p90_hours"),
+        )
+    )

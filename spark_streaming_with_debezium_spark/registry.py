@@ -90,6 +90,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: registration order after the listed ones.
 _PRIORITY = (
     # --- round-7 driver window (50) ---
+    "events_attribution_last_touch",  # NEW r7 continuation: never checked
+    "events_time_to_convert",  # NEW r7 continuation: never checked
+    "stream_trending_topk",  # NEW r7 continuation: never checked
+    "pack_efficiency_report",  # NEW r7 continuation: never checked
     "decontaminate_fuzzy_minhash",  # NEW r7 continuation: never checked
     "ann_recall_report",  # NEW r7 continuation: never checked
     "corpus_token_budget_mix",  # NEW r7 continuation: never checked
@@ -136,6 +140,13 @@ _PRIORITY = (
     "join_broadcast_dims",
     "join_inner_equi",
     "join_range_band",
+    # join_left_anti, join_left_semi, join_full_outer and
+    # join_left_outer displaced past the boundary by the four newest
+    # never-checked r7-continuation queries
+    # (events_attribution_last_touch, events_time_to_convert,
+    # stream_trending_topk, pack_efficiency_report); the join family's
+    # r3 evidence refresh moves to the round-8 queue head.
+    # --- 50-query prefix boundary (round-7 driver window) ---
     "join_left_anti",
     "join_left_semi",
     "join_full_outer",
@@ -150,7 +161,6 @@ _PRIORITY = (
     # shuffle_shard_manifest, multimodal_decode_png, text_bpe_encode,
     # split_leakage_safe_groups); all eight lead the round-8 queue
     # with the rest of the r3 block.
-    # --- 50-query prefix boundary (round-7 driver window) ---
     "q1_pricing_summary",
     "window_lww_compaction",
     "window_rank_topk_per_group",

@@ -242,3 +242,59 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value").alias("total_value"),
     )
+
+
+@query(
+    "stream_trending_topk",
+    oracle="""
+    WITH slides AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) - s.i * INTERVAL '1 hour'
+               AS window_start,
+             event_type
+      FROM events, (SELECT unnest(range(0, 2)) AS i) s
+    ),
+    counted AS (
+      SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM slides GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY window_start ORDER BY n DESC, event_type
+           ) AS BIGINT) AS rn
+    FROM counted QUALIFY rn <= 3
+    """,
+)
+def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-k: the 3 most frequent event types per sliding
+    2-hour window (1-hour hop) — the "what's hot right now" face every
+    event pipeline ships. Batch form of a two-stage streaming plan:
+    the windowed count runs under a watermark exactly like
+    `stream_sliding_window`; the per-window rank is the foreachBatch
+    stage (rank-over-append-stream isn't expressible inside a single
+    streaming query, so the sink ranks each emitted window — same
+    expressions, micro-batch scope).
+
+    Rank ties break on event_type, so top-k membership is
+    deterministic on both engines. Scale shape: the count is a
+    map-side-combined aggregate on (window, type); the rank window
+    partitions on window_start with at most |event_type| rows per
+    partition — bounded, never a corpus sort."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    counted = e.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("window").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "rn",
+        )
+    )

@@ -460,6 +460,10 @@ def test_extended_plan_census(spark, sf_dir):
         "timeseries_user_similarity": 10,
         "cdc_change_feed": 10,
         "events_concurrency_peak": 14,  # sessionize + bucketed ledger
+        # two hashed-unigram LM builds (target + raw) + log-ratio table
+        # + per-doc importance rollup — four aggregation stages by
+        # construction, not a regression.
+        "sample_importance_dsir": 8,
     }
     # 1-row scalar-total broadcasts (corpus n_docs/avgdl etc.) — the
     # audited crossJoin sites from the r5 review, not data-data loops.
@@ -467,6 +471,10 @@ def test_extended_plan_census(spark, sf_dir):
         "text_bm25_topk",
         "corpus_curation_funnel",
         "dq_benford_first_digit",  # 1-row corpus-total broadcast
+        # r7-continuation EXTENDED additions, audited in the repo-wide
+        # census below: 1-row totals broadcasts, not data-data loops.
+        "sample_importance_dsir",
+        "shuffle_shard_manifest",
     }
     for name in bench.EXTENDED:
         txt = _single_plan(QUERIES[name].fn(spark, sf_dir))
