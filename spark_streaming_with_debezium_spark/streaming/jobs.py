@@ -60,6 +60,62 @@ def windowed_counts(
     )
 
 
+def trending_topk_stream(
+    events: DataFrame,
+    out_dir: str,
+    k: int = 3,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "1 hour",
+):
+    """The real streaming face of `stream_trending_topk`: a watermarked
+    sliding-window count in append mode, ranked per window in
+    ``foreachBatch`` (rank over an append stream is not expressible
+    inside one streaming query — the sink stage ranks each emitted
+    window; identical expressions to the batch query).
+
+    Append mode emits ALL of a window's (window, event_type) rows in
+    the single micro-batch whose watermark closes the window, so the
+    per-batch rank always sees a complete window — no cross-batch
+    rank state is needed. The rank window partitions on window_start
+    with at most |event_type| rows per partition. The sink appends
+    closed-window top-k rows to parquet; replays of a batch rewrite
+    the same closed windows (idempotent per window under the
+    file-source + availableNow drain used in tests)."""
+    from pyspark.sql import Window
+
+    counted = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n"
+        )
+    )
+
+    def rank_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return  # P3 empty-batch guard
+        w = Window.partitionBy("window_start").orderBy(
+            F.col("n").desc(), F.col("event_type")
+        )
+        (
+            batch_df.withColumn("rn", F.row_number().over(w).cast("long"))
+            .filter(F.col("rn") <= k)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        counted.writeStream.outputMode("append")
+        .foreachBatch(rank_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def dedup_within_watermark(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -998,3 +998,55 @@ def test_stream_static_enrich_picks_up_dim_refresh(spark, tmp_path):
         (r.event_id, r.tier) for r in spark.read.parquet(out).collect()
     }
     assert got == {(0, "gold"), (1, "platinum")}
+
+
+def test_trending_topk_stream_matches_hand_computation(spark, tmp_path):
+    """The foreachBatch-ranked trending top-k stream (the streaming
+    face of the `stream_trending_topk` query) emits, for every CLOSED
+    sliding window, the same ranked rows the batch expressions
+    produce — asserted against a hand computation, including the
+    deciding tie-break on event_type."""
+    from spark_streaming_with_debezium_spark.streaming.jobs import (
+        trending_topk_stream,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    out = tmp_path / "topk"
+    _write_events(
+        src / "a.json",
+        [
+            (0, "2024-01-01 00:10:00", 1, "a", 1.0),
+            (1, "2024-01-01 00:15:00", 1, "b", 1.0),
+            (2, "2024-01-01 00:20:00", 2, "a", 1.0),
+            (3, "2024-01-01 00:25:00", 3, "c", 1.0),
+            (4, "2024-01-01 00:40:00", 1, "a", 1.0),
+            (5, "2024-01-01 01:10:00", 1, "b", 1.0),
+            (6, "2024-01-01 01:20:00", 2, "b", 1.0),
+            (7, "2024-01-01 01:30:00", 1, "a", 1.0),
+        ],
+    )
+    import time as _time
+
+    _time.sleep(1.1)
+    # advances the watermark to 09:00, closing every window above
+    _write_events(src / "b.json", [(8, "2024-01-01 10:00:00", 1, "d", 1.0)])
+    stream = events_file_stream(spark, str(src))
+    trending_topk_stream(stream, str(out), k=3)
+    got = {
+        (str(r.window_start), r.rn): (r.event_type, r.n)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    # hour-00 rows: a=3, b=1, c=1; hour-01 rows: b=2, a=1.
+    # closed 2h windows: 23:00 (hour-00 only), 00:00 (00+01), 01:00
+    # (hour-01 only). Ties (b=1, c=1) break alphabetically.
+    assert got == {
+        ("2023-12-31 23:00:00", 1): ("a", 3),
+        ("2023-12-31 23:00:00", 2): ("b", 1),
+        ("2023-12-31 23:00:00", 3): ("c", 1),
+        ("2024-01-01 00:00:00", 1): ("a", 4),
+        ("2024-01-01 00:00:00", 2): ("b", 3),
+        ("2024-01-01 00:00:00", 3): ("c", 1),
+        ("2024-01-01 01:00:00", 1): ("b", 2),
+        ("2024-01-01 01:00:00", 2): ("a", 1),
+    }
