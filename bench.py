@@ -80,6 +80,8 @@ EXTENDED = (
     "events_time_to_convert",  # conversion-latency cohorts (r7 cont.)
     "stream_trending_topk",  # sliding-window rank face (r7 cont.)
     "pack_efficiency_report",  # packing observability rollup (r7 cont.)
+    "orders_cohort_ltv",  # cohort LTV curve, decimal windows (r7 cont.)
+    "events_power_users_gini",  # bucketed exact-rank Gini (r7 cont.)
 )
 
 

@@ -2534,3 +2534,148 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile("hours", F.lit(0.9)), 6).alias("p90_hours"),
         )
     )
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH fo AS (
+      SELECT o_custkey, CAST(MIN(year(o_orderdate)) AS BIGINT)
+               AS cohort_year
+      FROM orders GROUP BY 1
+    ),
+    per AS (
+      SELECT fo.cohort_year,
+             CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+             CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+             SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS rev_dec
+      FROM orders o JOIN fo ON o.o_custkey = fo.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT cohort_year, order_year, n_active,
+           round(CAST(rev_dec AS DOUBLE), 2) AS revenue,
+           round(CAST(SUM(rev_dec) OVER (
+             PARTITION BY cohort_year ORDER BY order_year
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 2) AS cum_revenue
+    FROM per
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: customers grouped by first-order year,
+    tracked across subsequent order years — active customers, revenue,
+    and the cumulative LTV curve per cohort. The acquisition-economics
+    table behind every retention deck, on the `orders` fact.
+
+    Revenue accumulates in DECIMAL through BOTH the per-cell sum and
+    the cumulative window (one double cast at the end of each), so the
+    running LTV is order-independent and engine-identical. Plan: one
+    conditional-min aggregate for the cohort map (single shuffle on
+    custkey), one equi-join back onto orders (same key — AQE can
+    co-locate), one rollup on (cohort, year), then a window over the
+    AGGREGATED (#cohorts × #years) table — bounded rows, never a sort
+    of the fact."""
+    o = load_table(spark, sf_dir, "orders")
+    fo = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).cast("long").alias("cohort_year")
+    )
+    per = (
+        o.join(fo, "o_custkey")
+        .groupBy(
+            "cohort_year", F.year("o_orderdate").cast("long").alias("order_year")
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias(
+                "rev_dec"
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_year")
+        .orderBy("order_year")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per.select(
+        "cohort_year",
+        "order_year",
+        "n_active",
+        F.round(F.col("rev_dec").cast("double"), 2).alias("revenue"),
+        F.round(F.sum("rev_dec").over(w).cast("double"), 2).alias(
+            "cum_revenue"
+        ),
+    )
+
+
+@query(
+    "events_power_users_gini",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    ranked AS (
+      SELECT n,
+             ROW_NUMBER() OVER (ORDER BY n, user_id) AS i,
+             COUNT(*) OVER () AS nu
+      FROM per_user
+    )
+    SELECT CAST(MAX(nu) AS BIGINT) AS n_users,
+           CAST(SUM(n) AS BIGINT) AS total_events,
+           round(CAST(2 * SUM(i * n) - (MAX(nu) + 1) * SUM(n) AS DOUBLE)
+                 / CAST(MAX(nu) * SUM(n) AS DOUBLE), 6) AS gini,
+           round(CAST(SUM(CASE WHEN i > nu - (nu + 9) // 10
+                               THEN n ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(n) AS DOUBLE), 6) AS top_decile_share
+    FROM ranked
+    """,
+)
+def events_power_users_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-inequality audit: the exact Gini coefficient of
+    per-user event counts plus the share of traffic held by the top
+    decile of users — the one-row skew dashboard that tells a pipeline
+    whether "users" is a salting-required key and a product team how
+    bot-heavy the corpus is. Gini from the sorted-rank identity
+    (2·Σi·xᵢ − (N+1)·Σxᵢ) / (N·Σxᵢ) over counts sorted ascending.
+
+    The exact global rank comes from `global_ordered_running`
+    (percentile-bucketed, no single-task global sort — the curriculum
+    machinery), so the op stays distributed at any user cardinality;
+    every sum is an exact bigint (counts × ranks; overflow bound
+    N·Σx < 2^63 up to ~10⁹ users × 10⁹ events) with two double
+    divisions at the very end. The 1-row totals broadcast is the
+    audited scalar-cross-join pattern."""
+    from spark_streaming_with_debezium_spark.operators.scalable_windows import (
+        global_ordered_running,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    ranked = global_ordered_running(
+        per_user,
+        key=F.col("n"),
+        order_cols=[F.col("n"), F.col("user_id")],
+        rank_name="i",
+    )
+    totals = per_user.agg(F.count(F.lit(1)).alias("nu"))
+    r = ranked.crossJoin(F.broadcast(totals))
+    decile_cut = F.col("nu") - F.floor((F.col("nu") + 9) / 10).cast("long")
+    return r.agg(
+        F.max("nu").cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("total_events"),
+        F.round(
+            (
+                2 * F.sum(F.col("i") * F.col("n"))
+                - (F.max("nu") + 1) * F.sum("n")
+            ).cast("double")
+            / (F.max("nu") * F.sum("n")).cast("double"),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.sum(
+                F.when(F.col("i") > decile_cut, F.col("n")).otherwise(F.lit(0))
+            ).cast("double")
+            / F.sum("n").cast("double"),
+            6,
+        ).alias("top_decile_share"),
+    )

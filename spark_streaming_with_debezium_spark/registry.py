@@ -90,6 +90,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: registration order after the listed ones.
 _PRIORITY = (
     # --- round-7 driver window (50) ---
+    "orders_cohort_ltv",  # NEW r7 continuation: never checked
+    "events_power_users_gini",  # NEW r7 continuation: never checked
     "events_attribution_last_touch",  # NEW r7 continuation: never checked
     "events_time_to_convert",  # NEW r7 continuation: never checked
     "stream_trending_topk",  # NEW r7 continuation: never checked
@@ -138,15 +140,17 @@ _PRIORITY = (
     "ann_ivf_topk",
     "join_asof",
     "join_broadcast_dims",
+    # join_inner_equi, join_range_band, join_left_anti,
+    # join_left_semi, join_full_outer and join_left_outer displaced
+    # past the boundary by the six newest never-checked
+    # r7-continuation queries (orders_cohort_ltv,
+    # events_power_users_gini, events_attribution_last_touch,
+    # events_time_to_convert, stream_trending_topk,
+    # pack_efficiency_report); the join family's r3 evidence refresh
+    # moves to the round-8 queue head.
+    # --- 50-query prefix boundary (round-7 driver window) ---
     "join_inner_equi",
     "join_range_band",
-    # join_left_anti, join_left_semi, join_full_outer and
-    # join_left_outer displaced past the boundary by the four newest
-    # never-checked r7-continuation queries
-    # (events_attribution_last_touch, events_time_to_convert,
-    # stream_trending_topk, pack_efficiency_report); the join family's
-    # r3 evidence refresh moves to the round-8 queue head.
-    # --- 50-query prefix boundary (round-7 driver window) ---
     "join_left_anti",
     "join_left_semi",
     "join_full_outer",
