@@ -287,3 +287,97 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH ranked AS (
+      SELECT v.event_id, v.user_id, v.ts,
+             p.event_id AS next_purchase_id, p.ts AS next_purchase_ts,
+             row_number() OVER (
+               PARTITION BY v.event_id ORDER BY p.ts, p.event_id
+             ) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'view') v
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON v.user_id = p.user_id AND p.ts >= v.ts
+    )
+    SELECT event_id, user_id, ts,
+           -- sentinel, not NULL: a nullable BIGINT goes float64 through
+           -- the driver's pandas fetch and would hash-mismatch
+           COALESCE(next_purchase_id, -1) AS next_purchase_id,
+           next_purchase_ts,
+           -- integer seconds, not a rounded double: round(us/6e7, 6)
+           -- straddles half-ulp boundaries differently per engine
+           COALESCE((epoch_us(next_purchase_ts) - epoch_us(ts)) // 1000000,
+                    -1) AS gap_seconds
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 forward face: for each 'view' event, the user's EARLIEST
+    'purchase' at or after it (next-conversion lookup — the forward
+    as-of join, where `join_asof` is the backward one). Same-timestamp
+    purchases tie-break to the LOWEST event_id, pinned identically in
+    both engines (same discipline as join_asof's round-5 fix; DuckDB
+    ASOF JOIN has no forward mode at all, so the oracle is the ranked
+    LEFT JOIN formulation).
+
+    Same union+window plan as join_asof, mirrored: tag both sides,
+    union on (key, time), and `first(..., ignorenulls)` over
+    [currentRow, +∞) carries the NEXT purchase backward onto each
+    view row. At equal t the view row sorts before the purchase row so
+    an exactly-simultaneous purchase matches (>= semantics). ONE
+    shuffle on user_id, bounded per-user partitions — versus the
+    oracle's range join which explodes O(views x purchases) per user.
+    The conversion gap is exact integer SECONDS from `unix_micros`
+    bigints; ids and gaps are sentinel−1 (never NULL) because nullable
+    BIGINTs turn float64 through the driver's pandas fetch."""
+    e = load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_view"),
+        "event_id",
+        F.lit(None).cast("bigint").alias("p_id"),
+        F.lit(None).cast(e.schema["ts"].dataType).alias("p_ts"),
+    )
+    right = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_view"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    u = left.unionByName(right)
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t"), F.col("is_view").desc(), F.col("p_id"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = u.select(
+        "k",
+        "t",
+        "is_view",
+        "event_id",
+        F.first("p_id", ignorenulls=True).over(w).alias("next_purchase_id"),
+        F.first("p_ts", ignorenulls=True).over(w).alias("next_purchase_ts"),
+    )
+    gap_us = F.unix_micros(
+        F.col("next_purchase_ts").cast("timestamp")
+    ) - F.unix_micros(F.col("t").cast("timestamp"))
+    # exact long arithmetic: (d - d % 1e6) / 1e6 is an integer < 2^53
+    gap_seconds = ((gap_us - gap_us % 1000000) / 1000000).cast("long")
+    return carried.filter(F.col("is_view") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("t").alias("ts"),
+        F.coalesce("next_purchase_id", F.lit(-1).cast("bigint")).alias(
+            "next_purchase_id"
+        ),
+        "next_purchase_ts",
+        F.coalesce(gap_seconds, F.lit(-1).cast("bigint")).alias(
+            "gap_seconds"
+        ),
+    )
