@@ -184,6 +184,71 @@ def running_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def attribution_stateful(events: DataFrame) -> DataFrame:
+    """T10 + the streaming face of `events_attribution_last_touch`:
+    per-user last-touch state via applyInPandasWithState. Each
+    micro-batch sorts its rows by (ts, event_id), attributes every
+    purchase to the carried last NON-purchase touch ('direct' when
+    none), and advances the state to the latest touch — so attribution
+    is correct across batch boundaries, which is exactly what the
+    batch window cannot give a stream. State is ONE (type, ts_us)
+    pair per user: O(users), not O(history). Correct under per-key
+    event-time-ordered batch arrival (the file-source tests' shape);
+    an out-of-order event older than the carried touch never
+    overwrites it (the ts guard below)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("channel", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_type", T.StringType()),
+            T.StructField("last_us", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        last_type, last_us = (
+            state.get if state.exists else (None, -(1 << 62))
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        out = []
+        for r in batch.itertuples(index=False):
+            ts_us = int(r.ts.value // 1000)  # pandas ns -> us
+            if r.event_type == "purchase":
+                out.append(
+                    (
+                        int(r.event_id),
+                        int(key[0]),
+                        last_type if last_type is not None else "direct",
+                        float(r.value),
+                    )
+                )
+            elif ts_us >= last_us:
+                last_type, last_us = r.event_type, ts_us
+        state.update((last_type, last_us))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["event_id", "user_id", "channel", "value"]
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_totals_tws(events: DataFrame) -> DataFrame:
     """T10 on the Spark 4 API: transformWithStateInPandas with a
     StatefulProcessor + ValueState — the successor to

@@ -1050,3 +1050,49 @@ def test_trending_topk_stream_matches_hand_computation(spark, tmp_path):
         ("2024-01-01 01:00:00", 1): ("b", 2),
         ("2024-01-01 01:00:00", 2): ("a", 1),
     }
+
+
+def test_attribution_stateful_carries_touch_across_batches(spark, tmp_path):
+    """The stateful last-touch attributor must credit a purchase in a
+    LATER micro-batch to a touch seen in an EARLIER one (per-user
+    state), attribute untouched purchases to 'direct', and follow the
+    in-batch (ts, event_id) order."""
+    from spark_streaming_with_debezium_spark.streaming.jobs import (
+        attribution_stateful,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    _write_events(
+        src / "a.json",
+        [
+            (0, "2024-01-01 00:10:00", 1, "view", 0.0),
+            (1, "2024-01-01 00:20:00", 1, "purchase", 10.0),
+            (2, "2024-01-01 00:30:00", 1, "click", 0.0),
+            (3, "2024-01-01 00:05:00", 2, "purchase", 7.0),
+        ],
+    )
+    import time as _time
+
+    _time.sleep(1.1)
+    # batch 2: u1's purchase must see the click carried from batch 1
+    _write_events(
+        src / "b.json",
+        [
+            (4, "2024-01-01 00:40:00", 1, "purchase", 20.0),
+            (5, "2024-01-01 00:50:00", 2, "signup", 0.0),
+            (6, "2024-01-01 00:55:00", 2, "purchase", 5.0),
+        ],
+    )
+    stream = events_file_stream(spark, str(src))
+    run_to_memory(attribution_stateful(stream), "attr_out", "update")
+    got = {
+        r.event_id: (r.user_id, r.channel, r.value)
+        for r in spark.sql("SELECT * FROM attr_out").collect()
+    }
+    assert got == {
+        1: (1, "view", 10.0),
+        3: (2, "direct", 7.0),
+        4: (1, "click", 20.0),
+        6: (2, "signup", 5.0),
+    }
