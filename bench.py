@@ -82,6 +82,7 @@ EXTENDED = (
     "pack_efficiency_report",  # packing observability rollup (r7 cont.)
     "orders_cohort_ltv",  # cohort LTV curve, decimal windows (r7 cont.)
     "events_power_users_gini",  # bucketed exact-rank Gini (r7 cont.)
+    "quality_perplexity_filter",  # self-LM NLL quality gate (r7 cont.)
 )
 
 

@@ -1106,6 +1106,104 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Perplexity-filter gate: max average NLL (nats/token) a document may
+#: score under the corpus's own hashed-unigram LM and still be kept.
+#: 3.45 sits at ~p90 of the synthetic corpus's NLL distribution
+#: (range ~3.42-3.73), so the gate actually rejects the worst decile
+#: rather than being vacuously permissive.
+PPL_NLL_MAX = 3.45
+
+
+@query(
+    "quality_perplexity_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ), f AS (
+      SELECT doc_id, lang,
+             CAST(CONCAT('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+               % {DSIR_BUCKETS} AS feat
+      FROM toks
+    ), pdf AS (
+      SELECT doc_id, lang, feat, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM f GROUP BY 1, 2, 3
+    ), lm AS (
+      SELECT feat, CAST(SUM(cnt) AS BIGINT) AS cf FROM pdf GROUP BY feat
+    ), tot AS (
+      SELECT CAST((SELECT SUM(cnt) FROM pdf) AS BIGINT) AS t
+    ), lp AS (
+      SELECT feat,
+             ln(CAST(cf + 1 AS DOUBLE) / (t + {DSIR_BUCKETS})) AS logp
+      FROM lm, tot
+    ), scored AS (
+      SELECT p.doc_id, p.lang,
+             CAST(SUM(p.cnt) AS BIGINT) AS n_tokens,
+             round(CAST(SUM(CAST(p.cnt * -l.logp AS DECIMAL(38,12)))
+                        AS DOUBLE) / SUM(p.cnt), 6) AS avg_nll
+      FROM pdf p JOIN lp l ON p.feat = l.feat
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, lang, n_tokens, avg_nll,
+           (avg_nll <= {PPL_NLL_MAX}) AS kept
+    FROM scored
+    """,
+)
+def quality_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-based quality filtering (the CCNet/Gopher gate): each
+    document scored by its average negative log-likelihood under a
+    language model, documents above the NLL ceiling dropped. Stands in
+    the KenLM slot with the corpus's OWN hashed-unigram LM (Laplace+1,
+    ``DSIR_BUCKETS`` buckets) — the production swap is a pretrained
+    LM's per-token scores; the distributed shape is identical.
+
+    Same scale shape as `sample_importance_dsir` (whose LM machinery
+    this shares): the LM is a bounded table independent of corpus
+    size, broadcast to a map-side join; per-doc scoring is one
+    groupBy(doc_id). Determinism: ln over integer-derived ratios, the
+    per-doc sum accumulates in DECIMAL(38,12), one double division by
+    n_tokens, and the keep decision compares the ROUNDED score so both
+    engines agree at the boundary."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    feat = (
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    )
+    pdf = (
+        toks.select("doc_id", "lang", feat.alias("feat"))
+        .groupBy("doc_id", "lang", "feat")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    lm = pdf.groupBy("feat").agg(F.sum("cnt").alias("cf"))
+    tot = F.broadcast(pdf.agg(F.sum("cnt").alias("t")))
+    lp = lm.crossJoin(tot).select(
+        "feat",
+        F.log(
+            (F.col("cf") + 1).cast("double") / (F.col("t") + DSIR_BUCKETS)
+        ).alias("logp"),
+    )
+    avg_nll = F.round(
+        F.sum((F.col("cnt") * -F.col("logp")).cast("decimal(38,12)")).cast(
+            "double"
+        )
+        / F.sum("cnt"),
+        6,
+    )
+    return (
+        pdf.join(F.broadcast(lp), "feat")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            avg_nll.alias("avg_nll"),
+        )
+        .withColumn("kept", F.col("avg_nll") <= PPL_NLL_MAX)
+    )
+
+
 #: Training-shard fan-out: hash-mod assignment (embarrassingly
 #: parallel; NO global sort — the ntile alternative serializes the
 #: corpus through one ordered pass, which cannot survive 100 TB).

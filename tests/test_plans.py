@@ -476,6 +476,7 @@ def test_extended_plan_census(spark, sf_dir):
         "sample_importance_dsir",
         "shuffle_shard_manifest",
         "events_power_users_gini",  # 1-row user-count totals broadcast
+        "quality_perplexity_filter",  # 1-row corpus-total broadcast
     }
     for name in bench.EXTENDED:
         txt = _single_plan(QUERIES[name].fn(spark, sf_dir))
@@ -513,6 +514,7 @@ def test_repo_wide_cartesian_and_bnlj_census(spark, sf_dir):
         "shuffle_shard_manifest",  # 1-row n_all totals broadcast
         "split_leakage_safe_groups",  # 1-row leakage-totals broadcast
         "events_power_users_gini",  # 1-row user-count totals broadcast
+        "quality_perplexity_filter",  # 1-row corpus-total broadcast
         # bounded query-set / centroid broadcasts (ANN serving shape)
         "ann_int8_rescore", "ann_cosine_topk", "ann_ivf_topk",
         "text_similar_topk",
