@@ -83,6 +83,7 @@ EXTENDED = (
     "orders_cohort_ltv",  # cohort LTV curve, decimal windows (r7 cont.)
     "events_power_users_gini",  # bucketed exact-rank Gini (r7 cont.)
     "quality_perplexity_filter",  # self-LM NLL quality gate (r7 cont.)
+    "decontaminate_semantic_cosine",  # embedding decon rung (r7 cont.)
 )
 
 

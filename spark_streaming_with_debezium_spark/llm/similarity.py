@@ -681,3 +681,83 @@ def ann_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "vec_id", F.round("cos", 6).alias("cos_sim"), "rnk")
     )
+
+
+#: Semantic-decontamination gate. Production uses ~0.85 (near-dup
+#: embeddings); the synthetic embeddings are cluster-noise vectors
+#: whose same-label cross-split cosines top out near 0.47, so the gate
+#: sits at the p99 tail (0.30) to keep the operator's candidate join,
+#: threshold and rollup genuinely exercised (18/19/223 flagged train
+#: vectors at sf0.001/0.01/0.1) instead of vacuously empty.
+SEMANTIC_DECON_TAU = 0.30
+
+
+@query(
+    "decontaminate_semantic_cosine",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, label, embedding,
+             CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '14'
+                  THEN 'eval' ELSE 'train' END AS split
+      FROM embeddings
+    ),
+    hits AS (
+      SELECT t.vec_id,
+             {_COSINE_SQL.format(a='t.embedding', b='e.embedding')} AS cos
+      FROM s t JOIN s e
+        ON t.label = e.label AND t.split = 'train' AND e.split = 'eval'
+    )
+    SELECT vec_id AS train_vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+           round(MAX(cos), 6) AS max_cos
+    FROM hits WHERE cos >= {SEMANTIC_DECON_TAU}
+    GROUP BY 1
+    """,
+)
+def decontaminate_semantic_cosine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMANTIC decontamination of the train split against eval: train
+    vectors whose embedding sits within cosine ≥ τ of ANY eval
+    vector — the paraphrase/translation leakage that survives both the
+    exact n-gram decontaminator (`decontaminate_train_ngram`) and the
+    lexical MinHash one (`decontaminate_fuzzy_minhash`); the third
+    rung of the decontamination ladder. Output: each contaminated
+    train vector with its eval-hit count and worst (max) cosine — the
+    rows a curation job quarantines before training.
+
+    The split is the deterministic md5-of-id convention (~8% eval —
+    no RNG state); candidate pairs are blocked on the label/cluster
+    key exactly like `embedding_cosine_neardup` (at 100 TB the block
+    comes from IVF cell assignment, same as the ANN faces), so the
+    cross join is per-block, never corpus×eval. MAX/COUNT are
+    order-independent aggregates, so the only float sensitivity is
+    the cosine itself — computed by the same prenormed expression the
+    ✓oracled neardup face already proves engine-identical."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "split",
+        F.when(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2)
+            < F.lit("14"),
+            F.lit("eval"),
+        ).otherwise(F.lit("train")),
+    ).withColumn("nrm", norm(F.col("embedding")))
+    t = e.filter(F.col("split") == "train").alias("t")
+    ev = e.filter(F.col("split") == "eval").alias("e")
+    hits = t.join(ev, F.col("t.label") == F.col("e.label")).select(
+        F.col("t.vec_id").alias("train_vec_id"),
+        cosine_prenormed(
+            F.col("t.embedding"),
+            F.col("e.embedding"),
+            F.col("t.nrm"),
+            F.col("e.nrm"),
+        ).alias("cos"),
+    )
+    return (
+        hits.filter(F.col("cos") >= SEMANTIC_DECON_TAU)
+        .groupBy("train_vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.round(F.max("cos"), 6).alias("max_cos"),
+        )
+    )

@@ -90,6 +90,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: registration order after the listed ones.
 _PRIORITY = (
     # --- round-7 driver window (50) ---
+    "decontaminate_semantic_cosine",  # NEW r7 continuation: never checked
     "quality_perplexity_filter",  # NEW r7 continuation: never checked
     "join_asof_forward",  # NEW r7 continuation: never checked
     "orders_cohort_ltv",  # NEW r7 continuation: never checked
@@ -139,19 +140,20 @@ _PRIORITY = (
     "text_token_counts",
     "window_running_frames",
     "text_similar_topk",
-    "ann_ivf_topk",
-    # join_asof, join_broadcast_dims, join_inner_equi,
+    # ann_ivf_topk, join_asof, join_broadcast_dims, join_inner_equi,
     # join_range_band, join_left_anti, join_left_semi,
     # join_full_outer and join_left_outer displaced past the boundary
-    # by the eight newest never-checked r7-continuation queries
-    # (quality_perplexity_filter, join_asof_forward,
-    # orders_cohort_ltv, events_power_users_gini,
+    # by the nine newest never-checked r7-continuation queries
+    # (decontaminate_semantic_cosine, quality_perplexity_filter,
+    # join_asof_forward, orders_cohort_ltv, events_power_users_gini,
     # events_attribution_last_touch, events_time_to_convert,
     # stream_trending_topk, pack_efficiency_report); the join family's
     # r3 evidence refresh moves to the round-8 queue head —
-    # join_asof, join_broadcast_dims and join_inner_equi stay
-    # re-proven every round by the headline bench regardless.
+    # ann_ivf_topk, join_asof, join_broadcast_dims and
+    # join_inner_equi stay re-proven every round by the headline
+    # bench regardless.
     # --- 50-query prefix boundary (round-7 driver window) ---
+    "ann_ivf_topk",
     "join_asof",
     "join_broadcast_dims",
     "join_inner_equi",
