@@ -17,9 +17,44 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
 
 from spark_streaming_with_debezium_spark.registry import load_all  # noqa: E402
+
+#: SparkContexts that already carry the packaged engine (addPyFile is
+#: one-shot per context).
+_PKG_SHIPPED: set[int] = set()
+
+
+def _ensure_pkg_on_workers(spark: SparkSession) -> None:
+    """Ship the engine package to Python workers via ``addPyFile``.
+
+    The driver process imports the package through the sys.path insert
+    above, but Spark's Python WORKERS resolve imports from their own
+    PYTHONPATH — fine when the driver is launched from the repo root
+    (every driver round so far), broken for mapInPandas/pandas_udf
+    queries when a vanilla session starts elsewhere. Zipping the
+    package and ``addPyFile``-ing it makes the contract
+    launch-cwd-independent; non-UDF queries never needed this."""
+    sc = spark.sparkContext
+    if id(sc) in _PKG_SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.join(_HERE, "spark_streaming_with_debezium_spark")
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"sswd_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, _HERE))
+    sc.addPyFile(zpath)
+    _PKG_SHIPPED.add(id(sc))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -32,12 +67,21 @@ def entry(spark: SparkSession) -> DataFrame:
         cdc_state_rollup,
     )
 
+    _ensure_pkg_on_workers(spark)
     return cdc_state_rollup(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.fn for name, q in load_all().items()}
+
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_pkg_on_workers(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(q.fn) for name, q in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:

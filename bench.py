@@ -84,6 +84,7 @@ EXTENDED = (
     "events_power_users_gini",  # bucketed exact-rank Gini (r7 cont.)
     "quality_perplexity_filter",  # self-LM NLL quality gate (r7 cont.)
     "decontaminate_semantic_cosine",  # embedding decon rung (r7 cont.)
+    "multimodal_audio_features",  # real-codec feature extract (r7 cont.)
 )
 
 

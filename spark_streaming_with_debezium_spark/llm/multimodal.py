@@ -239,6 +239,77 @@ def _parse_wav(b: bytes) -> tuple[int, int, int, int]:
     return n_ch, rate, n_frames, sum(abs(s) for s in samples)
 
 
+def _wav_sample_list(b: bytes) -> tuple[int, int, list[int]]:
+    """Same RIFF walk as :func:`_parse_wav` but returning the RAW
+    16-bit samples — the input the feature extractor works on."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        sz = struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    _, n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
+    n_frames = len(data) // (2 * n_ch)
+    samples = struct.unpack(
+        "<%dh" % (n_frames * n_ch), data[: 2 * n_frames * n_ch]
+    )
+    return n_ch, rate, list(samples)
+
+
+#: audio_features output schema — integer features + one rounded RMS.
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, n_samples bigint, peak_amp bigint, "
+    "zero_crossings bigint, energy bigint, rms double"
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Feature-extract decoded PCM audio via mapInPandas: peak
+    amplitude, sign zero-crossing count, integer energy (Σs²) and RMS.
+    The C-tier 'feature-extract' stage of the multimodal contract —
+    downstream of the REAL codec path, not the fake decoder. Every
+    feature is integer-exact except RMS, which is one sqrt of an
+    exact integer ratio (engine-identical IEEE)."""
+    import math
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, samples = _wav_sample_list(bytes(payload))
+                n = len(samples)
+                peak = max((abs(s) for s in samples), default=0)
+                zc = sum(
+                    1
+                    for i in range(1, n)
+                    if (samples[i] >= 0) != (samples[i - 1] >= 0)
+                )
+                energy = sum(s * s for s in samples)
+                rms = round(math.sqrt(energy / n), 6) if n else 0.0
+                rows.append(
+                    (int(doc_id), n, int(peak), zc, int(energy), rms)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "peak_amp",
+                    "zero_crossings", "energy", "rms",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        gen, AUDIO_FEATURES_SCHEMA
+    )
+
+
 #: decode_media(fake=False) output schema — one uniform row shape for
 #: image and audio payloads (inapplicable fields are NULL).
 DECODED_SCHEMA = (
@@ -747,6 +818,49 @@ def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media, fake=False).select(
         "doc_id", "n_channels", "sample_rate", "n_samples", "sum_abs_amp"
     )
+
+
+@query(
+    "multimodal_audio_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 9 AS n FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n, i, ((doc_id * 17 + i * 29) % 65536) - 32768 AS samp
+      FROM d, UNNEST(range(0, n)) AS t(i)
+    ),
+    x AS (
+      SELECT doc_id, n, samp,
+             LAG(samp) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(MAX(ABS(samp)) AS BIGINT) AS peak_amp,
+           CAST(SUM(CASE WHEN prev IS NOT NULL
+                          AND ((samp >= 0) <> (prev >= 0))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+           CAST(SUM(samp * samp) AS BIGINT) AS energy,
+           round(sqrt(CAST(SUM(samp * samp) AS DOUBLE) / n), 6) AS rms
+    FROM x GROUP BY doc_id, n
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FEATURE-EXTRACT stage of the multimodal contract, on the
+    REAL audio path: synthesize an actual PCM WAV per doc, re-decode it
+    with the independent RIFF parser, and extract peak amplitude,
+    sign zero-crossing count, integer energy and RMS per clip — the
+    features an audio-curation pipeline filters on (silence/clipping
+    detection). The oracle recomputes every feature from the
+    closed-form sample function, so a parser regression OR a feature
+    bug breaks the hash; RMS is one sqrt of an exact integer ratio
+    (identical IEEE double in both engines). Scale shape: pure
+    mapInPandas over (doc_id, payload) — zero shuffles; Arrow-batched;
+    per-clip cost linear in samples."""
+    d = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(d, "wav")
+    return audio_features(media)
 
 
 @query(

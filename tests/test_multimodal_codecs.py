@@ -175,3 +175,21 @@ def test_decode_media_png_mixed_in(spark):
     assert got[2]["mime"] == "image/bmp"
     for k in ("width", "height", "sum_r", "sum_g", "sum_b"):
         assert got[1][k] == got[2][k]
+
+
+def test_wav_sample_list_matches_closed_form():
+    """The raw-sample RIFF walk behind audio_features must reproduce
+    the synthesizer's closed-form samples exactly, including for
+    doc_ids whose samples straddle the sign boundary (zero-crossing
+    territory)."""
+    from spark_streaming_with_debezium_spark.llm.multimodal import (
+        _make_wav,
+        _wav_sample_list,
+    )
+
+    for d in (3, 1928, 7777):
+        n = 8 + d % 9
+        expected = [((d * 17 + i * 29) % 65536) - 32768 for i in range(n)]
+        n_ch, rate, samples = _wav_sample_list(_make_wav(d))
+        assert (n_ch, rate) == (1, 8000)
+        assert samples == expected
