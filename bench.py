@@ -85,6 +85,7 @@ EXTENDED = (
     "quality_perplexity_filter",  # self-LM NLL quality gate (r7 cont.)
     "decontaminate_semantic_cosine",  # embedding decon rung (r7 cont.)
     "multimodal_audio_features",  # real-codec feature extract (r7 cont.)
+    "multimodal_image_features",  # gradient/contrast features (r7 cont.)
 )
 
 

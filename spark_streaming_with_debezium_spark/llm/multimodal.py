@@ -99,6 +99,86 @@ def _parse_bmp(b: bytes) -> tuple[int, int, int, int, int]:
     return w, height, sum_r, sum_g, sum_b
 
 
+def _bmp_pixel_grid(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Parse a 24-bit BMP into a logical TOP-DOWN pixel grid
+    ``pixels[y][x] = (r, g, b)`` — the raw input for image feature
+    extraction (the stat parser above only keeps channel sums).
+    Handles bottom-up vs top-down storage via the signed height."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit uncompressed BMP supported")
+    height = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    grid: list[list[tuple[int, int, int]]] = [
+        [(0, 0, 0)] * w for _ in range(height)
+    ]
+    for row in range(height):
+        y = (height - 1 - row) if h > 0 else row  # bottom-up default
+        base = data_off + row * row_size
+        for x in range(w):
+            blue, green, red = b[base + 3 * x : base + 3 * x + 3]
+            grid[y][x] = (red, green, blue)
+    return w, height, grid
+
+
+#: image_features output schema — integer-exact features per image.
+IMAGE_FEATURES_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, "
+    "grad_r bigint, grad_g bigint, grad_b bigint, contrast bigint"
+)
+
+
+def image_features(df: DataFrame) -> DataFrame:
+    """Feature-extract decoded images via mapInPandas: horizontal
+    absolute-gradient energy per channel (Σ|p(x,y) − p(x−1,y)| — the
+    sharpness/texture signal an image-curation pipeline thresholds
+    on) and luminance contrast (max − min of the integer BT.601
+    luminance ×1000: 299r + 587g + 114b). Every feature is an exact
+    integer, so the closed-form oracle recomputes them bit-for-bit.
+    Zero-shuffle Arrow plan like the decode faces."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, grid = _bmp_pixel_grid(bytes(payload))
+                gr = gg = gb = 0
+                lmin, lmax = None, None
+                for y in range(h):
+                    for x in range(w):
+                        r, g, bl = grid[y][x]
+                        lum = 299 * r + 587 * g + 114 * bl
+                        lmin = lum if lmin is None else min(lmin, lum)
+                        lmax = lum if lmax is None else max(lmax, lum)
+                        if x:
+                            pr, pg, pb = grid[y][x - 1]
+                            gr += abs(r - pr)
+                            gg += abs(g - pg)
+                            gb += abs(bl - pb)
+                rows.append(
+                    (
+                        int(doc_id), w, h, gr, gg, gb,
+                        (lmax or 0) - (lmin or 0),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height",
+                    "grad_r", "grad_g", "grad_b", "contrast",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        gen, IMAGE_FEATURES_SCHEMA
+    )
+
+
 def _parse_ppm(b: bytes) -> tuple[int, int, int, int, int]:
     """Parse a binary PPM (P6) → (width, height, sum_r, sum_g, sum_b).
     Tokenized header (whitespace + ``#`` comments), raw RGB triplets."""
@@ -861,6 +941,52 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = synthesize_media(d, "wav")
     return audio_features(media)
+
+
+@query(
+    "multimodal_image_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, x, y,
+             (doc_id * 7 + 13 * x + 31 * y) % 256 AS r,
+             (doc_id * 11 + 17 * x + 5 * y) % 256 AS g,
+             (doc_id * 3 + 7 * x + 19 * y) % 256 AS b
+      FROM d, UNNEST(range(0, w)) AS tx(x), UNNEST(range(0, h)) AS ty(y)
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(SUM(CASE WHEN x > 0 THEN ABS(r -
+             ((doc_id * 7 + 13 * (x - 1) + 31 * y) % 256)) ELSE 0 END)
+             AS BIGINT) AS grad_r,
+           CAST(SUM(CASE WHEN x > 0 THEN ABS(g -
+             ((doc_id * 11 + 17 * (x - 1) + 5 * y) % 256)) ELSE 0 END)
+             AS BIGINT) AS grad_g,
+           CAST(SUM(CASE WHEN x > 0 THEN ABS(b -
+             ((doc_id * 3 + 7 * (x - 1) + 19 * y) % 256)) ELSE 0 END)
+             AS BIGINT) AS grad_b,
+           CAST(MAX(299 * r + 587 * g + 114 * b)
+                - MIN(299 * r + 587 * g + 114 * b) AS BIGINT) AS contrast
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image FEATURE-EXTRACT face (sibling of
+    `multimodal_audio_features`): synthesize a real 24-bit BMP per
+    doc, re-decode it into a top-down pixel grid with the independent
+    parser, and extract horizontal gradient energy per channel plus
+    BT.601 luminance contrast — sharpness/flatness signals an image
+    curation pipeline filters on. The oracle recomputes every feature
+    from the closed-form pixel function, so bottom-up row order,
+    padding, BGR ordering, or a gradient bug breaks the hash. All
+    features are exact integers; zero-shuffle mapInPandas plan."""
+    d = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(d, "bmp")
+    return image_features(media)
 
 
 @query(

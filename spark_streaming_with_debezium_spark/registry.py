@@ -90,6 +90,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: registration order after the listed ones.
 _PRIORITY = (
     # --- round-7 driver window (50) ---
+    "multimodal_image_features",  # NEW r7 continuation: never checked
     "multimodal_audio_features",  # NEW r7 continuation: never checked
     "decontaminate_semantic_cosine",  # NEW r7 continuation: never checked
     "quality_perplexity_filter",  # NEW r7 continuation: never checked
@@ -139,22 +140,23 @@ _PRIORITY = (
     "text_redact",
     "text_repetition",
     "text_token_counts",
-    "window_running_frames",
-    # text_similar_topk, ann_ivf_topk, join_asof,
-    # join_broadcast_dims, join_inner_equi, join_range_band,
-    # join_left_anti, join_left_semi, join_full_outer and
-    # join_left_outer displaced past the boundary by the ten newest
-    # never-checked r7-continuation queries
-    # (multimodal_audio_features, decontaminate_semantic_cosine,
-    # quality_perplexity_filter, join_asof_forward, orders_cohort_ltv,
-    # events_power_users_gini, events_attribution_last_touch,
-    # events_time_to_convert, stream_trending_topk,
-    # pack_efficiency_report); text_similar_topk and the join family's
+    # window_running_frames, text_similar_topk, ann_ivf_topk,
+    # join_asof, join_broadcast_dims, join_inner_equi,
+    # join_range_band, join_left_anti, join_left_semi,
+    # join_full_outer and join_left_outer displaced past the boundary
+    # by the eleven newest never-checked r7-continuation queries
+    # (multimodal_image_features, multimodal_audio_features,
+    # decontaminate_semantic_cosine, quality_perplexity_filter,
+    # join_asof_forward, orders_cohort_ltv, events_power_users_gini,
+    # events_attribution_last_touch, events_time_to_convert,
+    # stream_trending_topk, pack_efficiency_report);
+    # window_running_frames, text_similar_topk and the join family's
     # r3 evidence refresh move to the round-8 queue head —
-    # ann_ivf_topk, join_asof, join_broadcast_dims and
-    # join_inner_equi stay re-proven every round by the headline
-    # bench regardless.
+    # window_running_frames, ann_ivf_topk, join_asof,
+    # join_broadcast_dims and join_inner_equi stay re-proven every
+    # round by the headline bench regardless.
     # --- 50-query prefix boundary (round-7 driver window) ---
+    "window_running_frames",
     "text_similar_topk",
     "ann_ivf_topk",
     "join_asof",

@@ -193,3 +193,24 @@ def test_wav_sample_list_matches_closed_form():
         n_ch, rate, samples = _wav_sample_list(_make_wav(d))
         assert (n_ch, rate) == (1, 8000)
         assert samples == expected
+
+
+def test_bmp_pixel_grid_matches_closed_form():
+    """The top-down grid parser behind image_features must reproduce
+    the synthesizer's closed-form pixels exactly (bottom-up storage,
+    row padding, BGR order all reversed correctly)."""
+    from spark_streaming_with_debezium_spark.llm.multimodal import (
+        _bmp_pixel_grid,
+        _make_bmp,
+    )
+
+    for d in (0, 7, 123, 4567):
+        w, h, grid = _bmp_pixel_grid(_make_bmp(d))
+        assert (w, h) == (4 + d % 5, 3 + d % 4)
+        for y in range(h):
+            for x in range(w):
+                assert grid[y][x] == (
+                    (d * 7 + 13 * x + 31 * y) % 256,
+                    (d * 11 + 17 * x + 5 * y) % 256,
+                    (d * 3 + 7 * x + 19 * y) % 256,
+                )
