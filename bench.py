@@ -86,6 +86,7 @@ EXTENDED = (
     "decontaminate_semantic_cosine",  # embedding decon rung (r7 cont.)
     "multimodal_audio_features",  # real-codec feature extract (r7 cont.)
     "multimodal_image_features",  # gradient/contrast features (r7 cont.)
+    "embedding_kmeans_lloyd",  # exact-integer Lloyd k-means (r7 cont.)
 )
 
 

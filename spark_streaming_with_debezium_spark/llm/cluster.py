@@ -219,6 +219,183 @@ def _group_split_oracle() -> str:
     """
 
 
+_KM_K = 8  # cluster count
+_KM_ITERS = 2  # Lloyd (assign → update) rounds before the final assign
+_KM_GRID = 1_000_000  # fixed-point grid: coords become exact BIGINTs
+
+#: dist² between two BIGINT coordinate lists — EXACT integer math, so
+#: the argmin (and therefore every assignment) is bit-determined with
+#: no float anywhere in the fixpoint.
+_KM_D2 = (
+    "list_sum(list_transform(list_zip({a}, {b}), p -> (p[1]-p[2])*(p[1]-p[2])))"
+)
+
+
+def _km_assign_cte(cent: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT vec_id, cluster, d2 FROM (
+        SELECT x.vec_id, c.cluster,
+               {_KM_D2.format(a="x.v", b="c.cv")} AS d2,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY {_KM_D2.format(a="x.v", b="c.cv")}, c.cluster) AS rn
+        FROM xi x CROSS JOIN {cent} c
+      ) WHERE rn = 1
+    )"""
+
+
+def _km_update_cte(assign_t: str, prev_cent: str, out: str) -> str:
+    # (s - pmod(s, n)) // n == floor(s / n) in exact integer arithmetic
+    # (the numerator is an exact multiple of n) — mirrors Python's s // n
+    # on the Spark side with no engine-specific division semantics.
+    return f"""
+    {out}_ex AS (
+      SELECT a.cluster, unnest(xi.v) AS x, generate_subscripts(xi.v, 1) AS pos
+      FROM {assign_t} a JOIN xi ON a.vec_id = xi.vec_id
+    ),
+    {out}_sums AS (
+      SELECT cluster, pos, SUM(x) AS s, COUNT(*) AS n
+      FROM {out}_ex GROUP BY 1, 2
+    ),
+    {out} AS (
+      SELECT p.cluster, COALESCE(m.cv, p.cv) AS cv
+      FROM {prev_cent} p LEFT JOIN (
+        SELECT cluster,
+               list(CAST((s - ((s % n + n) % n)) // n AS BIGINT)
+                    ORDER BY pos) AS cv
+        FROM {out}_sums GROUP BY cluster
+      ) m ON p.cluster = m.cluster
+    )"""
+
+
+def _kmeans_oracle() -> str:
+    """DuckDB dual of the whole Lloyd fixpoint: same integer grid, same
+    md5-ordered seeds, same exact-integer assignment/update rounds —
+    an independent SQL formulation (cross join + window argmin vs the
+    engine's broadcast literal expressions), so the value-hash checks
+    the ALGORITHM, not a shared implementation."""
+    ctes = [
+        f"""
+    xi AS (
+      SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_GRID}) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    cent0 AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               - 1 AS cluster,
+             v AS cv
+      FROM xi
+      QUALIFY row_number()
+                OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {_KM_K}
+    )"""
+    ]
+    for i in range(_KM_ITERS):
+        ctes.append(_km_assign_cte(f"cent{i}", f"a{i + 1}"))
+        ctes.append(_km_update_cte(f"a{i + 1}", f"cent{i}", f"cent{i + 1}"))
+    ctes.append(_km_assign_cte(f"cent{_KM_ITERS}", "afinal"))
+    joined = ",".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT vec_id, CAST(cluster AS INT) AS cluster, CAST(d2 AS BIGINT) AS dist2
+    FROM afinal
+    """
+
+
+@query("embedding_kmeans_lloyd", oracle=_kmeans_oracle())
+def embedding_kmeans_lloyd(spark, sf_dir: str) -> DataFrame:
+    """Deterministic native k-means over the embedding corpus — the
+    clustering primitive behind SemDeDup cells, IVF coarse quantizers
+    and topic bucketing, promoted from the rows-only class
+    (pyspark.ml KMeans is seed/partitioning-dependent) to a full
+    value-hash oracle: every coordinate drops onto an exact 1e-6
+    integer grid (the ``embedding_label_cohesion`` trick), seeds are
+    the k smallest (md5(vec_id), vec_id) vectors, assignment argmin
+    and centroid floor-division are exact integer arithmetic, so the
+    whole fixpoint is reproducible bit-for-bit across engines,
+    partitionings and retries.
+
+    Scale shape (the pyspark.ml KMeans loop, hand-rolled): per Lloyd
+    round, ONE stateless pass assigns every vector against k×d
+    BROADCAST literal centroids (no join, no shuffle of the corpus),
+    then one partial-aggregated groupBy(cluster, pos) reduces to
+    k×d rows per partition map-side before the shuffle; the k×d sum
+    table is a bounded driver collect (k=8 × d=64), exactly what any
+    iterative ML driver loop holds. At 100 TB you'd persist the
+    gridded vectors once across rounds; the per-round cost is a scan,
+    not a join."""
+    from spark_streaming_with_debezium_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _KM_GRID).cast("long"),
+        ).alias("v"),
+    )
+
+    # Seeds: global top-k by (md5, vec_id) — TakeOrderedAndProject, an
+    # O(n) scan returning k rows (the bounded collect every iterative
+    # ML driver makes; pyspark.ml's KMeans init does the same shape).
+    seed_rows = (
+        e.select("vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(_KM_K)
+        .collect()
+    )
+    cents: list[list[int]] = [list(r["v"]) for r in seed_rows]
+
+    def dist2(cv: list[int]):
+        arr = F.array(*[F.lit(int(c)) for c in cv])
+        return F.aggregate(
+            F.zip_with("v", arr, lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def best_struct(cents: list[list[int]]):
+        # struct comparison is lexicographic (d2 first, cluster second)
+        # ⇒ array_min IS the deterministic argmin with the same
+        # smallest-cluster tie-break as the oracle's window ORDER BY.
+        return F.array_min(
+            F.array(
+                *[
+                    F.named_struct(
+                        F.lit("d2"), dist2(cv), F.lit("cluster"), F.lit(j)
+                    )
+                    for j, cv in enumerate(cents)
+                ]
+            )
+        )
+
+    for _ in range(_KM_ITERS):
+        best = best_struct(cents)
+        sums = (
+            e.select(best["cluster"].alias("cluster"), F.posexplode("v"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: k × d rows
+        )
+        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = (r["s"], r["n"])
+        cents = [
+            # Python // floors like the oracle's exact (s - pmod) // n;
+            # empty clusters keep their previous centroid (both engines)
+            [d[p][0] // d[p][1] for p in range(len(old))]
+            if (d := by_cluster.get(j))
+            else old
+            for j, old in enumerate(cents)
+        ]
+
+    best = best_struct(cents)
+    return e.select(
+        "vec_id",
+        best["cluster"].cast("int").alias("cluster"),
+        best["d2"].cast("long").alias("dist2"),
+    )
+
+
 @query("split_leakage_safe_groups", oracle=_group_split_oracle())
 def split_leakage_safe_groups(spark, sf_dir: str) -> DataFrame:
     """Dedup-aware train/holdout split: every near-dup CLUSTER travels

@@ -90,6 +90,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: registration order after the listed ones.
 _PRIORITY = (
     # --- round-7 driver window (50) ---
+    "embedding_kmeans_lloyd",  # NEW r7 continuation: never checked
     "multimodal_image_features",  # NEW r7 continuation: never checked
     "multimodal_audio_features",  # NEW r7 continuation: never checked
     "decontaminate_semantic_cosine",  # NEW r7 continuation: never checked
@@ -139,7 +140,6 @@ _PRIORITY = (
     "text_quality",
     "text_redact",
     "text_repetition",
-    "text_token_counts",
     # window_running_frames, text_similar_topk, ann_ivf_topk,
     # join_asof, join_broadcast_dims, join_inner_equi,
     # join_range_band, join_left_anti, join_left_semi,
@@ -155,7 +155,12 @@ _PRIORITY = (
     # window_running_frames, ann_ivf_topk, join_asof,
     # join_broadcast_dims and join_inner_equi stay re-proven every
     # round by the headline bench regardless.
+    # embedding_kmeans_lloyd additionally displaces text_token_counts
+    # past the boundary (its last driver row is r2, but it is re-proven
+    # every round as a headline-bench query and by the full local
+    # oracle sweep; the new never-checked query outranks it).
     # --- 50-query prefix boundary (round-7 driver window) ---
+    "text_token_counts",
     "window_running_frames",
     "text_similar_topk",
     "ann_ivf_topk",
