@@ -87,6 +87,7 @@ EXTENDED = (
     "multimodal_audio_features",  # real-codec feature extract (r7 cont.)
     "multimodal_image_features",  # gradient/contrast features (r7 cont.)
     "embedding_kmeans_lloyd",  # exact-integer Lloyd k-means (r7 cont.)
+    "embedding_hard_negatives",  # in-cell contrastive mining (r7 cont.)
 )
 
 

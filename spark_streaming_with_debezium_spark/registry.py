@@ -91,6 +91,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 _PRIORITY = (
     # --- round-7 driver window (50) ---
     "embedding_kmeans_lloyd",  # NEW r7 continuation: never checked
+    "embedding_hard_negatives",  # NEW r7 continuation: never checked
     "multimodal_image_features",  # NEW r7 continuation: never checked
     "multimodal_audio_features",  # NEW r7 continuation: never checked
     "decontaminate_semantic_cosine",  # NEW r7 continuation: never checked
@@ -137,7 +138,6 @@ _PRIORITY = (
     "text_fingerprint",
     "text_idf",
     "text_langid",
-    "text_quality",
     "text_redact",
     "text_repetition",
     # window_running_frames, text_similar_topk, ann_ivf_topk,
@@ -155,12 +155,14 @@ _PRIORITY = (
     # window_running_frames, ann_ivf_topk, join_asof,
     # join_broadcast_dims and join_inner_equi stay re-proven every
     # round by the headline bench regardless.
-    # embedding_kmeans_lloyd additionally displaces text_token_counts
-    # past the boundary (its last driver row is r2, but it is re-proven
-    # every round as a headline-bench query and by the full local
-    # oracle sweep; the new never-checked query outranks it).
+    # embedding_kmeans_lloyd and embedding_hard_negatives additionally
+    # displace text_token_counts and text_quality past the boundary
+    # (their last driver rows are r2, but both are re-proven every
+    # round as headline-bench queries and by the full local oracle
+    # sweep; the new never-checked queries outrank them).
     # --- 50-query prefix boundary (round-7 driver window) ---
     "text_token_counts",
+    "text_quality",
     "window_running_frames",
     "text_similar_topk",
     "ann_ivf_topk",
