@@ -88,6 +88,7 @@ EXTENDED = (
     "multimodal_image_features",  # gradient/contrast features (r7 cont.)
     "embedding_kmeans_lloyd",  # exact-integer Lloyd k-means (r7 cont.)
     "embedding_hard_negatives",  # in-cell contrastive mining (r7 cont.)
+    "embedding_pca_power",  # matrix-free exact power iteration (r7 cont.)
 )
 
 

@@ -133,6 +133,101 @@ def text_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PCA_ORACLE = """
+    WITH x1 AS (
+      SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    t0 AS (SELECT vec_id, CAST(list_sum(v) AS HUGEINT) AS t FROM x1),
+    ex AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v,1) AS pos
+           FROM x1),
+    v1 AS (SELECT pos, SUM(CAST(ex.x AS HUGEINT) * t0.t) AS s
+           FROM ex JOIN t0 USING (vec_id) GROUP BY pos),
+    t1 AS (SELECT ex.vec_id, SUM(CAST(ex.x AS HUGEINT) * v1.s) AS t
+           FROM ex JOIN v1 USING (pos) GROUP BY ex.vec_id),
+    v2 AS (SELECT pos, SUM(CAST(ex.x AS HUGEINT) * t1.t) AS s
+           FROM ex JOIN t1 USING (vec_id) GROUP BY pos),
+    ref AS (SELECT pos, s FROM v2
+            QUALIFY row_number() OVER (ORDER BY abs(s) DESC, pos) = 1)
+    SELECT v2.pos AS pos,
+           round(CAST(v2.s AS DOUBLE) / CAST(r.s AS DOUBLE), 6) AS dir_ratio,
+           round(CAST(r.s AS DOUBLE) / CAST(v1r.s AS DOUBLE) / 1e12, 6)
+             AS eig_est
+    FROM v2, ref r JOIN v1 v1r ON v1r.pos = r.pos
+    """
+
+
+@query("embedding_pca_power", oracle=_PCA_ORACLE)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal axis of the embedding corpus by MATRIX-FREE
+    power iteration — the spectral building block behind whitening,
+    SemDeDup-style re-centering and low-rank drift monitors. The Gram
+    matrix G = XᵀX is never materialized: each iteration computes
+    v ← Xᵀ(X·v) as ONE stateless pass (per-row dot against the
+    broadcast iterate, posexplode, partial-aggregated groupBy(pos)),
+    so the per-round cost is a scan and a d-row shuffle — the same
+    shape at 100 TB, where forming the d×d Gram via n·d² explosion
+    would be the wrong plan for the first iterations.
+
+    Determinism without a float anywhere in the fixpoint: coordinates
+    drop on the exact 1e-6 integer grid, iterates stay exact integers
+    (decimal(38) interior / DuckDB HUGEINT — bounds proven for d=64,
+    n ≤ ~1e5; beyond that, production rescales the iterate by an exact
+    2^k floor-shift between rounds), and the OUTPUT is normalization-
+    free projective coordinates: every component as a ratio to the
+    largest-|component| reference (tie-break smallest pos), plus the
+    eigenvalue estimate v2_ref/v1_ref rescaled to float units. The
+    only float ops are two divisions of exactly-known integers —
+    bit-identical IEEE in both engines."""
+    from spark_streaming_with_debezium_spark.llm.cluster import (
+        _gridded_embeddings,
+    )
+
+    e = _gridded_embeddings(spark, sf_dir).select("vec_id", "v")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    zero = F.lit(0).cast("decimal(38,0)")
+    add = lambda a, x: (a + x).cast("decimal(38,0)")  # noqa: E731
+
+    def half_pass(t_col) -> list[int]:
+        """One v ← Xᵀ(X·v) pass: t_col is the per-row dot X·v; returns
+        the d exact integer components of the new iterate (bounded
+        d-row collect — the iterative-ML driver loop shape)."""
+        rows = (
+            e.select(t_col.alias("t"), F.posexplode("v").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.sum(dec(F.col("x")) * F.col("t")).alias("s"))
+            .collect()
+        )
+        by_pos = {r["pos"]: int(r["s"]) for r in rows}
+        return [by_pos[p] for p in range(len(by_pos))]
+
+    # iteration 1: v0 = all-ones ⇒ X·v0 is just the coordinate sum
+    t0 = F.aggregate("v", zero, lambda a, x: add(a, dec(x)))
+    v1 = half_pass(t0)
+    # iteration 2: dot against the broadcast exact iterate
+    v1_lit = F.array(*[F.lit(str(c)).cast("decimal(38,0)") for c in v1])
+    t1 = F.aggregate(
+        F.zip_with("v", v1_lit, lambda x, c: dec(x) * c), zero, add
+    )
+    v2 = half_pass(t1)
+
+    d = len(v2)
+    ref = sorted(range(d), key=lambda p: (-abs(v2[p]), p))[0]
+    out = spark.createDataFrame(
+        [(p + 1, str(v2[p])) for p in range(d)], "pos int, v2 string"
+    )
+    ref2 = F.lit(str(v2[ref])).cast("decimal(38,0)").cast("double")
+    ref1 = F.lit(str(v1[ref])).cast("decimal(38,0)").cast("double")
+    return out.select(
+        "pos",
+        F.round(
+            F.col("v2").cast("decimal(38,0)").cast("double") / ref2, 6
+        ).alias("dir_ratio"),
+        F.round(ref2 / ref1 / F.lit(1e12), 6).alias("eig_est"),
+    )
+
+
 @query(
     "embedding_label_cohesion",
     oracle="""

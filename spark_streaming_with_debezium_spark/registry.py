@@ -92,6 +92,7 @@ _PRIORITY = (
     # --- round-7 driver window (50) ---
     "embedding_kmeans_lloyd",  # NEW r7 continuation: never checked
     "embedding_hard_negatives",  # NEW r7 continuation: never checked
+    "embedding_pca_power",  # NEW r7 continuation: never checked
     "multimodal_image_features",  # NEW r7 continuation: never checked
     "multimodal_audio_features",  # NEW r7 continuation: never checked
     "decontaminate_semantic_cosine",  # NEW r7 continuation: never checked
@@ -139,7 +140,6 @@ _PRIORITY = (
     "text_idf",
     "text_langid",
     "text_redact",
-    "text_repetition",
     # window_running_frames, text_similar_topk, ann_ivf_topk,
     # join_asof, join_broadcast_dims, join_inner_equi,
     # join_range_band, join_left_anti, join_left_semi,
@@ -160,7 +160,14 @@ _PRIORITY = (
     # (their last driver rows are r2, but both are re-proven every
     # round as headline-bench queries and by the full local oracle
     # sweep; the new never-checked queries outrank them).
+    # embedding_pca_power displaces text_repetition — NOT headline-
+    # covered, so its driver evidence honestly stays r2-stale until
+    # round 8 (it heads the r8 queue below); it remains green in every
+    # session's full local oracle sweep. The "entire r2 block in the
+    # r7 window" claim above therefore excludes text_token_counts,
+    # text_quality and text_repetition.
     # --- 50-query prefix boundary (round-7 driver window) ---
+    "text_repetition",
     "text_token_counts",
     "text_quality",
     "window_running_frames",
