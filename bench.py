@@ -89,6 +89,7 @@ EXTENDED = (
     "embedding_kmeans_lloyd",  # exact-integer Lloyd k-means (r7 cont.)
     "embedding_hard_negatives",  # in-cell contrastive mining (r7 cont.)
     "embedding_pca_power",  # matrix-free exact power iteration (r7 cont.)
+    "embedding_pq_codes",  # product-quantization codebooks (r7 cont.)
 )
 
 

@@ -1,0 +1,222 @@
+"""Product quantization (PQ) — the workhorse memory-compression
+technique of large-scale ANN serving (IVF-PQ): the d-dim space splits
+into M subspaces, each with its own tiny k-means codebook, and every
+vector stores only its M sub-cluster ids (M·log2(k) bits instead of
+d·32). Here: 64 dims → 8 subspaces × 8 dims, k=4 centroids each, so a
+vector compresses to 8 codes (16 bits) and reconstruction error is the
+sum of per-subspace quantization errors.
+
+Everything rides the exact-integer machinery from ``llm/cluster.py``:
+coordinates on the 1e-6 grid, integer argmin with pinned tie-breaks,
+floor-division centroid updates — the full multi-codebook training
+fixpoint is bit-deterministic and value-hash-oracled against an
+independent DuckDB formulation.
+
+The Spark shape is the PQ-specific win: ALL M codebooks train in the
+SAME passes — per Lloyd round, one stateless pass assigns every
+subvector against M·k broadcast literal centroids, one exploded
+partial-aggregated groupBy((m, cluster, pos)) reduces to M·k·(d/M)
+rows per partition map-side, and the bounded M·k·(d/M) sum table is a
+driver collect. Training M codebooks costs the same number of jobs as
+training one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_streaming_with_debezium_spark.llm.cluster import (
+    _gridded_embeddings,
+    _KM_D2,
+)
+from spark_streaming_with_debezium_spark.registry import query
+
+_PQ_M = 8  # subspaces
+_PQ_SUB = 8  # dims per subspace
+_PQ_K = 4  # centroids per subspace codebook
+_PQ_ITERS = 2
+
+
+def _pq_assign_cte(cent: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT vec_id, m, cluster, d2 FROM (
+        SELECT s.vec_id, s.m, c.cluster,
+               {_KM_D2.format(a="s.sv", b="c.cv")} AS d2,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {_KM_D2.format(a="s.sv", b="c.cv")}, c.cluster) AS rn
+        FROM sub s JOIN {cent} c ON s.m = c.m
+      ) WHERE rn = 1
+    )"""
+
+
+def _pq_update_cte(assign_t: str, prev: str, out: str) -> str:
+    return f"""
+    {out}_ex AS (
+      SELECT a.m, a.cluster, unnest(s.sv) AS x,
+             generate_subscripts(s.sv, 1) AS pos
+      FROM {assign_t} a JOIN sub s ON a.vec_id = s.vec_id AND a.m = s.m
+    ),
+    {out}_sums AS (
+      SELECT m, cluster, pos, SUM(x) AS s, COUNT(*) AS n
+      FROM {out}_ex GROUP BY 1, 2, 3
+    ),
+    {out} AS (
+      SELECT p.m, p.cluster, COALESCE(u.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN (
+        SELECT m, cluster,
+               list(CAST((s - ((s % n + n) % n)) // n AS BIGINT)
+                    ORDER BY pos) AS cv
+        FROM {out}_sums GROUP BY m, cluster
+      ) u ON p.m = u.m AND p.cluster = u.cluster
+    )"""
+
+
+def _pq_oracle() -> str:
+    ctes = [
+        f"""
+    xi AS (
+      SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, m, list_slice(v, m*{_PQ_SUB}+1, m*{_PQ_SUB}+{_PQ_SUB}) AS sv
+      FROM xi, (SELECT unnest(range({_PQ_M})) AS m)
+    ),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               - 1 AS cluster,
+             v
+      FROM xi
+      QUALIFY row_number()
+                OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {_PQ_K}
+    ),
+    cent0 AS (
+      SELECT t.m, s.cluster,
+             list_slice(s.v, t.m*{_PQ_SUB}+1, t.m*{_PQ_SUB}+{_PQ_SUB}) AS cv
+      FROM seeds s, (SELECT unnest(range({_PQ_M})) AS m) t
+    )"""
+    ]
+    for i in range(_PQ_ITERS):
+        ctes.append(_pq_assign_cte(f"cent{i}", f"a{i + 1}"))
+        ctes.append(_pq_update_cte(f"a{i + 1}", f"cent{i}", f"cent{i + 1}"))
+    ctes.append(_pq_assign_cte(f"cent{_PQ_ITERS}", "afinal"))
+    joined = ",".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT vec_id,
+           string_agg(CAST(cluster AS VARCHAR), ',' ORDER BY m) AS code,
+           CAST(SUM(d2) AS BIGINT) AS qerr2
+    FROM afinal GROUP BY vec_id
+    """
+
+
+def _sub_slices():
+    """The M gridded subvector columns of ``v``."""
+    return [
+        F.slice("v", m * _PQ_SUB + 1, _PQ_SUB).alias(f"sv{m}")
+        for m in range(_PQ_M)
+    ]
+
+
+def _sub_dist2(sv_col, cv: list[int]):
+    arr = F.array(*[F.lit(int(c)) for c in cv])
+    return F.aggregate(
+        F.zip_with(sv_col, arr, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_best(m: int, books: list[list[list[int]]]):
+    """argmin struct (d2, cluster) of subspace m against its codebook —
+    array_min over named structs, same pinned tie-break as the oracle."""
+    return F.array_min(
+        F.array(
+            *[
+                F.named_struct(
+                    F.lit("d2"),
+                    _sub_dist2(F.col(f"sv{m}"), cv),
+                    F.lit("cluster"),
+                    F.lit(j),
+                )
+                for j, cv in enumerate(books[m])
+            ]
+        )
+    )
+
+
+@query("embedding_pq_codes", oracle=_pq_oracle())
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the M per-subspace codebooks (2 Lloyd rounds, all
+    subspaces in the same jobs) and emit every vector's PQ code plus
+    its exact reconstruction error. See module docstring for the
+    scale argument; the returned plan is a single stateless pass
+    (codebooks are broadcast literals — no shuffle at all)."""
+    e = _gridded_embeddings(spark, sf_dir).select("vec_id", "v")
+    sub = e.select("vec_id", *_sub_slices())
+
+    seed_rows = (
+        e.select("vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(_PQ_K)
+        .collect()
+    )
+    # books[m][cluster] -> list of SUB ints (slices of the seed vectors)
+    books: list[list[list[int]]] = [
+        [list(r["v"])[m * _PQ_SUB : (m + 1) * _PQ_SUB] for r in seed_rows]
+        for m in range(_PQ_M)
+    ]
+
+    for _ in range(_PQ_ITERS):
+        # one exploded pass updates ALL M codebooks: (m, cluster, sv)
+        ex = sub.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.named_struct(
+                            F.lit("m"),
+                            F.lit(m),
+                            F.lit("cluster"),
+                            _pq_best(m, books)["cluster"],
+                            F.lit("sv"),
+                            F.col(f"sv{m}"),
+                        )
+                        for m in range(_PQ_M)
+                    ]
+                )
+            ).alias("z")
+        ).select("z.m", "z.cluster", F.posexplode("z.sv").alias("pos", "x"))
+        sums = (
+            ex.groupBy("m", "cluster", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: M · k · SUB rows
+        )
+        table: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            table.setdefault((r["m"], r["cluster"]), {})[r["pos"]] = (
+                r["s"],
+                r["n"],
+            )
+        books = [
+            [
+                [d[p][0] // d[p][1] for p in range(_PQ_SUB)]
+                if (d := table.get((m, j)))
+                else old
+                for j, old in enumerate(books[m])
+            ]
+            for m in range(_PQ_M)
+        ]
+
+    bests = [_pq_best(m, books) for m in range(_PQ_M)]
+    code = F.concat_ws(
+        ",", *[b["cluster"].cast("string") for b in bests]
+    )
+    qerr2 = sum(
+        (b["d2"] for b in bests[1:]), bests[0]["d2"]
+    )
+    return sub.select(
+        "vec_id", code.alias("code"), qerr2.cast("long").alias("qerr2")
+    )

@@ -49,6 +49,7 @@ _QUERY_MODULES = (
     "spark_streaming_with_debezium_spark.llm.embedding_ops",
     "spark_streaming_with_debezium_spark.llm.pipeline_ops",
     "spark_streaming_with_debezium_spark.llm.cluster",
+    "spark_streaming_with_debezium_spark.llm.pq",
 )
 
 
@@ -93,6 +94,7 @@ _PRIORITY = (
     "embedding_kmeans_lloyd",  # NEW r7 continuation: never checked
     "embedding_hard_negatives",  # NEW r7 continuation: never checked
     "embedding_pca_power",  # NEW r7 continuation: never checked
+    "embedding_pq_codes",  # NEW r7 continuation: never checked
     "multimodal_image_features",  # NEW r7 continuation: never checked
     "multimodal_audio_features",  # NEW r7 continuation: never checked
     "decontaminate_semantic_cosine",  # NEW r7 continuation: never checked
@@ -138,7 +140,6 @@ _PRIORITY = (
     "fn_strings_extended",
     "text_fingerprint",
     "text_idf",
-    "text_langid",
     "text_redact",
     # window_running_frames, text_similar_topk, ann_ivf_topk,
     # join_asof, join_broadcast_dims, join_inner_equi,
@@ -160,13 +161,15 @@ _PRIORITY = (
     # (their last driver rows are r2, but both are re-proven every
     # round as headline-bench queries and by the full local oracle
     # sweep; the new never-checked queries outrank them).
-    # embedding_pca_power displaces text_repetition — NOT headline-
-    # covered, so its driver evidence honestly stays r2-stale until
-    # round 8 (it heads the r8 queue below); it remains green in every
-    # session's full local oracle sweep. The "entire r2 block in the
-    # r7 window" claim above therefore excludes text_token_counts,
-    # text_quality and text_repetition.
+    # embedding_pca_power and embedding_pq_codes displace
+    # text_repetition and text_langid — NOT headline-covered, so their
+    # driver evidence honestly stays r2-stale until round 8 (they head
+    # the r8 queue below); both remain green in every session's full
+    # local oracle sweep. The "entire r2 block in the r7 window" claim
+    # above therefore excludes text_token_counts, text_quality,
+    # text_repetition and text_langid.
     # --- 50-query prefix boundary (round-7 driver window) ---
+    "text_langid",
     "text_repetition",
     "text_token_counts",
     "text_quality",
