@@ -90,6 +90,7 @@ EXTENDED = (
     "embedding_hard_negatives",  # in-cell contrastive mining (r7 cont.)
     "embedding_pca_power",  # matrix-free exact power iteration (r7 cont.)
     "embedding_pq_codes",  # product-quantization codebooks (r7 cont.)
+    "ann_pq_adc_topk",  # compressed-domain ADC serving scan (r7 cont.)
 )
 
 

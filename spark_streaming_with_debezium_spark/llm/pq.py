@@ -73,7 +73,9 @@ def _pq_update_cte(assign_t: str, prev: str, out: str) -> str:
     )"""
 
 
-def _pq_oracle() -> str:
+def _pq_cte_chain() -> str:
+    """Shared CTE prefix ``xi .. sub .. cent{N} .. afinal`` running the
+    whole multi-codebook training fixpoint in SQL."""
     ctes = [
         f"""
     xi AS (
@@ -103,9 +105,12 @@ def _pq_oracle() -> str:
         ctes.append(_pq_assign_cte(f"cent{i}", f"a{i + 1}"))
         ctes.append(_pq_update_cte(f"a{i + 1}", f"cent{i}", f"cent{i + 1}"))
     ctes.append(_pq_assign_cte(f"cent{_PQ_ITERS}", "afinal"))
-    joined = ",".join(ctes)
+    return ",".join(ctes)
+
+
+def _pq_oracle() -> str:
     return f"""
-    WITH {joined}
+    WITH {_pq_cte_chain()}
     SELECT vec_id,
            string_agg(CAST(cluster AS VARCHAR), ',' ORDER BY m) AS code,
            CAST(SUM(d2) AS BIGINT) AS qerr2
@@ -148,13 +153,18 @@ def _pq_best(m: int, books: list[list[list[int]]]):
     )
 
 
-@query("embedding_pq_codes", oracle=_pq_oracle())
-def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train the M per-subspace codebooks (2 Lloyd rounds, all
-    subspaces in the same jobs) and emit every vector's PQ code plus
-    its exact reconstruction error. See module docstring for the
-    scale argument; the returned plan is a single stateless pass
-    (codebooks are broadcast literals — no shuffle at all)."""
+#: Trained codebooks per sf_dir — safe to memoize for the same reason
+#: as the Lloyd centroid cache in ``llm/cluster.py``: the fixpoint is
+#: bit-deterministic in the immutable input data, and the oracle
+#: retrains from scratch on every compare.
+_BOOKS_CACHE: dict[str, list[list[list[int]]]] = {}
+
+
+def _train_books(spark: SparkSession, sf_dir: str) -> list[list[list[int]]]:
+    """Run the shared-pass PQ training loop; returns
+    ``books[m][cluster] -> list of SUB exact ints``."""
+    if sf_dir in _BOOKS_CACHE:
+        return _BOOKS_CACHE[sf_dir]
     e = _gridded_embeddings(spark, sf_dir).select("vec_id", "v")
     sub = e.select("vec_id", *_sub_slices())
 
@@ -209,7 +219,19 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             for m in range(_PQ_M)
         ]
+    _BOOKS_CACHE[sf_dir] = books
+    return books
 
+
+@query("embedding_pq_codes", oracle=_pq_oracle())
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the M per-subspace codebooks (2 Lloyd rounds, all
+    subspaces in the same jobs) and emit every vector's PQ code plus
+    its exact reconstruction error. See module docstring for the
+    scale argument; the returned plan is a single stateless pass
+    (codebooks are broadcast literals — no shuffle at all)."""
+    books = _train_books(spark, sf_dir)
+    sub = _gridded_embeddings(spark, sf_dir).select("vec_id", *_sub_slices())
     bests = [_pq_best(m, books) for m in range(_PQ_M)]
     code = F.concat_ws(
         ",", *[b["cluster"].cast("string") for b in bests]
@@ -219,4 +241,158 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sub.select(
         "vec_id", code.alias("code"), qerr2.cast("long").alias("qerr2")
+    )
+
+
+_ADC_QUERIES = 8  # vec_id < 8 are the standing query vectors (llm/similarity.py)
+_ADC_TOP_K = 5
+
+
+def _adc_oracle() -> str:
+    d2qc = _KM_D2.format(a="qs.qsv", b="c.cv")
+    d2xq = _KM_D2.format(a="x.v", b="q.qv")
+    return f"""
+    WITH {_pq_cte_chain()},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM xi
+          WHERE vec_id < {_ADC_QUERIES}),
+    qsub AS (
+      SELECT query_id, m,
+             list_slice(qv, m*{_PQ_SUB}+1, m*{_PQ_SUB}+{_PQ_SUB}) AS qsv
+      FROM q, (SELECT unnest(range({_PQ_M})) AS m)
+    ),
+    lut AS (
+      SELECT qs.query_id, c.m, c.cluster, {d2qc} AS d2
+      FROM qsub qs JOIN cent{_PQ_ITERS} c ON qs.m = c.m
+    ),
+    adc AS (
+      SELECT a.vec_id, l.query_id, SUM(l.d2) AS adc_d2
+      FROM afinal a JOIN lut l ON a.m = l.m AND a.cluster = l.cluster
+      WHERE a.vec_id <> l.query_id
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, adc_d2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_d2, vec_id) AS rnk
+      FROM adc
+    )
+    SELECT t.query_id, t.vec_id, t.rnk,
+           CAST(t.adc_d2 AS BIGINT) AS adc_d2,
+           CAST({d2xq} AS BIGINT) AS exact_d2
+    FROM ranked t
+    JOIN xi x ON t.vec_id = x.vec_id
+    JOIN q ON t.query_id = q.query_id
+    WHERE t.rnk <= {_ADC_TOP_K}
+    """
+
+
+@query("ann_pq_adc_topk", oracle=_adc_oracle())
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric distance computation (ADC) — the SERVING path of
+    IVF-PQ retrieval: each query precomputes an M×k lookup table of
+    exact subspace distances to every codebook centroid (driver-side,
+    M·k·(d/M) integer ops per query), and every corpus vector is then
+    scored through its stored PQ code with M table lookups instead of
+    d multiply-adds — the compressed-domain scan that makes
+    billion-vector serving affordable. Top-k per query by (adc_d2,
+    vec_id); each survivor also carries its TRUE gridded distance so
+    the approximation gap is visible in the result itself.
+
+    Scale shape: the corpus scan is stateless against broadcast
+    literal lookup tables (codes never leave their partition); the
+    per-query top-k window shuffles only q·n score rows; the exact
+    re-rank joins the gridded corpus against the BROADCAST q·k
+    survivor set. All arithmetic is exact integers end-to-end — the
+    whole train→encode→serve pipeline is value-hash-oracled."""
+    books = _train_books(spark, sf_dir)
+    e = _gridded_embeddings(spark, sf_dir).select("vec_id", "v")
+    sub = e.select("vec_id", *_sub_slices())
+
+    # query-side lookup tables, exact ints: L[q][m][j]
+    q_rows = (
+        e.filter(F.col("vec_id") < _ADC_QUERIES)
+        .orderBy("vec_id")
+        .collect()  # bounded: the standing query set
+    )
+    luts = {
+        int(r["vec_id"]): [
+            [
+                sum(
+                    (a - b) * (a - b)
+                    for a, b in zip(
+                        list(r["v"])[m * _PQ_SUB : (m + 1) * _PQ_SUB], cv
+                    )
+                )
+                for cv in books[m]
+            ]
+            for m in range(_PQ_M)
+        ]
+        for r in q_rows
+    }
+
+    codes = [ _pq_best(m, books)["cluster"].alias(f"c{m}") for m in range(_PQ_M) ]
+    coded = sub.select("vec_id", *codes)
+
+    def adc_for(qid: int):
+        terms = [
+            F.element_at(
+                F.array(*[F.lit(int(v)) for v in luts[qid][m]]),
+                F.col(f"c{m}") + 1,
+            )
+            for m in range(_PQ_M)
+        ]
+        return sum(terms[1:], terms[0])
+
+    from pyspark.sql import Window
+
+    exploded = coded.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.named_struct(
+                        F.lit("query_id"), F.lit(qid), F.lit("adc"), adc_for(qid)
+                    )
+                    for qid in sorted(luts)
+                ]
+            )
+        ).alias("z"),
+    ).select("vec_id", "z.query_id", F.col("z.adc").alias("adc_d2"))
+
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    top = (
+        exploded.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _ADC_TOP_K)
+    )
+
+    # exact re-rank distance: survivors are q·k rows — broadcast them
+    # against the gridded corpus and resolve the query vector by a
+    # literal CASE chain (queries are a bounded standing set).
+    qvs = {int(r["vec_id"]): list(r["v"]) for r in q_rows}
+    exact = None
+    for qid, qv in qvs.items():
+        d2 = F.aggregate(
+            F.zip_with(
+                "v",
+                F.array(*[F.lit(int(c)) for c in qv]),
+                lambda x, c: (x - c) * (x - c),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        exact = (
+            F.when(F.col("query_id") == qid, d2)
+            if exact is None
+            else exact.when(F.col("query_id") == qid, d2)
+        )
+    return (
+        e.join(F.broadcast(top), "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "rnk",
+            F.col("adc_d2").cast("long").alias("adc_d2"),
+            exact.cast("long").alias("exact_d2"),
+        )
     )
