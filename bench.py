@@ -91,6 +91,7 @@ EXTENDED = (
     "embedding_pca_power",  # matrix-free exact power iteration (r7 cont.)
     "embedding_pq_codes",  # product-quantization codebooks (r7 cont.)
     "ann_pq_adc_topk",  # compressed-domain ADC serving scan (r7 cont.)
+    "events_drift_psi",  # two-dimension PSI drift monitor (r7 cont.)
 )
 
 

@@ -390,3 +390,154 @@ def events_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("evenness"),
     )
+
+
+@query(
+    "events_drift_psi",
+    oracle="""
+    WITH stats AS (
+      SELECT min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us,
+             min(value) AS vmin, max(value) AS vmax
+      FROM events
+    ),
+    ex AS (
+      SELECT t.dimension, t.bucket,
+             CASE WHEN epoch_us(e.ts) <=
+                  ((s.min_us + s.max_us) - ((s.min_us + s.max_us) % 2)) // 2
+                  THEN 1 ELSE 0 END AS is_ref
+      FROM events e, stats s,
+           LATERAL (VALUES
+             ('event_type', e.event_type),
+             ('value_decile', CAST(CAST(least(9, floor(
+                (e.value - s.vmin) / ((s.vmax - s.vmin) / 10)
+              )) AS INT) AS VARCHAR))
+           ) AS t(dimension, bucket)
+    ),
+    grp AS (
+      SELECT dimension, bucket,
+             SUM(is_ref) AS c_ref, SUM(1 - is_ref) AS c_cur
+      FROM ex GROUP BY 1, 2
+    ),
+    dims AS (
+      SELECT dimension, COUNT(*) AS n_buckets,
+             SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur
+      FROM grp GROUP BY 1
+    ),
+    terms AS (
+      SELECT g.dimension,
+             CAST(
+               ((CAST(g.c_cur + 1 AS DOUBLE) / (d.n_cur + d.n_buckets))
+                - (CAST(g.c_ref + 1 AS DOUBLE) / (d.n_ref + d.n_buckets)))
+               * ln((CAST(g.c_cur + 1 AS DOUBLE) / (d.n_cur + d.n_buckets))
+                    / (CAST(g.c_ref + 1 AS DOUBLE) / (d.n_ref + d.n_buckets)))
+               AS DECIMAL(38,18)) AS term
+      FROM grp g JOIN dims d USING (dimension)
+    )
+    SELECT d.dimension, CAST(d.n_buckets AS BIGINT) AS n_buckets,
+           CAST(d.n_ref AS BIGINT) AS n_ref, CAST(d.n_cur AS BIGINT) AS n_cur,
+           round(CAST(t.psi AS DOUBLE), 6) AS psi
+    FROM dims d JOIN (
+      SELECT dimension, SUM(term) AS psi FROM terms GROUP BY 1
+    ) t USING (dimension)
+    """,
+)
+def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the first and second half of
+    the event stream's time range — the standard drift monitor a
+    training-data pipeline runs on every refresh (PSI < 0.1 stable,
+    0.1–0.25 drifting, > 0.25 broken), computed over two dimensions at
+    once: the event-type mix and the value-decile histogram (fixed
+    10-bucket grid over the observed range). Laplace-smoothed so
+    buckets empty on one side contribute finitely.
+
+    Determinism: the time midpoint is an exact integer floor-division
+    of epoch-micros; decile edges divide exactly-known doubles
+    (identical IEEE in both engines); each PSI term computes from two
+    exact integer-ratio probabilities and the per-dimension SUM runs
+    over DECIMAL(38,18) interiors (the repo-wide convention, so
+    partial-aggregation order can't perturb the total).
+
+    Scale shape: one pass computes the 1-row stats broadcast; the
+    bucketing pass explodes each event into its 2 (dimension, bucket)
+    memberships with map-side partial aggregation down to the bucket
+    table (≤ types + 10 rows per partition); everything downstream is
+    broadcast-sized. Nothing data-sized shuffles or moves twice."""
+    e = load_table(spark, sf_dir, "events")
+    stats = F.broadcast(
+        e.agg(
+            F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("min_us"),
+            F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("max_us"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+    )
+    s = F.col("min_us") + F.col("max_us")
+    mid = ((s - (s % 2)) / 2).cast("long")
+    decile = F.least(
+        F.lit(9),
+        F.floor(
+            (F.col("value") - F.col("vmin"))
+            / ((F.col("vmax") - F.col("vmin")) / 10)
+        ),
+    ).cast("int")
+    ex = (
+        e.crossJoin(stats)
+        .select(
+            F.explode(
+                F.array(
+                    F.named_struct(
+                        F.lit("dimension"),
+                        F.lit("event_type"),
+                        F.lit("bucket"),
+                        F.col("event_type"),
+                    ),
+                    F.named_struct(
+                        F.lit("dimension"),
+                        F.lit("value_decile"),
+                        F.lit("bucket"),
+                        decile.cast("string"),
+                    ),
+                )
+            ).alias("z"),
+            F.when(
+                F.unix_micros(F.col("ts").cast("timestamp")) <= mid, 1
+            )
+            .otherwise(0)
+            .alias("is_ref"),
+        )
+        .select("z.dimension", "z.bucket", "is_ref")
+    )
+    grp = ex.groupBy("dimension", "bucket").agg(
+        F.sum("is_ref").alias("c_ref"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("c_cur"),
+    )
+    dims = F.broadcast(
+        grp.groupBy("dimension").agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("c_ref").alias("n_ref"),
+            F.sum("c_cur").alias("n_cur"),
+        )
+    )
+    p_cur = (F.col("c_cur") + 1).cast("double") / (
+        F.col("n_cur") + F.col("n_buckets")
+    )
+    p_ref = (F.col("c_ref") + 1).cast("double") / (
+        F.col("n_ref") + F.col("n_buckets")
+    )
+    terms = grp.join(dims, "dimension").select(
+        "dimension",
+        ((p_cur - p_ref) * F.log(p_cur / p_ref))
+        .cast("decimal(38,18)")
+        .alias("term"),
+    )
+    psi = terms.groupBy("dimension").agg(F.sum("term").alias("psi"))
+    return (
+        dims.join(psi, "dimension")
+        .select(
+            "dimension",
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            F.round(F.col("psi").cast("double"), 6).alias("psi"),
+        )
+    )

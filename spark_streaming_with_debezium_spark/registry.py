@@ -96,6 +96,7 @@ _PRIORITY = (
     "embedding_pca_power",  # NEW r7 continuation: never checked
     "embedding_pq_codes",  # NEW r7 continuation: never checked
     "ann_pq_adc_topk",  # NEW r7 continuation: never checked
+    "events_drift_psi",  # NEW r7 continuation: never checked
     "multimodal_image_features",  # NEW r7 continuation: never checked
     "multimodal_audio_features",  # NEW r7 continuation: never checked
     "decontaminate_semantic_cosine",  # NEW r7 continuation: never checked
@@ -135,7 +136,6 @@ _PRIORITY = (
     "fn_conditionals_nulls",
     "fn_datetime",
     "fn_datetime_parts",
-    "fn_hashes",
     "fn_json_extract",
     "fn_strings_extended",
     "text_fingerprint",
@@ -168,10 +168,12 @@ _PRIORITY = (
     # local oracle sweep. The "entire r2 block in the r7 window" claim
     # above therefore excludes text_token_counts, text_quality,
     # text_repetition and text_langid.
-    # ann_pq_adc_topk displaces fn_math — r2-stale but the least
-    # regression-prone class in the registry (stateless built-in
-    # scalar projections); it heads the r8 queue with the others.
+    # ann_pq_adc_topk and events_drift_psi displace fn_math and
+    # fn_hashes — r2-stale but the least regression-prone class in the
+    # registry (stateless built-in scalar projections); they head the
+    # r8 queue with the others.
     # --- 50-query prefix boundary (round-7 driver window) ---
+    "fn_hashes",
     "fn_math",
     "text_langid",
     "text_repetition",
