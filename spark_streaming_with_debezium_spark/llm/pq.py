@@ -28,7 +28,11 @@ from pyspark.sql import functions as F
 
 from spark_streaming_with_debezium_spark.llm.cluster import (
     _gridded_embeddings,
+    _km_best_struct,
+    _km_cte_chain,
     _KM_D2,
+    _KM_ITERS,
+    _lloyd_centroids,
 )
 from spark_streaming_with_debezium_spark.registry import query
 
@@ -38,7 +42,7 @@ _PQ_K = 4  # centroids per subspace codebook
 _PQ_ITERS = 2
 
 
-def _pq_assign_cte(cent: str, out: str) -> str:
+def _pq_assign_cte(cent: str, out: str, sub: str = "sub") -> str:
     return f"""
     {out} AS (
       SELECT vec_id, m, cluster, d2 FROM (
@@ -46,17 +50,17 @@ def _pq_assign_cte(cent: str, out: str) -> str:
                {_KM_D2.format(a="s.sv", b="c.cv")} AS d2,
                row_number() OVER (PARTITION BY s.vec_id, s.m
                  ORDER BY {_KM_D2.format(a="s.sv", b="c.cv")}, c.cluster) AS rn
-        FROM sub s JOIN {cent} c ON s.m = c.m
+        FROM {sub} s JOIN {cent} c ON s.m = c.m
       ) WHERE rn = 1
     )"""
 
 
-def _pq_update_cte(assign_t: str, prev: str, out: str) -> str:
+def _pq_update_cte(assign_t: str, prev: str, out: str, sub: str = "sub") -> str:
     return f"""
     {out}_ex AS (
       SELECT a.m, a.cluster, unnest(s.sv) AS x,
              generate_subscripts(s.sv, 1) AS pos
-      FROM {assign_t} a JOIN sub s ON a.vec_id = s.vec_id AND a.m = s.m
+      FROM {assign_t} a JOIN {sub} s ON a.vec_id = s.vec_id AND a.m = s.m
     ),
     {out}_sums AS (
       SELECT m, cluster, pos, SUM(x) AS s, COUNT(*) AS n
@@ -73,38 +77,49 @@ def _pq_update_cte(assign_t: str, prev: str, out: str) -> str:
     )"""
 
 
-def _pq_cte_chain() -> str:
+def _pq_cte_chain(prefix: str = "", src: str = "xi", include_src: bool = True) -> str:
     """Shared CTE prefix ``xi .. sub .. cent{N} .. afinal`` running the
-    whole multi-codebook training fixpoint in SQL."""
-    ctes = [
-        f"""
+    whole multi-codebook training fixpoint in SQL.
+
+    ``prefix`` renames every CTE (``sub``→``{p}sub`` etc.) so the chain
+    can compose with the coarse k-means chain in one oracle; ``src`` is
+    the (vec_id, v) table the codebooks train on (``include_src=False``
+    when the caller already defines it — e.g. residual vectors)."""
+    p = prefix
+    src_cte = f"""
     xi AS (
       SELECT vec_id, list_transform(embedding,
              x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
       FROM embeddings
-    ),
-    sub AS (
+    ),""" if include_src else ""
+    ctes = [
+        f"""{src_cte}
+    {p}sub AS (
       SELECT vec_id, m, list_slice(v, m*{_PQ_SUB}+1, m*{_PQ_SUB}+{_PQ_SUB}) AS sv
-      FROM xi, (SELECT unnest(range({_PQ_M})) AS m)
+      FROM {src}, (SELECT unnest(range({_PQ_M})) AS m)
     ),
-    seeds AS (
+    {p}seeds AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
                - 1 AS cluster,
              v
-      FROM xi
+      FROM {src}
       QUALIFY row_number()
                 OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {_PQ_K}
     ),
-    cent0 AS (
+    {p}cent0 AS (
       SELECT t.m, s.cluster,
              list_slice(s.v, t.m*{_PQ_SUB}+1, t.m*{_PQ_SUB}+{_PQ_SUB}) AS cv
-      FROM seeds s, (SELECT unnest(range({_PQ_M})) AS m) t
+      FROM {p}seeds s, (SELECT unnest(range({_PQ_M})) AS m) t
     )"""
     ]
     for i in range(_PQ_ITERS):
-        ctes.append(_pq_assign_cte(f"cent{i}", f"a{i + 1}"))
-        ctes.append(_pq_update_cte(f"a{i + 1}", f"cent{i}", f"cent{i + 1}"))
-    ctes.append(_pq_assign_cte(f"cent{_PQ_ITERS}", "afinal"))
+        ctes.append(_pq_assign_cte(f"{p}cent{i}", f"{p}a{i + 1}", sub=f"{p}sub"))
+        ctes.append(
+            _pq_update_cte(
+                f"{p}a{i + 1}", f"{p}cent{i}", f"{p}cent{i + 1}", sub=f"{p}sub"
+            )
+        )
+    ctes.append(_pq_assign_cte(f"{p}cent{_PQ_ITERS}", f"{p}afinal", sub=f"{p}sub"))
     return ",".join(ctes)
 
 
@@ -160,12 +175,21 @@ def _pq_best(m: int, books: list[list[list[int]]]):
 _BOOKS_CACHE: dict[str, list[list[list[int]]]] = {}
 
 
-def _train_books(spark: SparkSession, sf_dir: str) -> list[list[list[int]]]:
+def _train_books(
+    spark: SparkSession,
+    sf_dir: str,
+    e: DataFrame | None = None,
+    cache_key: str | None = None,
+) -> list[list[list[int]]]:
     """Run the shared-pass PQ training loop; returns
-    ``books[m][cluster] -> list of SUB exact ints``."""
-    if sf_dir in _BOOKS_CACHE:
-        return _BOOKS_CACHE[sf_dir]
-    e = _gridded_embeddings(spark, sf_dir).select("vec_id", "v")
+    ``books[m][cluster] -> list of SUB exact ints``. ``e`` overrides
+    the training vectors (a (vec_id, v) frame of exact ints — e.g.
+    residuals for IVF-PQ); the default trains on the gridded corpus."""
+    cache_key = cache_key if cache_key is not None else sf_dir
+    if cache_key in _BOOKS_CACHE:
+        return _BOOKS_CACHE[cache_key]
+    if e is None:
+        e = _gridded_embeddings(spark, sf_dir).select("vec_id", "v")
     sub = e.select("vec_id", *_sub_slices())
 
     seed_rows = (
@@ -219,7 +243,7 @@ def _train_books(spark: SparkSession, sf_dir: str) -> list[list[list[int]]]:
             ]
             for m in range(_PQ_M)
         ]
-    _BOOKS_CACHE[sf_dir] = books
+    _BOOKS_CACHE[cache_key] = books
     return books
 
 
@@ -395,4 +419,242 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("adc_d2").cast("long").alias("adc_d2"),
             exact.cast("long").alias("exact_d2"),
         )
+    )
+
+
+_IVF_NPROBE = 3  # coarse cells probed per query (of _KM_K=8)
+
+
+def _ivf_pq_oracle() -> str:
+    """DuckDB dual of the FULL residual IVF-PQ pipeline: the coarse
+    Lloyd fixpoint (``_km_cte_chain``), residual vectors per cell, the
+    residual PQ training fixpoint (``_pq_cte_chain`` prefixed ``p``),
+    per-(query, probed-cell) residual lookup tables, the cell-pruned
+    ADC scan, and the exact re-rank — one independent SQL formulation
+    of the whole serving stack."""
+    d2qc = _KM_D2.format(a="q.qv", b="c.cv")
+    d2lut = _KM_D2.format(a="qs.qsv", b="c.cv")
+    d2xq = _KM_D2.format(a="x.v", b="q.qv")
+    return f"""
+    WITH {_km_cte_chain()},
+    rx AS (
+      SELECT a.vec_id,
+             list_transform(list_zip(x.v, c.cv), pr -> pr[1]-pr[2]) AS v,
+             a.cluster AS cell
+      FROM afinal a
+      JOIN xi x ON a.vec_id = x.vec_id
+      JOIN cent{_KM_ITERS} c ON a.cluster = c.cluster
+    ),
+    {_pq_cte_chain(prefix="p", src="rx", include_src=False)},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM xi
+          WHERE vec_id < {_ADC_QUERIES}),
+    qprobe AS (
+      SELECT query_id, cell, cv FROM (
+        SELECT q.query_id, c.cluster AS cell, c.cv,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {d2qc}, c.cluster) AS rn
+        FROM q CROSS JOIN cent{_KM_ITERS} c
+      ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    qsub AS (
+      SELECT p.query_id, p.cell, t.m,
+             list_slice(
+               list_transform(list_zip(q.qv, p.cv), pr -> pr[1]-pr[2]),
+               t.m*{_PQ_SUB}+1, t.m*{_PQ_SUB}+{_PQ_SUB}) AS qsv
+      FROM qprobe p JOIN q USING (query_id),
+           (SELECT unnest(range({_PQ_M})) AS m) t
+    ),
+    lut AS (
+      SELECT qs.query_id, qs.cell, c.m, c.cluster, {d2lut} AS d2
+      FROM qsub qs JOIN pcent{_PQ_ITERS} c ON qs.m = c.m
+    ),
+    adc AS (
+      SELECT a.vec_id, l.query_id, r.cell, SUM(l.d2) AS adc_d2
+      FROM pafinal a
+      JOIN rx r ON a.vec_id = r.vec_id
+      JOIN lut l ON l.cell = r.cell AND a.m = l.m AND a.cluster = l.cluster
+      WHERE a.vec_id <> l.query_id
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cell, adc_d2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_d2, vec_id) AS rnk
+      FROM adc
+    )
+    SELECT t.query_id, t.vec_id, t.rnk, CAST(t.cell AS INT) AS cell,
+           CAST(t.adc_d2 AS BIGINT) AS adc_d2,
+           CAST({d2xq} AS BIGINT) AS exact_d2
+    FROM ranked t
+    JOIN xi x ON t.vec_id = x.vec_id
+    JOIN q ON t.query_id = q.query_id
+    WHERE t.rnk <= {_ADC_TOP_K}
+    """
+
+
+@query("ann_ivf_pq_topk", oracle=_ivf_pq_oracle())
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ — the production billion-vector serving stack,
+    composed end-to-end from the repo's exact-integer machinery and
+    value-hash-oracled as a WHOLE: the coarse Lloyd quantizer
+    (``llm/cluster.py``) partitions the corpus into cells, PQ
+    codebooks train on the RESIDUALS (v − cell centroid — the
+    Jégou et al. IVFADC formulation, tighter than raw-vector PQ
+    because residual magnitudes shrink), each query probes its
+    ``_IVF_NPROBE`` nearest cells, builds a per-(query, cell) residual
+    lookup table driver-side, and only vectors in probed cells are
+    scored — in the compressed domain via M table lookups — before the
+    exact re-rank on the q·k survivor set.
+
+    Scale shape: the corpus scan is stateless against broadcast
+    literal centroids/codebooks/LUTs, and the cell predicate is the
+    IVF *pruning* step — with the corpus laid out cell-partitioned
+    (``llm/ivf_index.py`` materializes exactly that), the non-probed
+    ~(1 − nprobe/k) of the data is never read at all (partition
+    pruning, proven file-level in the IVF index tests); here the same
+    predicate evaluates inline. The per-query top-k window shuffles
+    only the probed-cell score rows; the exact re-rank joins the
+    corpus against a BROADCAST q·k survivor set. Every distance in
+    train, probe, scan and re-rank is exact integer arithmetic.
+
+    Reference parity: the reference engine has no vector stack at all
+    (its ANN surface is this repo's C-tier extension); the oracle is
+    an independent DuckDB formulation of the same fixpoints."""
+    e = _gridded_embeddings(spark, sf_dir).select("vec_id", "v")
+    cents = _lloyd_centroids(e, cache_key=sf_dir)
+    best = _km_best_struct(cents)
+    cell = best["cluster"]
+
+    # residual vectors: v − centroid[cell], exact ints (CASE chain over
+    # the k=8 broadcast literal centroids — no join, no shuffle)
+    cent_arr = None
+    for j, cv in enumerate(cents):
+        arr = F.array(*[F.lit(int(c)) for c in cv])
+        cent_arr = (
+            F.when(cell == j, arr)
+            if cent_arr is None
+            else cent_arr.when(cell == j, arr)
+        )
+    rv = F.zip_with("v", cent_arr, lambda x, c: x - c)
+    res = e.select("vec_id", cell.cast("int").alias("cell"), rv.alias("v"))
+
+    books = _train_books(
+        spark,
+        sf_dir,
+        e=res.select("vec_id", "v"),
+        cache_key=f"{sf_dir}|ivfpq-residual",
+    )
+
+    # corpus → (cell, PQ code of the residual), one stateless pass
+    sub = res.select(
+        "vec_id",
+        "cell",
+        *[
+            F.slice("v", m * _PQ_SUB + 1, _PQ_SUB).alias(f"sv{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+    coded = sub.select(
+        "vec_id",
+        "cell",
+        *[_pq_best(m, books)["cluster"].alias(f"c{m}") for m in range(_PQ_M)],
+    )
+
+    # driver-side query prep: probe sets + per-(query, cell) residual
+    # LUTs — bounded q·nprobe·M·k exact ints
+    q_rows = (
+        e.filter(F.col("vec_id") < _ADC_QUERIES).orderBy("vec_id").collect()
+    )
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probes: dict[int, list[int]] = {}
+    luts: dict[tuple[int, int], list[list[int]]] = {}
+    for r in q_rows:
+        qid, qv = int(r["vec_id"]), list(r["v"])
+        order = sorted(range(len(cents)), key=lambda j: (d2(qv, cents[j]), j))
+        probes[qid] = order[:_IVF_NPROBE]
+        for c_ in probes[qid]:
+            rqv = [a - b for a, b in zip(qv, cents[c_])]
+            luts[(qid, c_)] = [
+                [
+                    d2(rqv[m * _PQ_SUB : (m + 1) * _PQ_SUB], cv)
+                    for cv in books[m]
+                ]
+                for m in range(_PQ_M)
+            ]
+
+    def adc_for(qid: int):
+        # null when this vector's cell is not probed by qid — the
+        # inline form of IVF partition pruning
+        expr = None
+        for c_ in probes[qid]:
+            terms = [
+                F.element_at(
+                    F.array(*[F.lit(int(v)) for v in luts[(qid, c_)][m]]),
+                    F.col(f"c{m}") + 1,
+                )
+                for m in range(_PQ_M)
+            ]
+            s = sum(terms[1:], terms[0])
+            expr = (
+                F.when(F.col("cell") == c_, s)
+                if expr is None
+                else expr.when(F.col("cell") == c_, s)
+            )
+        return expr
+
+    entries = [
+        F.named_struct(
+            F.lit("query_id"), F.lit(qid), F.lit("adc"), adc_for(qid)
+        )
+        for qid in sorted(probes)
+    ]
+    exploded = (
+        coded.select(
+            "vec_id",
+            "cell",
+            F.explode(
+                F.filter(F.array(*entries), lambda s: s["adc"].isNotNull())
+            ).alias("z"),
+        )
+        .select("vec_id", "cell", "z.query_id", F.col("z.adc").alias("adc_d2"))
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    top = (
+        exploded.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _ADC_TOP_K)
+    )
+
+    # exact re-rank: broadcast the q·k survivors against the gridded
+    # corpus; resolve the query vector by a literal CASE chain
+    exact = None
+    for r in q_rows:
+        qid, qv = int(r["vec_id"]), list(r["v"])
+        dd = F.aggregate(
+            F.zip_with(
+                "v",
+                F.array(*[F.lit(int(c)) for c in qv]),
+                lambda x, c: (x - c) * (x - c),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        exact = (
+            F.when(F.col("query_id") == qid, dd)
+            if exact is None
+            else exact.when(F.col("query_id") == qid, dd)
+        )
+    return e.join(F.broadcast(top), "vec_id").select(
+        "query_id",
+        "vec_id",
+        "rnk",
+        F.col("cell").cast("int").alias("cell"),
+        F.col("adc_d2").cast("long").alias("adc_d2"),
+        exact.cast("long").alias("exact_d2"),
     )

@@ -97,6 +97,7 @@ _PRIORITY = (
     "embedding_pq_codes",  # NEW r7 continuation: never checked
     "ann_pq_adc_topk",  # NEW r7 continuation: never checked
     "events_drift_psi",  # NEW r7 continuation: never checked
+    "ann_ivf_pq_topk",  # NEW r7 continuation: never checked
     "multimodal_image_features",  # NEW r7 continuation: never checked
     "multimodal_audio_features",  # NEW r7 continuation: never checked
     "decontaminate_semantic_cosine",  # NEW r7 continuation: never checked
@@ -136,7 +137,6 @@ _PRIORITY = (
     "fn_conditionals_nulls",
     "fn_datetime",
     "fn_datetime_parts",
-    "fn_json_extract",
     "fn_strings_extended",
     "text_fingerprint",
     "text_idf",
@@ -168,11 +168,12 @@ _PRIORITY = (
     # local oracle sweep. The "entire r2 block in the r7 window" claim
     # above therefore excludes text_token_counts, text_quality,
     # text_repetition and text_langid.
-    # ann_pq_adc_topk and events_drift_psi displace fn_math and
-    # fn_hashes — r2-stale but the least regression-prone class in the
-    # registry (stateless built-in scalar projections); they head the
-    # r8 queue with the others.
+    # ann_pq_adc_topk, events_drift_psi and ann_ivf_pq_topk displace
+    # fn_math, fn_hashes and fn_json_extract — r2-stale but the least
+    # regression-prone class in the registry (stateless built-in
+    # scalar projections); they head the r8 queue with the others.
     # --- 50-query prefix boundary (round-7 driver window) ---
+    "fn_json_extract",
     "fn_hashes",
     "fn_math",
     "text_langid",
