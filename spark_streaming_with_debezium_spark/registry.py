@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "spark_streaming_with_debezium_spark.llm.pipeline_ops",
     "spark_streaming_with_debezium_spark.llm.cluster",
     "spark_streaming_with_debezium_spark.llm.pq",
+    "spark_streaming_with_debezium_spark.llm.rerank",
 )
 
 
@@ -98,6 +99,7 @@ _PRIORITY = (
     "ann_pq_adc_topk",  # NEW r7 continuation: never checked
     "events_drift_psi",  # NEW r7 continuation: never checked
     "ann_ivf_pq_topk",  # NEW r7 continuation: never checked
+    "rag_rerank_mmr",  # NEW r7 continuation: never checked
     "multimodal_image_features",  # NEW r7 continuation: never checked
     "multimodal_audio_features",  # NEW r7 continuation: never checked
     "decontaminate_semantic_cosine",  # NEW r7 continuation: never checked
@@ -137,7 +139,6 @@ _PRIORITY = (
     "fn_conditionals_nulls",
     "fn_datetime",
     "fn_datetime_parts",
-    "fn_strings_extended",
     "text_fingerprint",
     "text_idf",
     "text_redact",
@@ -168,11 +169,13 @@ _PRIORITY = (
     # local oracle sweep. The "entire r2 block in the r7 window" claim
     # above therefore excludes text_token_counts, text_quality,
     # text_repetition and text_langid.
-    # ann_pq_adc_topk, events_drift_psi and ann_ivf_pq_topk displace
-    # fn_math, fn_hashes and fn_json_extract — r2-stale but the least
-    # regression-prone class in the registry (stateless built-in
-    # scalar projections); they head the r8 queue with the others.
+    # ann_pq_adc_topk, events_drift_psi, ann_ivf_pq_topk and
+    # rag_rerank_mmr displace fn_math, fn_hashes, fn_json_extract and
+    # fn_strings_extended — r2-stale but the least regression-prone
+    # class in the registry (stateless built-in scalar projections);
+    # they head the r8 queue with the others.
     # --- 50-query prefix boundary (round-7 driver window) ---
+    "fn_strings_extended",
     "fn_json_extract",
     "fn_hashes",
     "fn_math",
