@@ -94,6 +94,7 @@ EXTENDED = (
     "events_drift_psi",  # two-dimension PSI drift monitor (r7 cont.)
     "ann_ivf_pq_topk",  # residual IVF-PQ cell-pruned ADC serving (r7 cont.)
     "rag_rerank_mmr",  # MMR diversified re-rank, two-stage serving (r7 cont.)
+    "events_survival_km",  # censoring-aware KM conversion curve (r7 cont.)
 )
 
 

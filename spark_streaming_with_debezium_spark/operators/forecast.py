@@ -541,3 +541,167 @@ def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("psi").cast("double"), 6).alias("psi"),
         )
     )
+
+
+@query(
+    "events_survival_km",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS t0
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    hm AS (SELECT MAX(CAST(ts AS DATE)) AS hmax FROM events),
+    c AS (
+      SELECT s.user_id, s.t0,
+             MIN(CASE WHEN CAST(p.ts AS DATE) >= s.t0
+                      THEN CAST(p.ts AS DATE) END) AS tc
+      FROM s LEFT JOIN events p
+        ON p.user_id = s.user_id AND p.event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    dur AS (
+      SELECT CAST(CASE WHEN tc IS NOT NULL THEN date_diff('day', t0, tc)
+                       ELSE date_diff('day', t0, hmax) END AS INT) AS day,
+             CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM c, hm
+    ),
+    lt AS (
+      SELECT day, SUM(ev) AS d_events, SUM(1 - ev) AS c_censored,
+             COUNT(*) AS leaving
+      FROM dur GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM dur),
+    lt2 AS (
+      SELECT day, d_events, c_censored,
+             n - COALESCE(SUM(leaving) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk,
+             row_number() OVER (ORDER BY day) AS rn
+      FROM lt, tot
+    ),
+    fl AS (
+      SELECT list(CAST(n_risk - d_events AS DOUBLE) / n_risk ORDER BY day)
+               AS fs
+      FROM lt2
+    )
+    SELECT day, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d_events AS BIGINT) AS n_events,
+           CAST(c_censored AS BIGINT) AS n_censored,
+           round(CAST(d_events AS DOUBLE) / n_risk, 6) AS hazard,
+           round(list_reduce(list_slice(fl.fs, 1, CAST(rn AS INT)),
+                             (a, b) -> a * b), 6) AS survival
+    FROM lt2, fl
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of signup→purchase conversion — the
+    censoring-aware activation report (naive conversion rates undercount
+    recent cohorts whose users haven't had time to convert yet): each
+    signed-up user contributes either their days-to-first-purchase (an
+    event) or their days-to-end-of-observation (right-censored at the
+    global horizon), and S(t) = Π_{t'≤t} (1 − d_{t'}/n_{t'}) steps down
+    only at event times while censored users still count in the
+    at-risk denominators before they leave.
+
+    Determinism: all life-table counts (d, c, n_risk via an integer
+    running sum keyed on `day` — a calendar-grain global window over
+    O(days) rows) are exact integers; each hazard is ONE division of
+    exact ints (identical IEEE in both engines); the survival product
+    folds the day-ordered factor list LEFT-TO-RIGHT in both engines
+    (`F.aggregate` with exact 1.0 seed ↔ DuckDB `list_reduce`) — a
+    pinned multiplication sequence, so no commutativity hazard ever
+    arises (the same reason the repo sums in decimal interiors).
+
+    Scale shape: two conditional-min aggregates shuffle on user_id
+    (map-side combined); everything after the duration rollup operates
+    on O(observed-days) rows — the life table, the 1-row factor list
+    and the per-step prefix folds are all broadcast-sized. Nothing
+    data-sized sorts globally."""
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("t0"))
+    )
+    hm = F.broadcast(e.agg(F.max(F.to_date("ts")).alias("hmax")))
+    c = (
+        s.join(
+            e.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("p_user"),
+                F.to_date("ts").alias("pd"),
+            ),
+            F.col("user_id") == F.col("p_user"),
+            "left",
+        )
+        .groupBy("user_id", "t0")
+        .agg(
+            F.min(F.when(F.col("pd") >= F.col("t0"), F.col("pd"))).alias("tc")
+        )
+    )
+    dur = c.crossJoin(hm).select(
+        F.when(
+            F.col("tc").isNotNull(), F.datediff("tc", "t0")
+        )
+        .otherwise(F.datediff("hmax", "t0"))
+        .cast("int")
+        .alias("day"),
+        F.when(F.col("tc").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    lt = dur.groupBy("day").agg(
+        F.sum("ev").alias("d_events"),
+        F.sum(F.lit(1) - F.col("ev")).alias("c_censored"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    tot = F.broadcast(dur.agg(F.count(F.lit(1)).alias("n")))
+    w_prev = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_rn = Window.orderBy("day")
+    lt2 = lt.crossJoin(tot).select(
+        "day",
+        "d_events",
+        "c_censored",
+        (
+            F.col("n")
+            - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    fl = F.broadcast(
+        lt2.agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "day",
+                            (
+                                (F.col("n_risk") - F.col("d_events")).cast(
+                                    "double"
+                                )
+                                / F.col("n_risk")
+                            ).alias("f"),
+                        )
+                    )
+                ),
+                lambda st: st["f"],
+            ).alias("fs")
+        )
+    )
+    return lt2.crossJoin(fl).select(
+        "day",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d_events").cast("long").alias("n_events"),
+        F.col("c_censored").cast("long").alias("n_censored"),
+        F.round(F.col("d_events").cast("double") / F.col("n_risk"), 6).alias(
+            "hazard"
+        ),
+        F.round(
+            F.aggregate(
+                F.slice("fs", 1, F.col("rn").cast("int")),
+                F.lit(1.0),
+                lambda acc, x: acc * x,
+            ),
+            6,
+        ).alias("survival"),
+    )

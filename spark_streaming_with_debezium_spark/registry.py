@@ -100,6 +100,7 @@ _PRIORITY = (
     "events_drift_psi",  # NEW r7 continuation: never checked
     "ann_ivf_pq_topk",  # NEW r7 continuation: never checked
     "rag_rerank_mmr",  # NEW r7 continuation: never checked
+    "events_survival_km",  # NEW r7 continuation: never checked
     "multimodal_image_features",  # NEW r7 continuation: never checked
     "multimodal_audio_features",  # NEW r7 continuation: never checked
     "decontaminate_semantic_cosine",  # NEW r7 continuation: never checked
@@ -138,7 +139,6 @@ _PRIORITY = (
     "fn_arrays_extended",
     "fn_conditionals_nulls",
     "fn_datetime",
-    "fn_datetime_parts",
     "text_fingerprint",
     "text_idf",
     "text_redact",
@@ -169,12 +169,14 @@ _PRIORITY = (
     # local oracle sweep. The "entire r2 block in the r7 window" claim
     # above therefore excludes text_token_counts, text_quality,
     # text_repetition and text_langid.
-    # ann_pq_adc_topk, events_drift_psi, ann_ivf_pq_topk and
-    # rag_rerank_mmr displace fn_math, fn_hashes, fn_json_extract and
-    # fn_strings_extended — r2-stale but the least regression-prone
+    # ann_pq_adc_topk, events_drift_psi, ann_ivf_pq_topk,
+    # rag_rerank_mmr and events_survival_km displace fn_math,
+    # fn_hashes, fn_json_extract, fn_strings_extended and
+    # fn_datetime_parts — r2-stale but the least regression-prone
     # class in the registry (stateless built-in scalar projections);
     # they head the r8 queue with the others.
     # --- 50-query prefix boundary (round-7 driver window) ---
+    "fn_datetime_parts",
     "fn_strings_extended",
     "fn_json_extract",
     "fn_hashes",

@@ -478,6 +478,7 @@ def test_extended_plan_census(spark, sf_dir):
         "events_power_users_gini",  # 1-row user-count totals broadcast
         "quality_perplexity_filter",  # 1-row corpus-total broadcast
         "events_drift_psi",  # 1-row min/max-stats broadcast
+        "events_survival_km",  # 1-row horizon/total/factor-list broadcasts
     }
     for name in bench.EXTENDED:
         txt = _single_plan(QUERIES[name].fn(spark, sf_dir))
@@ -517,6 +518,7 @@ def test_repo_wide_cartesian_and_bnlj_census(spark, sf_dir):
         "events_power_users_gini",  # 1-row user-count totals broadcast
         "quality_perplexity_filter",  # 1-row corpus-total broadcast
         "events_drift_psi",  # 1-row min/max-stats broadcast
+        "events_survival_km",  # 1-row horizon/total/factor-list broadcasts
         # bounded query-set / centroid broadcasts (ANN serving shape)
         "ann_int8_rescore", "ann_cosine_topk", "ann_ivf_topk",
         "text_similar_topk",
