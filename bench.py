@@ -95,6 +95,7 @@ EXTENDED = (
     "ann_ivf_pq_topk",  # residual IVF-PQ cell-pruned ADC serving (r7 cont.)
     "rag_rerank_mmr",  # MMR diversified re-rank, two-stage serving (r7 cont.)
     "events_survival_km",  # censoring-aware KM conversion curve (r7 cont.)
+    "events_lifecycle_accounting",  # weekly growth-accounting states (r7 cont.)
 )
 
 

@@ -705,3 +705,121 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("survival"),
     )
+
+
+@query(
+    "events_lifecycle_accounting",
+    oracle="""
+    WITH aw AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7 AS wk
+      FROM events
+    ),
+    mx AS (SELECT MAX(wk) AS max_wk FROM aw),
+    seq AS (
+      SELECT user_id, wk,
+             lag(wk)  OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+             lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+      FROM aw
+    ),
+    states AS (
+      SELECT wk,
+             SUM(CASE WHEN prev_wk IS NULL THEN 1 ELSE 0 END) AS n_new,
+             SUM(CASE WHEN prev_wk = wk - 1 THEN 1 ELSE 0 END) AS n_retained,
+             SUM(CASE WHEN prev_wk IS NOT NULL AND prev_wk < wk - 1
+                      THEN 1 ELSE 0 END) AS n_resurrected,
+             COUNT(*) AS n_active
+      FROM seq GROUP BY wk
+    ),
+    churn AS (
+      SELECT s.wk + 1 AS wk, COUNT(*) AS n_churned
+      FROM seq s, mx
+      WHERE (s.next_wk IS NULL OR s.next_wk > s.wk + 1)
+        AND s.wk + 1 <= mx.max_wk
+      GROUP BY 1
+    )
+    SELECT CAST(date_add(DATE '1970-01-05',
+                    INTERVAL (COALESCE(s.wk, c.wk) * 7) DAY) AS DATE)
+             AS week_start,
+           CAST(COALESCE(s.n_new, 0) AS BIGINT) AS n_new,
+           CAST(COALESCE(s.n_retained, 0) AS BIGINT) AS n_retained,
+           CAST(COALESCE(s.n_resurrected, 0) AS BIGINT) AS n_resurrected,
+           CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned,
+           CAST(COALESCE(s.n_active, 0) AS BIGINT) AS n_active
+    FROM states s FULL JOIN churn c ON s.wk = c.wk
+    """,
+)
+def events_lifecycle_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting (the Social-Capital framework every product
+    team runs): per week, how many active users are NEW (first week
+    ever), RETAINED (also active the prior week), RESURRECTED (active
+    before a gap) — and how many CHURNED into this week (active last
+    week, not this one). n_active = new + retained + resurrected by
+    construction; MAU quick ratio = (new + resurrected) / churned.
+
+    Determinism: weeks are an exact integer index
+    floor(days-since-1970-01-05 / 7) — engine-neutral (no reliance on
+    either engine's week-truncation convention) and converted back to
+    a Monday week_start date only for display. Every count is an
+    exact integer; churn is derived from each user's NEXT active week
+    (lead) so inactive weeks are never materialized.
+
+    Scale shape: one distinct over (user, week) — a single shuffle
+    with map-side combine; the lag/lead window partitions BY USER
+    (parallel, no global sort); the weekly rollup keys on O(weeks)
+    rows; churn needs no per-(user, inactive-week) row explosion —
+    the (next_wk > wk+1) predicate replaces a calendar-spine
+    anti-join, which at 100 TB would be users × weeks rows."""
+    e = load_table(spark, sf_dir, "events")
+    aw = e.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-05").cast("date")) / 7
+        ).alias("wk"),
+    ).distinct()
+    mx = F.broadcast(aw.agg(F.max("wk").alias("max_wk")))
+    wu = Window.partitionBy("user_id").orderBy("wk")
+    seq = aw.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(wu).alias("prev_wk"),
+        F.lead("wk").over(wu).alias("next_wk"),
+    )
+    states = seq.groupBy("wk").agg(
+        F.sum(F.when(F.col("prev_wk").isNull(), 1).otherwise(0)).alias(
+            "n_new"
+        ),
+        F.sum(
+            F.when(F.col("prev_wk") == F.col("wk") - 1, 1).otherwise(0)
+        ).alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev_wk").isNotNull()
+                & (F.col("prev_wk") < F.col("wk") - 1),
+                1,
+            ).otherwise(0)
+        ).alias("n_resurrected"),
+        F.count(F.lit(1)).alias("n_active"),
+    )
+    churn = (
+        seq.crossJoin(mx)
+        .filter(
+            (F.col("next_wk").isNull() | (F.col("next_wk") > F.col("wk") + 1))
+            & (F.col("wk") + 1 <= F.col("max_wk"))
+        )
+        .groupBy((F.col("wk") + 1).alias("wk"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    j = states.join(churn, "wk", "full")
+    return j.select(
+        F.date_add(
+            F.lit("1970-01-05").cast("date"), (F.col("wk") * 7).cast("int")
+        ).alias("week_start"),
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        F.coalesce("n_retained", F.lit(0)).cast("long").alias("n_retained"),
+        F.coalesce("n_resurrected", F.lit(0))
+        .cast("long")
+        .alias("n_resurrected"),
+        F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+        F.coalesce("n_active", F.lit(0)).cast("long").alias("n_active"),
+    )

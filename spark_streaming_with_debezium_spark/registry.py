@@ -101,6 +101,7 @@ _PRIORITY = (
     "ann_ivf_pq_topk",  # NEW r7 continuation: never checked
     "rag_rerank_mmr",  # NEW r7 continuation: never checked
     "events_survival_km",  # NEW r7 continuation: never checked
+    "events_lifecycle_accounting",  # NEW r7 continuation: never checked
     "multimodal_image_features",  # NEW r7 continuation: never checked
     "multimodal_audio_features",  # NEW r7 continuation: never checked
     "decontaminate_semantic_cosine",  # NEW r7 continuation: never checked
@@ -138,7 +139,6 @@ _PRIORITY = (
     "fn_array_agg_decimal",
     "fn_arrays_extended",
     "fn_conditionals_nulls",
-    "fn_datetime",
     "text_fingerprint",
     "text_idf",
     "text_redact",
@@ -170,12 +170,14 @@ _PRIORITY = (
     # above therefore excludes text_token_counts, text_quality,
     # text_repetition and text_langid.
     # ann_pq_adc_topk, events_drift_psi, ann_ivf_pq_topk,
-    # rag_rerank_mmr and events_survival_km displace fn_math,
-    # fn_hashes, fn_json_extract, fn_strings_extended and
-    # fn_datetime_parts — r2-stale but the least regression-prone
-    # class in the registry (stateless built-in scalar projections);
-    # they head the r8 queue with the others.
+    # rag_rerank_mmr, events_survival_km and
+    # events_lifecycle_accounting displace fn_math, fn_hashes,
+    # fn_json_extract, fn_strings_extended, fn_datetime_parts and
+    # fn_datetime — r2-stale but the least regression-prone class in
+    # the registry (stateless built-in scalar projections); they head
+    # the r8 queue with the others.
     # --- 50-query prefix boundary (round-7 driver window) ---
+    "fn_datetime",
     "fn_datetime_parts",
     "fn_strings_extended",
     "fn_json_extract",
