@@ -96,6 +96,7 @@ EXTENDED = (
     "rag_rerank_mmr",  # MMR diversified re-rank, two-stage serving (r7 cont.)
     "events_survival_km",  # censoring-aware KM conversion curve (r7 cont.)
     "events_lifecycle_accounting",  # weekly growth-accounting states (r7 cont.)
+    "text_pmi_collocations",  # PMI phrase-discovery top-30 (r7 cont.)
 )
 
 

@@ -1289,3 +1289,104 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "text_pmi_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    uni AS (
+      SELECT unnest(w) AS word FROM toks
+    ),
+    uc AS (SELECT word, COUNT(*) AS c FROM uni GROUP BY 1),
+    ntok AS (SELECT COUNT(*) AS n_tok FROM uni),
+    bg AS (
+      SELECT w[i] AS w1, w[i+1] AS w2
+      FROM toks, UNNEST(range(1, len(w))) AS t(i)
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+    nbig AS (SELECT SUM(cb) AS n_big FROM bc),
+    scored AS (
+      SELECT b.w1, b.w2, b.cb, u1.c AS c1, u2.c AS c2,
+             CAST(b.cb * n.n_tok * n.n_tok AS DOUBLE)
+               / CAST(g.n_big * u1.c * u2.c AS DOUBLE) AS lift
+      FROM bc b
+      JOIN uc u1 ON b.w1 = u1.word
+      JOIN uc u2 ON b.w2 = u2.word, ntok n, nbig g
+      WHERE b.cb >= 5
+    )
+    SELECT w1, w2, CAST(cb AS BIGINT) AS cb, CAST(c1 AS BIGINT) AS c1,
+           CAST(c2 AS BIGINT) AS c2, round(lift, 6) AS lift
+    FROM scored
+    ORDER BY lift DESC, w1, w2
+    LIMIT 30
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the corpus's top bigrams by pointwise mutual
+    information — the classic phrase-discovery pass (Mikolov et al.'s
+    word2phrase step, NLTK's collocation finder) a training-data
+    pipeline runs to decide which word pairs deserve a single token.
+    Scored as the PMI *lift* p(xy)/(p(x)p(y)) = cb·N_tok² /
+    (N_big·c1·c2) with a min-count ≥ 5 support gate: both operands are
+    EXACT integer products (each < 2⁶³ up to ~10⁹-token corpora; past
+    that, rescale counts — both engines raise loudly on bigint
+    overflow rather than wrapping) cast once to double, so the single
+    division is bit-identical across engines —
+    the transcendental-free discipline of `text_token_rarity` (a log2
+    PMI would hinge on libm ulp agreement).
+
+    Shape: one exploded token pass feeds the unigram count and the
+    1-row total; the bigram table derives from a guarded index
+    transform (no self-join); scoring joins the BIGRAM VOCABULARY
+    (not the corpus) to the unigram counts on w1/w2 — Zipf-skewed at
+    100 TB, handled by AQE skew splitting, and the cb ≥ 5 gate prunes
+    the hapax tail before the joins. Top-30 by (lift DESC, w1, w2) is
+    a TakeOrderedAndProject, never a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _words(F.col("text")).alias("w"))
+    uni = toks.select(F.explode("w").alias("word"))
+    uc = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    ntok = F.broadcast(uni.agg(F.count(F.lit(1)).alias("n_tok")))
+    pair_idx = F.when(
+        F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bg = toks.select(
+        F.explode(
+            F.transform(
+                pair_idx,
+                lambda i: F.struct(
+                    F.element_at("w", i).alias("w1"),
+                    F.element_at("w", i + F.lit(1)).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    nbig = F.broadcast(bc.agg(F.sum("cb").alias("n_big")))
+    u1 = uc.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    lift = (
+        (F.col("cb") * F.col("n_tok") * F.col("n_tok")).cast("double")
+        / (F.col("n_big") * F.col("c1") * F.col("c2")).cast("double")
+    )
+    return (
+        bc.filter(F.col("cb") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(ntok)
+        .crossJoin(nbig)
+        .select(
+            "w1",
+            "w2",
+            F.col("cb").cast("long").alias("cb"),
+            F.col("c1").cast("long").alias("c1"),
+            F.col("c2").cast("long").alias("c2"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(30)
+    )

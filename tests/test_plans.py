@@ -480,6 +480,7 @@ def test_extended_plan_census(spark, sf_dir):
         "events_drift_psi",  # 1-row min/max-stats broadcast
         "events_survival_km",  # 1-row horizon/total/factor-list broadcasts
         "events_lifecycle_accounting",  # 1-row max-week broadcast
+        "text_pmi_collocations",  # 1-row token/bigram-total broadcasts
     }
     for name in bench.EXTENDED:
         txt = _single_plan(QUERIES[name].fn(spark, sf_dir))
@@ -521,6 +522,7 @@ def test_repo_wide_cartesian_and_bnlj_census(spark, sf_dir):
         "events_drift_psi",  # 1-row min/max-stats broadcast
         "events_survival_km",  # 1-row horizon/total/factor-list broadcasts
         "events_lifecycle_accounting",  # 1-row max-week broadcast
+        "text_pmi_collocations",  # 1-row token/bigram-total broadcasts
         # bounded query-set / centroid broadcasts (ANN serving shape)
         "ann_int8_rescore", "ann_cosine_topk", "ann_ivf_topk",
         "text_similar_topk",
