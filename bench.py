@@ -97,6 +97,7 @@ EXTENDED = (
     "events_survival_km",  # censoring-aware KM conversion curve (r7 cont.)
     "events_lifecycle_accounting",  # weekly growth-accounting states (r7 cont.)
     "text_pmi_collocations",  # PMI phrase-discovery top-30 (r7 cont.)
+    "embedding_drift_cells",  # embedding-space drift monitor (r7 cont.)
 )
 
 

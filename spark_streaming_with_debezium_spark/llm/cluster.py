@@ -231,7 +231,7 @@ _KM_D2 = (
 )
 
 
-def _km_assign_cte(cent: str, out: str) -> str:
+def _km_assign_cte(cent: str, out: str, src: str = "xi") -> str:
     return f"""
     {out} AS (
       SELECT vec_id, cluster, d2 FROM (
@@ -239,19 +239,22 @@ def _km_assign_cte(cent: str, out: str) -> str:
                {_KM_D2.format(a="x.v", b="c.cv")} AS d2,
                row_number() OVER (PARTITION BY x.vec_id
                  ORDER BY {_KM_D2.format(a="x.v", b="c.cv")}, c.cluster) AS rn
-        FROM xi x CROSS JOIN {cent} c
+        FROM {src} x CROSS JOIN {cent} c
       ) WHERE rn = 1
     )"""
 
 
-def _km_update_cte(assign_t: str, prev_cent: str, out: str) -> str:
+def _km_update_cte(
+    assign_t: str, prev_cent: str, out: str, src: str = "xi"
+) -> str:
     # (s - pmod(s, n)) // n == floor(s / n) in exact integer arithmetic
     # (the numerator is an exact multiple of n) — mirrors Python's s // n
     # on the Spark side with no engine-specific division semantics.
     return f"""
     {out}_ex AS (
-      SELECT a.cluster, unnest(xi.v) AS x, generate_subscripts(xi.v, 1) AS pos
-      FROM {assign_t} a JOIN xi ON a.vec_id = xi.vec_id
+      SELECT a.cluster, unnest({src}.v) AS x,
+             generate_subscripts({src}.v, 1) AS pos
+      FROM {assign_t} a JOIN {src} ON a.vec_id = {src}.vec_id
     ),
     {out}_sums AS (
       SELECT cluster, pos, SUM(x) AS s, COUNT(*) AS n
@@ -268,30 +271,38 @@ def _km_update_cte(assign_t: str, prev_cent: str, out: str) -> str:
     )"""
 
 
-def _km_cte_chain() -> str:
+def _km_cte_chain(src: str = "xi", include_src: bool = True) -> str:
     """The shared CTE prefix ``xi .. cent{N} .. afinal`` implementing
     the whole Lloyd fixpoint in SQL — reused by every oracle that
-    composes on the k-means cells (the coarse-quantizer role)."""
-    ctes = [
-        f"""
+    composes on the k-means cells (the coarse-quantizer role).
+
+    ``src`` is the (vec_id, v) table the fixpoint trains on
+    (``include_src=False`` when the caller defines it — e.g. a
+    reference half for drift monitoring); defaults reproduce the
+    original chain byte-for-byte."""
+    src_cte = f"""
     xi AS (
       SELECT vec_id, list_transform(embedding,
              x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_GRID}) AS BIGINT)) AS v
       FROM embeddings
-    ),
+    ),""" if include_src else ""
+    ctes = [
+        f"""{src_cte}
     cent0 AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
                - 1 AS cluster,
              v AS cv
-      FROM xi
+      FROM {src}
       QUALIFY row_number()
                 OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {_KM_K}
     )"""
     ]
     for i in range(_KM_ITERS):
-        ctes.append(_km_assign_cte(f"cent{i}", f"a{i + 1}"))
-        ctes.append(_km_update_cte(f"a{i + 1}", f"cent{i}", f"cent{i + 1}"))
-    ctes.append(_km_assign_cte(f"cent{_KM_ITERS}", "afinal"))
+        ctes.append(_km_assign_cte(f"cent{i}", f"a{i + 1}", src=src))
+        ctes.append(
+            _km_update_cte(f"a{i + 1}", f"cent{i}", f"cent{i + 1}", src=src)
+        )
+    ctes.append(_km_assign_cte(f"cent{_KM_ITERS}", "afinal", src=src))
     return ",".join(ctes)
 
 
@@ -578,4 +589,106 @@ def split_leakage_safe_groups(spark, sf_dir: str) -> DataFrame:
             .alias("n_dup_groups"),
         )
         .crossJoin(leak)
+    )
+
+
+def _drift_oracle() -> str:
+    return f"""
+    WITH xi AS (
+      SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_GRID}) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    xref AS (SELECT vec_id, v FROM xi WHERE vec_id % 2 = 0),
+    {_km_cte_chain(src="xref", include_src=False)},
+    {_km_assign_cte(f"cent{_KM_ITERS}", "afull", src="xi")}
+    SELECT CAST(a.cluster AS INT) AS cluster,
+           CAST(SUM(CASE WHEN x.vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ref,
+           CAST(SUM(CASE WHEN x.vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cur,
+           round(CASE WHEN SUM(CASE WHEN x.vec_id % 2 = 0 THEN 1 ELSE 0 END) > 0
+                 THEN (CAST(SUM(CASE WHEN x.vec_id % 2 = 0 THEN a.d2 END)
+                            AS DOUBLE)
+                       / SUM(CASE WHEN x.vec_id % 2 = 0 THEN 1 ELSE 0 END))
+                      / 1000000000000.0
+                 END, 6) AS mean_d2_ref,
+           round(CASE WHEN SUM(CASE WHEN x.vec_id % 2 = 1 THEN 1 ELSE 0 END) > 0
+                 THEN (CAST(SUM(CASE WHEN x.vec_id % 2 = 1 THEN a.d2 END)
+                            AS DOUBLE)
+                       / SUM(CASE WHEN x.vec_id % 2 = 1 THEN 1 ELSE 0 END))
+                      / 1000000000000.0
+                 END, 6) AS mean_d2_cur,
+           round(CAST(SUM(CASE WHEN x.vec_id % 2 = 1 THEN 1 ELSE 0 END) + 1
+                      AS DOUBLE)
+                 / (SUM(CASE WHEN x.vec_id % 2 = 0 THEN 1 ELSE 0 END) + 1), 6)
+             AS occupancy_lift
+    FROM afull a JOIN xi x ON a.vec_id = x.vec_id
+    GROUP BY a.cluster
+    """
+
+
+@query("embedding_drift_cells", oracle=_drift_oracle())
+def embedding_drift_cells(spark, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor — the vector-side companion of
+    `events_drift_psi`: train the deterministic Lloyd quantizer on the
+    REFERENCE half of the corpus only (even vec_ids — in production,
+    last month's snapshot), assign BOTH halves to those frozen cells,
+    and report per cell (a) occupancy shift — the Laplace-smoothed
+    (n_cur+1)/(n_ref+1) lift whose divergence from 1 is exactly what a
+    cell-PSI would integrate — and (b) quantization-error growth
+    (mean dist² per half): rising error with stable occupancy means
+    the distribution moved WITHIN cells, the drift mode occupancy
+    histograms miss. This is the standing check a retrieval/dedup
+    stack runs before trusting last epoch's IVF centroids
+    (`llm/ivf_index.py:cell_balance` is the re-train trigger it feeds).
+
+    Determinism: the training fixpoint, assignments and dist² are the
+    exact-integer Lloyd machinery (`embedding_kmeans_lloyd`); each
+    output statistic is ONE division of exact integers (empty-side
+    guards return NULL identically in both engines). Scale: training
+    scans only the reference half (centroids broadcast literals);
+    scoring is one stateless pass over the corpus + a k-row rollup —
+    nothing data-sized shuffles.
+
+    Oracle: the km CTE chain re-targeted at the reference half
+    (``src="xref"``) plus a full-corpus final assign — an independent
+    DuckDB formulation of both stages."""
+    e = _gridded_embeddings(spark, sf_dir).select("vec_id", "v")
+    ref = e.filter(F.col("vec_id") % 2 == 0)
+    cents = _lloyd_centroids(ref, cache_key=f"{sf_dir}|drift-ref")
+    best = _km_best_struct(cents)
+    is_ref = (F.col("vec_id") % 2 == 0).cast("int")
+    assigned = e.select(
+        best["cluster"].cast("int").alias("cluster"),
+        best["d2"].alias("d2"),
+        is_ref.alias("is_ref"),
+    )
+    n_ref = F.sum("is_ref")
+    n_cur = F.sum(F.lit(1) - F.col("is_ref"))
+    sd_ref = F.sum(F.when(F.col("is_ref") == 1, F.col("d2")))
+    sd_cur = F.sum(F.when(F.col("is_ref") == 0, F.col("d2")))
+    return assigned.groupBy("cluster").agg(
+        n_ref.cast("long").alias("n_ref"),
+        n_cur.cast("long").alias("n_cur"),
+        # rescale grid-units dist² back to original embedding units
+        # (÷ GRID²) BEFORE rounding: at ~1e12 grid units, 6-decimal
+        # rounding exceeds double precision and the two engines'
+        # round() implementations diverge by 1 ulp; at O(1) it's safe.
+        # Division order pinned: (double(sum)/n)/1e12 in both engines.
+        F.round(
+            F.when(
+                n_ref > 0, (sd_ref.cast("double") / n_ref) / F.lit(1.0e12)
+            ),
+            6,
+        ).alias("mean_d2_ref"),
+        F.round(
+            F.when(
+                n_cur > 0, (sd_cur.cast("double") / n_cur) / F.lit(1.0e12)
+            ),
+            6,
+        ).alias("mean_d2_cur"),
+        F.round((n_cur + 1).cast("double") / (n_ref + 1), 6).alias(
+            "occupancy_lift"
+        ),
     )

@@ -103,6 +103,7 @@ _PRIORITY = (
     "events_survival_km",  # NEW r7 continuation: never checked
     "events_lifecycle_accounting",  # NEW r7 continuation: never checked
     "text_pmi_collocations",  # NEW r7 continuation: never checked
+    "embedding_drift_cells",  # NEW r7 continuation: never checked
     "multimodal_image_features",  # NEW r7 continuation: never checked
     "multimodal_audio_features",  # NEW r7 continuation: never checked
     "decontaminate_semantic_cosine",  # NEW r7 continuation: never checked
@@ -138,7 +139,6 @@ _PRIORITY = (
     "embedding_normalize",
     "embedding_quantize_int8",
     "fn_array_agg_decimal",
-    "fn_arrays_extended",
     "text_fingerprint",
     "text_idf",
     "text_redact",
@@ -175,9 +175,11 @@ _PRIORITY = (
     # fn_json_extract, fn_strings_extended, fn_datetime_parts and
     # fn_datetime — r2-stale but the least regression-prone class in
     # the registry (stateless built-in scalar projections); they head
-    # the r8 queue with the others; text_pmi_collocations additionally
-    # displaces fn_conditionals_nulls (same class).
+    # the r8 queue with the others; text_pmi_collocations and
+    # embedding_drift_cells additionally displace fn_conditionals_nulls
+    # and fn_arrays_extended (same class).
     # --- 50-query prefix boundary (round-7 driver window) ---
+    "fn_arrays_extended",
     "fn_conditionals_nulls",
     "fn_datetime",
     "fn_datetime_parts",
