@@ -651,3 +651,109 @@ def test_ivf_upsert_replaces_changed_embeddings(spark, sf_dir, tmp_path):
     }
     for vid, e in expected2.items():
         assert list(got2[vid]) == list(e)
+
+
+def test_ivf_pq_search_recall_and_code_only_scan(spark, sf_dir, tmp_path):
+    """PQ-compressed IVF serving: (a) the ADC candidate scan reads ONLY
+    (vec_id, cell, pq_code, nrm) — never the embedding column (the
+    column-pruning that shrinks a 100 TB probe scan to the code bytes);
+    (b) after exact refine, recall@5 vs the brute-force cosine top-5
+    stays close to the uncompressed IVF search's recall."""
+    from spark_streaming_with_debezium_spark.llm.ivf_index import IvfIndex
+    from spark_streaming_with_debezium_spark.plans.explain import plan_text
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = IvfIndex(spark, str(tmp_path / "ivfpq"))
+    idx.build(e, pq_m=8)
+    stored = spark.read.parquet(str(tmp_path / "ivfpq" / "cells"))
+    assert "pq_code" in stored.columns
+    assert stored.filter(F.size("pq_code") != 8).count() == 0
+
+    queries = e.filter(F.col("vec_id") < 8)
+    got = idx.search_pq(queries, k=5, n_probe=5, refine=40)
+    # (a) column pruning: the ADC stage's scan schema excludes embedding
+    txt = plan_text(got, "formatted")
+    scans = [
+        seg for seg in txt.split("Scan parquet")[1:] if "cells" in seg[:600]
+    ]
+    adc_scans = [s for s in scans if "pq_code" in s[:900]]
+    assert adc_scans, "no code scan found in plan"
+    assert any(
+        "embedding" not in s[: s.index("ReadSchema") + 400]
+        for s in adc_scans
+        if "ReadSchema" in s
+    ), "ADC scan reads the embedding column"
+
+    # (b) recall vs exact brute force
+    from spark_streaming_with_debezium_spark.llm.similarity import (
+        cosine_prenormed,
+        norm,
+    )
+    from pyspark.sql import Window
+
+    v = e.select("vec_id", "embedding").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    ).withColumn("qnrm", norm(F.col("qe")))
+    exact = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            cosine_prenormed(
+                F.col("qe"), F.col("embedding"), F.col("qnrm"), F.col("nrm")
+            ),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cos").desc(), "vec_id"
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+    truth = {(r.query_id, r.vec_id) for r in exact.collect()}
+    found = {(r.query_id, r.vec_id) for r in got.collect()}
+    pq_recall = len(truth & found) / len(truth)
+    flat = {
+        (r.query_id, r.vec_id)
+        for r in idx.search(queries, k=5, n_probe=5).collect()
+    }
+    flat_recall = len(truth & flat) / len(truth)
+    # refine pool of 20 recovers nearly everything ADC mis-ranks: the
+    # PQ path may lose at most a small margin vs the uncompressed scan
+    assert pq_recall >= flat_recall - 0.1, (pq_recall, flat_recall)
+    assert pq_recall >= 0.5, pq_recall
+
+
+def test_ivf_pq_upsert_encodes_with_frozen_books(spark, sf_dir, tmp_path):
+    """Upserted vectors get PQ codes from the books trained at build
+    time (no retrain), land in their cells, and are immediately
+    servable through search_pq."""
+    from spark_streaming_with_debezium_spark.llm.ivf_index import IvfIndex
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = IvfIndex(spark, str(tmp_path / "ivfpq"))
+    idx.build(e.filter(F.col("vec_id") >= 8), pq_m=8)
+    books_before = sorted(
+        (r.m, r.code, tuple(r.cv))
+        for r in spark.read.parquet(str(tmp_path / "ivfpq" / "pq_books")).collect()
+    )
+    new = e.filter(F.col("vec_id") < 8)
+    idx.upsert(new)
+    books_after = sorted(
+        (r.m, r.code, tuple(r.cv))
+        for r in spark.read.parquet(str(tmp_path / "ivfpq" / "pq_books")).collect()
+    )
+    assert books_before == books_after
+    stored = spark.read.parquet(str(tmp_path / "ivfpq" / "cells"))
+    assert stored.filter(F.col("vec_id") < 8).count() == 8
+    assert stored.filter(F.col("pq_code").isNull()).count() == 0
+    # a query finds ITS OWN upserted twin region: searching with an
+    # upserted vector must return rows (it lives in a probed cell)
+    got = idx.search_pq(new, k=3, n_probe=5, refine=20)
+    assert got.count() == 24  # 8 queries × 3
