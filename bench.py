@@ -98,6 +98,7 @@ EXTENDED = (
     "events_lifecycle_accounting",  # weekly growth-accounting states (r7 cont.)
     "text_pmi_collocations",  # PMI phrase-discovery top-30 (r7 cont.)
     "embedding_drift_cells",  # embedding-space drift monitor (r7 cont.)
+    "decontaminate_bitmap_prefilter",  # Bloom-pattern map-side prune (r7 cont.)
 )
 
 

@@ -1281,3 +1281,112 @@ def shuffle_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("balance_ratio"),
         )
     )
+
+
+_BM_BITS = 1 << 22  # 4 Mi-bit membership bitmap → 65536 longs (512 KB)
+
+
+@query(
+    "decontaminate_bitmap_prefilter",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(text), 1, 2) < '14'
+                  THEN 'holdout' ELSE 'train' END AS split,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, split, array_to_string(w[i:i+4], ' ') AS g
+      FROM assigned, UNNEST(range(1, len(w)-5+2)) AS t(i)
+    ),
+    hg AS (SELECT DISTINCT g FROM grams WHERE split = 'holdout')
+    SELECT gr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_grams
+    FROM grams gr JOIN hg USING (g)
+    WHERE gr.split = 'train'
+    GROUP BY 1
+    """,
+)
+def decontaminate_bitmap_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram decontamination behind a BITMAP PREFILTER — the
+    Bloom-filter pattern for the 100 TB case where even a semi join of
+    all train grams is the dominant shuffle: the holdout gram set is
+    folded into a fixed 4 Mi-bit membership bitmap (bounded at 65536
+    longs REGARDLESS of corpus size — the words table is capped by the
+    bitmap geometry, not the data), embedded as ONE array literal, and
+    every train gram is tested MAP-SIDE with two integer ops before
+    anything shuffles. Only the surviving ~(true hits + FP rate) grams
+    enter the exact verify join, which removes the false positives —
+    so the result is EXACT (a k=1 Bloom filter has no false negatives)
+    and carries the same full value-hash oracle as the plain semi-join
+    face. At ~100k holdout grams the FP rate is ~2.4%; size the bitmap
+    to the holdout gram count at scale (m ≈ 40·n bits for ~2.5%).
+
+    vs ``decontaminate_train_ngram``: same split rule and gram
+    definition; this face reports per-doc hit counts (the audit view),
+    derives per-doc-distinct grams with ``array_distinct`` instead of
+    a corpus-wide distinct (no train-side shuffle before the
+    prefilter), and trades the boilerplate gram cap for the map-side
+    prune — the verify join stays bounded by the FP rate instead.
+
+    Plan shape: train grams never shuffle until after the bitmap
+    test; the bitmap build aggregates the (small) holdout side down to
+    ≤65536 (idx, word) rows collected driver-side (the bounded-collect
+    precedent: ADC LUTs, Lloyd centroids)."""
+    d = load_table(spark, sf_dir, "documents")
+    assigned = d.select(
+        "doc_id",
+        holdout_split_expr().alias("split"),
+        F.split(normalize_text("text"), " ").alias("w"),
+    )
+    positions = F.when(
+        F.size("w") >= 5, F.sequence(F.lit(1), F.size("w") - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    gram_arr = F.array_distinct(
+        F.transform(positions, lambda i: F.array_join(F.slice("w", i, 5), " "))
+    )
+    tg = assigned.filter(F.col("split") == "train").select(
+        "doc_id", F.explode(gram_arr).alias("g")
+    )
+    hg = (
+        assigned.filter(F.col("split") == "holdout")
+        .select(F.explode(gram_arr).alias("g"))
+        .distinct()
+    )
+
+    # ---- bitmap build: holdout grams → occupied 64-bit words ----
+    m_bits = _BM_BITS
+    hb = hg.select(F.pmod(F.xxhash64("g"), F.lit(m_bits)).alias("b")).distinct()
+    words = (
+        hb.select(
+            F.shiftright("b", 6).alias("idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(b, 64) AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("idx")
+        .agg(F.bit_or("mask").alias("wrd"))
+        .collect()  # bounded: ≤ m_bits/64 rows whatever the corpus size
+    )
+    dense = [0] * (m_bits // 64)
+    for r in words:
+        dense[int(r["idx"])] = int(r["wrd"])
+    bm = F.lit(dense)  # ONE array literal, shared — not 65536 expr nodes
+
+    # ---- map-side membership prune, then exact verify ----
+    probed = tg.select(
+        "doc_id", "g", F.pmod(F.xxhash64("g"), F.lit(m_bits)).alias("b")
+    )
+    hit = (
+        F.element_at(bm, (F.shiftright("b", 6) + 1).cast("int")).bitwiseAND(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(b, 64) AS INT))")
+        )
+        != 0
+    )
+    cand = probed.filter(hit).select("doc_id", "g")
+    return (
+        cand.join(hg, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit_grams"))
+    )

@@ -104,6 +104,7 @@ _PRIORITY = (
     "events_lifecycle_accounting",  # NEW r7 continuation: never checked
     "text_pmi_collocations",  # NEW r7 continuation: never checked
     "embedding_drift_cells",  # NEW r7 continuation: never checked
+    "decontaminate_bitmap_prefilter",  # NEW r7 continuation: never checked
     "multimodal_image_features",  # NEW r7 continuation: never checked
     "multimodal_audio_features",  # NEW r7 continuation: never checked
     "decontaminate_semantic_cosine",  # NEW r7 continuation: never checked
@@ -138,7 +139,6 @@ _PRIORITY = (
     "embedding_cosine_neardup",
     "embedding_normalize",
     "embedding_quantize_int8",
-    "fn_array_agg_decimal",
     "text_fingerprint",
     "text_idf",
     "text_redact",
@@ -175,10 +175,12 @@ _PRIORITY = (
     # fn_json_extract, fn_strings_extended, fn_datetime_parts and
     # fn_datetime — r2-stale but the least regression-prone class in
     # the registry (stateless built-in scalar projections); they head
-    # the r8 queue with the others; text_pmi_collocations and
-    # embedding_drift_cells additionally displace fn_conditionals_nulls
-    # and fn_arrays_extended (same class).
+    # the r8 queue with the others; text_pmi_collocations,
+    # embedding_drift_cells and decontaminate_bitmap_prefilter
+    # additionally displace fn_conditionals_nulls, fn_arrays_extended
+    # and fn_array_agg_decimal (same class).
     # --- 50-query prefix boundary (round-7 driver window) ---
+    "fn_array_agg_decimal",
     "fn_arrays_extended",
     "fn_conditionals_nulls",
     "fn_datetime",
