@@ -99,6 +99,7 @@ EXTENDED = (
     "text_pmi_collocations",  # PMI phrase-discovery top-30 (r7 cont.)
     "embedding_drift_cells",  # embedding-space drift monitor (r7 cont.)
     "decontaminate_bitmap_prefilter",  # Bloom-pattern map-side prune (r7 cont.)
+    "supplier_pareto_frontier",  # skyline via bucketed dominance sweep (r7 cont.)
 )
 
 

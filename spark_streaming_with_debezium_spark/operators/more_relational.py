@@ -2679,3 +2679,89 @@ def events_power_users_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top_decile_share"),
     )
+
+
+@query(
+    "supplier_pareto_frontier",
+    oracle="""
+    WITH m AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+               AS unit_price,
+             (CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(l_discount)) AS avg_discount,
+             COUNT(*) AS n_lineitems
+      FROM lineitem GROUP BY 1
+    )
+    SELECT s.suppkey,
+           round(s.unit_price, 6) AS unit_price,
+           round(s.avg_discount, 6) AS avg_discount,
+           CAST(s.n_lineitems AS BIGINT) AS n_lineitems
+    FROM m s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM m o
+      WHERE o.unit_price <= s.unit_price
+        AND o.avg_discount >= s.avg_discount
+        AND (o.unit_price < s.unit_price OR o.avg_discount > s.avg_discount)
+    )
+    """,
+)
+def supplier_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) operator — the multi-objective
+    shortlist every sourcing/procurement report wants: suppliers not
+    DOMINATED on (unit price ↓, average discount ↑); a supplier is
+    dropped iff someone is at least as good on both objectives and
+    strictly better on one.
+
+    The naive skyline is an O(n²) dominance self-join (the oracle's
+    NOT EXISTS — deliberately an independent formulation). The Spark
+    plan is the O(n log n) sweep: sort the DISTINCT objective pairs by
+    (price ASC, −discount ASC); a pair is dominated iff the running
+    MIN of −discount over strictly-preceding pairs is ≤ its own (a
+    lex-previous pair always has price ≤ this one's, and on equal
+    mins the strictly-smaller price wins — exact because pairs are
+    distinct). The strictly-preceding running min comes from
+    ``scalable_windows.global_ordered_running(prev_mins=...)`` — range
+    buckets + per-bucket windows + a ≤n_buckets offset table, so NO
+    single-task global window even with 10⁸ suppliers; survivors
+    rejoin the metric table semi-style. Determinism: both objectives
+    are decimal-interior sums with one double division each
+    (`davg`/`dsum` convention); dominance uses only comparisons of
+    identically-derived doubles; round(6) applies to OUTPUT only."""
+    from spark_streaming_with_debezium_spark.functions.numeric import davg
+    from spark_streaming_with_debezium_spark.operators.scalable_windows import (
+        global_ordered_running,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        (dsum("l_extendedprice") / dsum("l_quantity")).alias("unit_price"),
+        davg("l_discount").alias("avg_discount"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+    pairs = (
+        m.select("unit_price", "avg_discount")
+        .distinct()
+        .withColumn("negd", -F.col("avg_discount"))
+    )
+    ranked = global_ordered_running(
+        pairs,
+        key=F.col("unit_price"),
+        order_cols=[F.col("unit_price"), F.col("negd")],
+        prev_mins={"prev_min_negd": F.col("negd")},
+        n_buckets=32,
+    )
+    sky_pairs = ranked.filter(
+        F.col("prev_min_negd").isNull()
+        | (F.col("prev_min_negd") > F.col("negd"))
+    ).select("unit_price", "avg_discount")
+    return (
+        m.join(F.broadcast(sky_pairs), ["unit_price", "avg_discount"], "left_semi")
+        .select(
+            "suppkey",
+            F.round("unit_price", 6).alias("unit_price"),
+            F.round("avg_discount", 6).alias("avg_discount"),
+            F.col("n_lineitems").cast("long").alias("n_lineitems"),
+        )
+    )

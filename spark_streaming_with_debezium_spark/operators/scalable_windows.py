@@ -55,10 +55,14 @@ def global_ordered_running(
     rank_name: str | None = None,
     n_buckets: int = 64,
     boundaries: Sequence[float] | None = None,
+    prev_mins: Mapping[str, Column] | None = None,
 ) -> DataFrame:
     """Add exact global running sums (``sums``: out-name → column) and/
-    or a global ``row_number`` (``rank_name``) under the total order
-    ``order_cols``, without a single-task global window.
+    or a global ``row_number`` (``rank_name``) and/or STRICTLY-PRECEDING
+    running minimums (``prev_mins``: min over all rows before the
+    current one in the total order, NULL for the global first row — the
+    skyline/dominance primitive) under the total order ``order_cols``,
+    without a single-task global window.
 
     ``key`` must be a non-null numeric expression that sorts ASC
     consistently with ``order_cols`` (negate for DESC leading keys;
@@ -68,6 +72,7 @@ def global_ordered_running(
     several rankings run over the same input.
     """
     sums = dict(sums or {})
+    prev_mins = dict(prev_mins or {})
     df2 = df.withColumn("_key", key.cast("double"))
     if boundaries is None:
         boundaries = quantile_boundaries(df2, ["_key"], n_buckets)[0]
@@ -77,14 +82,18 @@ def global_ordered_running(
     )
     w_rank = Window.partitionBy("_bkt").orderBy(*order_cols)
     w_run = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_prev = w_rank.rowsBetween(Window.unboundedPreceding, -1)
     within = df3
     for name, col in sums.items():
         within = within.withColumn(f"_run_{name}", F.sum(col).over(w_run))
+    for name, col in prev_mins.items():
+        within = within.withColumn(f"_pmin_{name}", F.min(col).over(w_prev))
     if rank_name:
         within = within.withColumn("_rn", F.row_number().over(w_rank))
 
     totals = df3.groupBy("_bkt").agg(
         *[F.sum(c).alias(f"_tot_{n}") for n, c in sums.items()],
+        *[F.min(c).alias(f"_bmin_{n}") for n, c in prev_mins.items()],
         F.count(F.lit(1)).alias("_cnt"),
     )
     # tiny frame: ≤ n_buckets rows — the allowlisted global window
@@ -100,6 +109,10 @@ def global_ordered_running(
             )
             for n in sums
         ],
+        *[
+            F.min(f"_bmin_{n}").over(w_off).alias(f"_offmin_{n}")
+            for n in prev_mins
+        ],
         F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off_rn"),
     )
     out = within.join(F.broadcast(off), "_bkt")
@@ -107,12 +120,22 @@ def global_ordered_running(
         out = out.withColumn(
             name, F.col(f"_run_{name}") + F.col(f"_off_{name}")
         )
+    for name in prev_mins:
+        # least() skips NULLs: first row of bucket 0 stays NULL (no
+        # predecessor), first row of later buckets sees the bucket
+        # offset, interior rows combine both — bit-equal to the single
+        # global strictly-preceding window
+        out = out.withColumn(
+            name, F.least(F.col(f"_pmin_{name}"), F.col(f"_offmin_{name}"))
+        )
     if rank_name:
         out = out.withColumn(rank_name, F.col("_rn") + F.col("_off_rn"))
     drop = (
         ["_key", "_bkt", "_rn", "_off_rn"]
         + [f"_run_{n}" for n in sums]
         + [f"_off_{n}" for n in sums]
+        + [f"_pmin_{n}" for n in prev_mins]
+        + [f"_offmin_{n}" for n in prev_mins]
     )
     return out.drop(*drop)
 

@@ -105,6 +105,7 @@ _PRIORITY = (
     "text_pmi_collocations",  # NEW r7 continuation: never checked
     "embedding_drift_cells",  # NEW r7 continuation: never checked
     "decontaminate_bitmap_prefilter",  # NEW r7 continuation: never checked
+    "supplier_pareto_frontier",  # NEW r7 continuation: never checked
     "multimodal_image_features",  # NEW r7 continuation: never checked
     "multimodal_audio_features",  # NEW r7 continuation: never checked
     "decontaminate_semantic_cosine",  # NEW r7 continuation: never checked
@@ -141,7 +142,6 @@ _PRIORITY = (
     "embedding_quantize_int8",
     "text_fingerprint",
     "text_idf",
-    "text_redact",
     # window_running_frames, text_similar_topk, ann_ivf_topk,
     # join_asof, join_broadcast_dims, join_inner_equi,
     # join_range_band, join_left_anti, join_left_semi,
@@ -176,10 +176,12 @@ _PRIORITY = (
     # fn_datetime — r2-stale but the least regression-prone class in
     # the registry (stateless built-in scalar projections); they head
     # the r8 queue with the others; text_pmi_collocations,
-    # embedding_drift_cells and decontaminate_bitmap_prefilter
-    # additionally displace fn_conditionals_nulls, fn_arrays_extended
-    # and fn_array_agg_decimal (same class).
+    # embedding_drift_cells, decontaminate_bitmap_prefilter and
+    # supplier_pareto_frontier additionally displace
+    # fn_conditionals_nulls, fn_arrays_extended, fn_array_agg_decimal
+    # and text_redact (stateless regex/scalar projections).
     # --- 50-query prefix boundary (round-7 driver window) ---
+    "text_redact",
     "fn_array_agg_decimal",
     "fn_arrays_extended",
     "fn_conditionals_nulls",

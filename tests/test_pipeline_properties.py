@@ -412,3 +412,38 @@ def test_group_split_colocates_every_near_dup_pair(spark, sf_dir):
             else "train"
         )
     assert all(gsplit(a) == gsplit(b) for a, b in pairs)
+
+
+def test_global_prev_min_matches_naive_window(spark, sf_dir):
+    """global_ordered_running(prev_mins=...) must equal the naive
+    single-task strictly-preceding global MIN window bit-for-bit,
+    including the NULL for the global first row and bucket-boundary
+    rows (first row of every non-first bucket)."""
+    from pyspark.sql import Window
+
+    from spark_streaming_with_debezium_spark.operators.scalable_windows import (
+        global_ordered_running,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+    )
+    order = ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    got = global_ordered_running(
+        li,
+        key=F.col("l_extendedprice"),
+        order_cols=order,
+        prev_mins={"pm": F.col("l_quantity")},
+        n_buckets=16,
+    ).select("l_orderkey", "l_linenumber", "pm")
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    want = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.min("l_quantity").over(w).alias("pm"),
+    )
+    keyf = lambda r: (r[0], r[1])  # noqa: E731 — NULL pm unsortable
+    g = sorted(map(tuple, got.collect()), key=keyf)
+    e = sorted(map(tuple, want.collect()), key=keyf)
+    assert g == e
+    assert any(r[2] is None for r in g)  # the global first row is NULL
