@@ -100,6 +100,8 @@ EXTENDED = (
     "embedding_drift_cells",  # embedding-space drift monitor (r7 cont.)
     "decontaminate_bitmap_prefilter",  # Bloom-pattern map-side prune (r7 cont.)
     "supplier_pareto_frontier",  # skyline via bucketed dominance sweep (r7 cont.)
+    "events_funnel_time_constrained",  # 72h-windowed funnel chain (r7 cont.)
+    "join_asof_nearest",  # bidirectional nearest as-of join (r7 cont.)
 )
 
 

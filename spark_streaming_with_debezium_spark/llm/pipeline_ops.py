@@ -1333,7 +1333,13 @@ def decontaminate_bitmap_prefilter(spark: SparkSession, sf_dir: str) -> DataFram
     Plan shape: train grams never shuffle until after the bitmap
     test; the bitmap build aggregates the (small) holdout side down to
     ≤65536 (idx, word) rows collected driver-side (the bounded-collect
-    precedent: ADC LUTs, Lloyd centroids)."""
+    precedent: ADC LUTs, Lloyd centroids) and rides back in as a
+    BROADCAST 1-row crossJoin — a JoinedRow wrapper streamed into the
+    filter, dropped by the projection before anything shuffles.
+    (Measured at sf0.1: a 65536-element ``F.lit(list)`` lowers to a
+    per-row CreateArray — 63 s; the broadcast row probes the same
+    bitmap at 3.8 s, within noise of the semi-join face once the gram
+    explode is accounted.)"""
     d = load_table(spark, sf_dir, "documents")
     assigned = d.select(
         "doc_id",
@@ -1372,14 +1378,18 @@ def decontaminate_bitmap_prefilter(spark: SparkSession, sf_dir: str) -> DataFram
     dense = [0] * (m_bits // 64)
     for r in words:
         dense[int(r["idx"])] = int(r["wrd"])
-    bm = F.lit(dense)  # ONE array literal, shared — not 65536 expr nodes
+    # ONE broadcast row, probed in place — NOT F.lit(dense): a list
+    # literal lowers to per-row CreateArray (O(m) per gram, measured
+    # 17× slower at sf0.1); the broadcast row's array is deserialized
+    # once per task and element_at is O(1)
+    bm_df = spark.createDataFrame([(dense,)], "bm array<bigint>")
 
     # ---- map-side membership prune, then exact verify ----
-    probed = tg.select(
-        "doc_id", "g", F.pmod(F.xxhash64("g"), F.lit(m_bits)).alias("b")
+    probed = tg.crossJoin(F.broadcast(bm_df)).select(
+        "doc_id", "g", "bm", F.pmod(F.xxhash64("g"), F.lit(m_bits)).alias("b")
     )
     hit = (
-        F.element_at(bm, (F.shiftright("b", 6) + 1).cast("int")).bitwiseAND(
+        F.element_at("bm", (F.shiftright("b", 6) + 1).cast("int")).bitwiseAND(
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(b, 64) AS INT))")
         )
         != 0

@@ -381,3 +381,102 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_seconds"
         ),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH ranked AS (
+      SELECT v.event_id, v.user_id, v.ts,
+             p.event_id AS pid, p.ts AS pts,
+             abs(epoch_us(p.ts) - epoch_us(v.ts)) AS d_us,
+             row_number() OVER (
+               PARTITION BY v.event_id
+               ORDER BY abs(epoch_us(p.ts) - epoch_us(v.ts)), p.ts,
+                        p.event_id
+             ) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'view') v
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON v.user_id = p.user_id
+    )
+    SELECT event_id, user_id, ts,
+           COALESCE(pid, -1) AS nearest_purchase_id,
+           pts AS nearest_purchase_ts,
+           COALESCE(CAST(d_us AS BIGINT), -1) AS delta_us
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event as-of join — the bidirectional completion of the
+    as-of family (J10 backward, `join_asof_forward` forward): for each
+    view, the user's purchase CLOSEST in time in either direction
+    (sensor-fusion / nearest-fill semantics). Ties pin to (smaller
+    |Δ|, earlier purchase ts — i.e. backward wins an equidistant pair,
+    smaller event_id); the no-purchase case carries the same -1
+    sentinel as the forward face (nullable BIGINT would go float64
+    through the driver's pandas fetch).
+
+    The oracle ranks an unbounded per-user LEFT JOIN by |Δ| — O(n·m)
+    per user, fine for a checker. The Spark plan is the union+window
+    shape with ONE hash exchange on user and TWO sorts over it: a
+    backward pass (order (us, purchase-first, id DESC), running `last`
+    carry) yields the latest purchase ≤ ts with the SMALLEST id among
+    same-microsecond purchases, a forward pass (order (us, view-first,
+    id ASC), `first` over the following frame) the earliest ≥ ts — the
+    final argmin over the two candidates is a stateless projection.
+    All deltas are exact integer micros."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("k"), us.alias("t"),
+        F.lit(1).alias("is_view"), "event_id", F.col("ts").alias("v_ts"),
+        F.lit(None).cast("bigint").alias("p_id"),
+        F.lit(None).cast("long").alias("p_us"),
+        F.lit(None).cast(e.schema["ts"].dataType).alias("p_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"), us.alias("t"),
+        F.lit(0).alias("is_view"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast(e.schema["ts"].dataType).alias("v_ts"),
+        F.col("event_id").alias("p_id"), us.alias("p_us"),
+        F.col("ts").alias("p_ts"),
+    )
+    u = v.unionByName(p)
+    wb = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_view", F.desc("p_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("k")
+        .orderBy("t", F.desc("is_view"), "p_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = u.select(
+        "is_view", "event_id", "k", "v_ts", F.col("t").alias("v_us"),
+        F.last("p_id", ignorenulls=True).over(wb).alias("b_id"),
+        F.last("p_us", ignorenulls=True).over(wb).alias("b_us"),
+        F.last("p_ts", ignorenulls=True).over(wb).alias("b_ts"),
+        F.first("p_id", ignorenulls=True).over(wf).alias("f_id"),
+        F.first("p_us", ignorenulls=True).over(wf).alias("f_us"),
+        F.first("p_ts", ignorenulls=True).over(wf).alias("f_ts"),
+    ).filter(F.col("is_view") == 1)
+    db = F.col("v_us") - F.col("b_us")
+    df_ = F.col("f_us") - F.col("v_us")
+    choose_b = F.col("b_id").isNotNull() & (
+        F.col("f_id").isNull() | (db <= df_)
+    )
+    pick = lambda b, f: F.when(choose_b, F.col(b)).otherwise(F.col(f))  # noqa: E731
+    return carried.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("v_ts").alias("ts"),
+        F.coalesce(pick("b_id", "f_id"), F.lit(-1)).alias(
+            "nearest_purchase_id"
+        ),
+        pick("b_ts", "f_ts").alias("nearest_purchase_ts"),
+        F.coalesce(
+            F.when(choose_b, db).otherwise(df_).cast("long"), F.lit(-1)
+        ).alias("delta_us"),
+    )

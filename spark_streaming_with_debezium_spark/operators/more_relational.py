@@ -2765,3 +2765,131 @@ def supplier_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_lineitems").cast("long").alias("n_lineitems"),
         )
     )
+
+
+_FUNNEL_WINDOW_US = 72 * 3600 * 1000000  # 72 h per step, exact micros
+
+
+@query(
+    "events_funnel_time_constrained",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS us, event_type
+      FROM events
+      WHERE event_type IN ('view', 'click', 'signup', 'purchase')
+    ),
+    arr AS (
+      SELECT user_id,
+             list(struct_pack(us := us, et := event_type)
+                  ORDER BY us, event_type) AS l
+      FROM ev GROUP BY 1
+    ),
+    steps AS (
+      SELECT user_id,
+             t1,
+             (list_filter(l, x -> x.et = 'click' AND x.us > t1
+                             AND x.us <= t1 + {_FUNNEL_WINDOW_US}))[1].us AS t2
+      FROM (
+        SELECT user_id, l,
+               (list_filter(l, x -> x.et = 'view'))[1].us AS t1
+        FROM arr
+      )
+    ),
+    steps2 AS (
+      SELECT s.user_id, s.t1, s.t2,
+             (list_filter(a.l, x -> x.et = 'signup' AND x.us > s.t2
+                             AND x.us <= s.t2 + {_FUNNEL_WINDOW_US}))[1].us AS t3
+      FROM steps s JOIN arr a USING (user_id)
+    ),
+    steps3 AS (
+      SELECT s.user_id, s.t1, s.t2, s.t3,
+             (list_filter(a.l, x -> x.et = 'purchase' AND x.us > s.t3
+                             AND x.us <= s.t3 + {_FUNNEL_WINDOW_US}))[1].us AS t4
+      FROM steps2 s JOIN arr a USING (user_id)
+    )
+    SELECT CAST(COUNT(t1) AS BIGINT) AS n_view,
+           CAST(COUNT(t2) AS BIGINT) AS n_click_72h,
+           CAST(COUNT(t3) AS BIGINT) AS n_signup_72h,
+           CAST(COUNT(t4) AS BIGINT) AS n_purchase_72h,
+           round(CASE WHEN COUNT(t1) > 0
+                 THEN CAST(COUNT(t2) AS DOUBLE) / COUNT(t1) END, 6) AS r_click,
+           round(CASE WHEN COUNT(t2) > 0
+                 THEN CAST(COUNT(t3) AS DOUBLE) / COUNT(t2) END, 6) AS r_signup,
+           round(CASE WHEN COUNT(t3) > 0
+                 THEN CAST(COUNT(t4) AS DOUBLE) / COUNT(t3) END, 6)
+             AS r_purchase
+    FROM steps3
+    """,
+)
+def events_funnel_time_constrained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-constrained conversion funnel (view → click → signup →
+    purchase, each step STRICTLY after the previous and within 72 h of
+    it) — the funnel product analytics actually runs: the unconstrained
+    `events_funnel` credits a purchase months after the click, which
+    overstates campaign conversion. Step anchors re-chain per user
+    (first view; first qualifying click after IT; first qualifying
+    signup after THAT; …), so each step's window slides to the
+    previous step's actual time.
+
+    Shape: ONE shuffle — per-user sorted event arrays
+    (groupBy(user).collect_list, the sessionization shape), then the
+    whole four-step chain evaluates as higher-order array expressions
+    inside a single projection (no re-scan per step; the 4-pass
+    conditional-min-join alternative costs four shuffles). Per-user
+    arrays are bounded by events-per-user; at 100 TB a pathological
+    power user bounds the task, the same skew profile as
+    `events_sessionize_gap` (AQE skew split or a per-user event cap).
+    All comparisons are exact integer micros; each rate is one
+    division of exact counts (NULL-guarded identically in both
+    engines)."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.filter(
+        F.col("event_type").isin("view", "click", "signup", "purchase")
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_type",
+    )
+    arr = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("us", "event_type"))).alias("l")
+    )
+    win = F.lit(_FUNNEL_WINDOW_US).cast("long")
+
+    def first_after(lcol, et: str, t_prev):
+        # F.get (0-indexed) is NULL on empty arrays under ANSI mode,
+        # matching DuckDB's NULL list indexing; element_at would throw
+        return F.get(
+            F.filter(
+                lcol,
+                lambda x: (x["event_type"] == et)
+                & (x["us"] > t_prev)
+                & (x["us"] <= t_prev + win),
+            ),
+            0,
+        )["us"]
+
+    t1 = F.get(
+        F.filter("l", lambda x: x["event_type"] == "view"), 0
+    )["us"]
+    s1 = arr.select("l", t1.alias("t1"))
+    s2 = s1.select("l", "t1", first_after(F.col("l"), "click", F.col("t1")).alias("t2"))
+    s3 = s2.select("l", "t1", "t2", first_after(F.col("l"), "signup", F.col("t2")).alias("t3"))
+    s4 = s3.select(
+        "t1", "t2", "t3",
+        first_after(F.col("l"), "purchase", F.col("t3")).alias("t4"),
+    )
+    n1, n2, n3, n4 = (F.count(c) for c in ("t1", "t2", "t3", "t4"))
+    rate = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, num.cast("double") / den), 6
+    )
+    return s4.agg(
+        n1.cast("long").alias("n_view"),
+        n2.cast("long").alias("n_click_72h"),
+        n3.cast("long").alias("n_signup_72h"),
+        n4.cast("long").alias("n_purchase_72h"),
+        rate(F.count("t2"), F.count("t1")).alias("r_click"),
+        rate(F.count("t3"), F.count("t2")).alias("r_signup"),
+        rate(F.count("t4"), F.count("t3")).alias("r_purchase"),
+    )

@@ -106,6 +106,8 @@ _PRIORITY = (
     "embedding_drift_cells",  # NEW r7 continuation: never checked
     "decontaminate_bitmap_prefilter",  # NEW r7 continuation: never checked
     "supplier_pareto_frontier",  # NEW r7 continuation: never checked
+    "events_funnel_time_constrained",  # NEW r7 continuation: never checked
+    "join_asof_nearest",  # NEW r7 continuation: never checked
     "multimodal_image_features",  # NEW r7 continuation: never checked
     "multimodal_audio_features",  # NEW r7 continuation: never checked
     "decontaminate_semantic_cosine",  # NEW r7 continuation: never checked
@@ -140,8 +142,6 @@ _PRIORITY = (
     "embedding_cosine_neardup",
     "embedding_normalize",
     "embedding_quantize_int8",
-    "text_fingerprint",
-    "text_idf",
     # window_running_frames, text_similar_topk, ann_ivf_topk,
     # join_asof, join_broadcast_dims, join_inner_equi,
     # join_range_band, join_left_anti, join_left_semi,
@@ -179,8 +179,14 @@ _PRIORITY = (
     # embedding_drift_cells, decontaminate_bitmap_prefilter and
     # supplier_pareto_frontier additionally displace
     # fn_conditionals_nulls, fn_arrays_extended, fn_array_agg_decimal
-    # and text_redact (stateless regex/scalar projections).
+    # and text_redact (stateless regex/scalar projections);
+    # events_funnel_time_constrained and join_asof_nearest additionally
+    # displace text_fingerprint and text_idf (r2-stale; text_idf's
+    # machinery is re-proven via text_keywords_tfidf/text_bm25_topk in
+    # earlier windows, text_fingerprint via the dedup family).
     # --- 50-query prefix boundary (round-7 driver window) ---
+    "text_idf",
+    "text_fingerprint",
     "text_redact",
     "fn_array_agg_decimal",
     "fn_arrays_extended",
