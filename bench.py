@@ -102,6 +102,8 @@ EXTENDED = (
     "supplier_pareto_frontier",  # skyline via bucketed dominance sweep (r7 cont.)
     "events_funnel_time_constrained",  # 72h-windowed funnel chain (r7 cont.)
     "join_asof_nearest",  # bidirectional nearest as-of join (r7 cont.)
+    "text_keyphrase_rake",  # RAKE keyphrase mining top-20 (r7 cont.)
+    "events_pattern_decline_rebound",  # CEP-style lag-chain pattern (r7 cont.)
 )
 
 

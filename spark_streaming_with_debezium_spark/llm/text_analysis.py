@@ -1390,3 +1390,127 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "w1", "w2")
         .limit(30)
     )
+
+
+@query(
+    "text_keyphrase_rake",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, generate_subscripts(words, 1) AS pos,
+             unnest(words) AS w
+      FROM (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+        FROM documents
+      )
+    ),
+    toks2 AS (
+      SELECT doc_id, pos, w,
+             list_contains(['the','a','and','of','to'], w) AS is_stop
+      FROM toks
+    ),
+    marked AS (
+      SELECT doc_id, pos, w, is_stop,
+             SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+      FROM toks2
+    ),
+    runs AS (
+      SELECT doc_id, pos, w, run_id FROM marked WHERE NOT is_stop
+    ),
+    phrases AS (
+      SELECT doc_id, run_id,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             COUNT(*) AS plen
+      FROM runs GROUP BY 1, 2
+    ),
+    ws AS (
+      SELECT r.w,
+             CAST(CAST(SUM(p.plen) AS DOUBLE) / COUNT(*)
+                  AS DECIMAL(38,12)) AS wscore
+      FROM runs r JOIN phrases p USING (doc_id, run_id)
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT p.phrase, p.doc_id, p.run_id, SUM(ws.wscore) AS score
+      FROM runs r
+      JOIN phrases p USING (doc_id, run_id)
+      JOIN ws ON r.w = ws.w
+      GROUP BY 1, 2, 3
+    )
+    SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           round(CAST(MAX(score) AS DOUBLE), 6) AS score
+    FROM scored
+    GROUP BY phrase
+    ORDER BY score DESC, phrase
+    LIMIT 20
+    """,
+)
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) — the unsupervised
+    phrase miner a curation pipeline runs where TF-IDF keywords are too
+    unigram-bound: candidate phrases are maximal stopword-free token
+    runs, each word scores deg/freq (deg = Σ length of phrases it
+    appears in — the common simplification of co-occurrence degree),
+    and a phrase scores the sum of its member word scores; corpus
+    top-20 by (score DESC, phrase).
+
+    Determinism: run boundaries come from an exact integer stopword
+    cumsum PARTITIONED BY DOC (no global window); each word score is
+    one division of exact integers, then snapped to DECIMAL(38,12) so
+    the per-phrase SUM is order-independent (the `text_token_rarity`
+    discipline — summing raw doubles would be partial-order-dependent).
+    Identical phrases score identically by construction (corpus-level
+    word scores), so the cross-corpus rollup is exact.
+
+    Shape: one token explode; run assembly is a per-doc window + one
+    groupBy(doc, run) with a sorted-struct collect; word scores join
+    the RUN VOCABULARY (Zipf-skewed at 100 TB — AQE skew split);
+    top-20 is TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), "\\s+")).alias(
+            "pos", "w"
+        ),
+    ).withColumn("is_stop", F.col("w").isin(*STOPWORDS["en"]))
+    from pyspark.sql import Window
+
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        toks.withColumn(
+            "run_id",
+            F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(wdoc),
+        )
+        .filter(~F.col("is_stop"))
+        .select("doc_id", "pos", "w", "run_id")
+    )
+    phrases = runs.groupBy("doc_id", "run_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    members = runs.join(phrases, ["doc_id", "run_id"])
+    ws = members.groupBy("w").agg(
+        (F.sum("plen").cast("double") / F.count(F.lit(1)))
+        .cast("decimal(38,12)")
+        .alias("wscore")
+    )
+    scored = (
+        members.join(ws, "w")
+        .groupBy("phrase", "doc_id", "run_id")
+        .agg(F.sum("wscore").alias("score"))
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.round(F.max("score").cast("double"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "phrase")
+        .limit(20)
+    )

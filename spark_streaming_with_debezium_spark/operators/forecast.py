@@ -823,3 +823,80 @@ def events_lifecycle_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
         F.coalesce("n_active", F.lit(0)).cast("long").alias("n_active"),
     )
+
+
+@query(
+    "events_pattern_decline_rebound",
+    oracle="""
+    WITH per AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, day, n,
+             lag(n, 1) OVER w AS n1, lag(n, 2) OVER w AS n2,
+             lag(n, 3) OVER w AS n3,
+             lag(day, 3) OVER w AS d3
+      FROM per
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day AS rebound_day,
+           CAST(n3 AS BIGINT) AS n_t3, CAST(n2 AS BIGINT) AS n_t2,
+           CAST(n1 AS BIGINT) AS n_t1, CAST(n AS BIGINT) AS n_rebound,
+           round(CAST(n3 - n1 AS DOUBLE) / n3, 6) AS drawdown
+    FROM lagged
+    WHERE n3 > n2 AND n2 > n1 AND n > n1
+      AND date_diff('day', d3, day) = 3
+    """,
+)
+def events_pattern_decline_rebound(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sequence-pattern detection (the MATCH_RECOGNIZE / Flink-CEP
+    operator class, expressed as lag chains): per event type, find
+    every day whose preceding three CALENDAR-CONSECUTIVE days declined
+    strictly twice and then rebounded (n₋₃ > n₋₂ > n₋₁ < n₀) — the
+    "dip-and-recover" alert an ops dashboard pages on. Calendar
+    consecutiveness is enforced with one date_diff on the 3-step
+    lagged day (a gap anywhere inside the window breaks it), so
+    missing days never fake a pattern.
+
+    All counts are exact integers; the drawdown is one division of
+    exact ints. Shape: one groupBy(type, day) with map-side combine
+    down to O(types × days) rows, then a PARTITIONED-BY-TYPE lag
+    window (never global) and a stateless predicate — the same plan
+    detects patterns per user/per device/per series by swapping the
+    partition key, which is how it scales to millions of series."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = per.select(
+        "event_type",
+        "day",
+        "n",
+        F.lag("n", 1).over(w).alias("n1"),
+        F.lag("n", 2).over(w).alias("n2"),
+        F.lag("n", 3).over(w).alias("n3"),
+        F.lag("day", 3).over(w).alias("d3"),
+    )
+    return (
+        lagged.filter(
+            (F.col("n3") > F.col("n2"))
+            & (F.col("n2") > F.col("n1"))
+            & (F.col("n") > F.col("n1"))
+            & (F.datediff("day", "d3") == 3)
+        )
+        .select(
+            "event_type",
+            F.col("day").alias("rebound_day"),
+            F.col("n3").cast("long").alias("n_t3"),
+            F.col("n2").cast("long").alias("n_t2"),
+            F.col("n1").cast("long").alias("n_t1"),
+            F.col("n").cast("long").alias("n_rebound"),
+            F.round(
+                (F.col("n3") - F.col("n1")).cast("double") / F.col("n3"), 6
+            ).alias("drawdown"),
+        )
+    )

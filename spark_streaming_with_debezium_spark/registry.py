@@ -108,6 +108,8 @@ _PRIORITY = (
     "supplier_pareto_frontier",  # NEW r7 continuation: never checked
     "events_funnel_time_constrained",  # NEW r7 continuation: never checked
     "join_asof_nearest",  # NEW r7 continuation: never checked
+    "text_keyphrase_rake",  # NEW r7 continuation: never checked
+    "events_pattern_decline_rebound",  # NEW r7 continuation: never checked
     "multimodal_image_features",  # NEW r7 continuation: never checked
     "multimodal_audio_features",  # NEW r7 continuation: never checked
     "decontaminate_semantic_cosine",  # NEW r7 continuation: never checked
@@ -140,8 +142,6 @@ _PRIORITY = (
     "dedup_clusters",
     "dedup_simhash",
     "embedding_cosine_neardup",
-    "embedding_normalize",
-    "embedding_quantize_int8",
     # window_running_frames, text_similar_topk, ann_ivf_topk,
     # join_asof, join_broadcast_dims, join_inner_equi,
     # join_range_band, join_left_anti, join_left_semi,
@@ -183,8 +183,13 @@ _PRIORITY = (
     # events_funnel_time_constrained and join_asof_nearest additionally
     # displace text_fingerprint and text_idf (r2-stale; text_idf's
     # machinery is re-proven via text_keywords_tfidf/text_bm25_topk in
-    # earlier windows, text_fingerprint via the dedup family).
+    # earlier windows, text_fingerprint via the dedup family);
+    # text_keyphrase_rake and events_pattern_decline_rebound displace
+    # embedding_normalize and embedding_quantize_int8 (re-proven every
+    # round through the oracled int8-rescore/ANN headline machinery).
     # --- 50-query prefix boundary (round-7 driver window) ---
+    "embedding_quantize_int8",
+    "embedding_normalize",
     "text_idf",
     "text_fingerprint",
     "text_redact",
