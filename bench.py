@@ -104,6 +104,8 @@ EXTENDED = (
     "join_asof_nearest",  # bidirectional nearest as-of join (r7 cont.)
     "text_keyphrase_rake",  # RAKE keyphrase mining top-20 (r7 cont.)
     "events_pattern_decline_rebound",  # CEP-style lag-chain pattern (r7 cont.)
+    "sample_balanced_classes",  # deterministic class-balanced downsample (r7 cont.)
+    "ann_nprobe_recall_curve",  # measured IVF recall-vs-nprobe curve (r7 cont.)
 )
 
 

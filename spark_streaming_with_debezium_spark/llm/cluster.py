@@ -692,3 +692,192 @@ def embedding_drift_cells(spark, sf_dir: str) -> DataFrame:
             "occupancy_lift"
         ),
     )
+
+
+_NPROBE_GRID = (1, 2, 4, 8)
+_RECALL_QUERIES = 8
+_RECALL_K = 5
+
+
+def _nprobe_curve_oracle() -> str:
+    d2xq = _KM_D2.format(a="x.v", b="q.qv")
+    d2qc = _KM_D2.format(a="q.qv", b="c.cv")
+    vals = ", ".join(f"({p})" for p in _NPROBE_GRID)
+    return f"""
+    WITH {_km_cte_chain()},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM xi
+          WHERE vec_id < {_RECALL_QUERIES}),
+    dist AS (
+      SELECT q.query_id, x.vec_id, {d2xq} AS d2, a.cluster AS cell
+      FROM xi x JOIN afinal a ON x.vec_id = a.vec_id CROSS JOIN q
+      WHERE x.vec_id <> q.query_id
+    ),
+    truth AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d2, vec_id) AS rn
+        FROM dist
+      ) WHERE rn <= {_RECALL_K}
+    ),
+    porder AS (
+      SELECT q.query_id, c.cluster AS cell,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY {d2qc}, c.cluster) AS prank
+      FROM q CROSS JOIN cent{_KM_ITERS} c
+    ),
+    probes AS (SELECT * FROM (VALUES {vals}) t(nprobe)),
+    approx AS (
+      SELECT nprobe, query_id, vec_id FROM (
+        SELECT p.nprobe, d.query_id, d.vec_id,
+               row_number() OVER (PARTITION BY p.nprobe, d.query_id
+                                  ORDER BY d.d2, d.vec_id) AS rn
+        FROM dist d
+        JOIN porder o ON d.query_id = o.query_id AND d.cell = o.cell
+        JOIN probes p ON o.prank <= p.nprobe
+      ) WHERE rn <= {_RECALL_K}
+    ),
+    hits AS (
+      SELECT b.nprobe, b.query_id, COUNT(t.vec_id) AS n_hit
+      FROM (SELECT p.nprobe, q.query_id FROM probes p, q) b
+      LEFT JOIN approx a
+        ON a.nprobe = b.nprobe AND a.query_id = b.query_id
+      LEFT JOIN truth t
+        ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(nprobe AS INT) AS nprobe,
+           CAST(SUM(n_hit) AS BIGINT) AS n_hits,
+           round(CAST(SUM(n_hit) AS DOUBLE)
+                 / (COUNT(*) * {_RECALL_K}), 6) AS avg_recall,
+           round(CAST(MIN(n_hit) AS DOUBLE) / {_RECALL_K}, 6) AS min_recall
+    FROM hits GROUP BY 1
+    """
+
+
+@query("ann_nprobe_recall_curve", oracle=_nprobe_curve_oracle())
+def ann_nprobe_recall_curve(spark, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve — recall@5 as a function of nprobe over the
+    deterministic Lloyd cells, the MEASURED basis for choosing the
+    probe count ("measure, don't guess": `ivf_index.cell_balance` says
+    when to retrain; this says what nprobe buys). For each standing
+    query and nprobe ∈ {1,2,4,8}: the cell-pruned exact top-5 against
+    the global exact top-5, aggregated to per-nprobe average and
+    worst-query recall. Everything is exact integer arithmetic on the
+    1e-6 grid with pinned (d2, vec_id) / (d2, cluster) tie-breaks, so
+    the whole evaluation — including the recall numbers themselves —
+    is value-hash-oracled cross-engine (the pyspark.ml-based
+    `ann_recall_report` face stays rows-only; this one closes that
+    gap on the native quantizer).
+
+    Shape: ONE stateless corpus pass computes cell + per-query exact
+    distances against broadcast literals (no join, q×n exploded rows);
+    truth and approx top-5s are per-(query[, nprobe]) windows; the
+    probe-rank lookup is a per-query 8-int literal array. The corpus
+    never shuffles; window inputs are the q·n score rows (q bounded —
+    the serving-eval shape)."""
+    e = _gridded_embeddings(spark, sf_dir).select("vec_id", "v")
+    cents = _lloyd_centroids(e, cache_key=sf_dir)
+    cell = _km_best_struct(cents)["cluster"]
+    q_rows = (
+        e.filter(F.col("vec_id") < _RECALL_QUERIES).orderBy("vec_id").collect()
+    )
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    # per-query probe rank of each cell (1-based), exact ints
+    pranks = {}
+    for r in q_rows:
+        qid, qv = int(r["vec_id"]), list(r["v"])
+        order = sorted(range(len(cents)), key=lambda j: (d2(qv, cents[j]), j))
+        rank_by_cell = [0] * len(cents)
+        for rk, c_ in enumerate(order, start=1):
+            rank_by_cell[c_] = rk
+        pranks[qid] = rank_by_cell
+
+    dist = e.select(
+        "vec_id",
+        cell.alias("cell"),
+        F.explode(
+            F.array(
+                *[
+                    F.named_struct(
+                        F.lit("query_id"),
+                        F.lit(int(r["vec_id"])),
+                        F.lit("d2"),
+                        _km_dist2(F.col("v"), list(r["v"])),
+                    )
+                    for r in q_rows
+                ]
+            )
+        ).alias("z"),
+    ).select(
+        "vec_id", "cell", "z.query_id", F.col("z.d2").alias("d2")
+    ).filter(F.col("vec_id") != F.col("query_id"))
+
+    from pyspark.sql import Window
+
+    w_truth = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    truth = (
+        dist.withColumn("rn", F.row_number().over(w_truth))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select(
+            F.col("query_id").alias("t_query"),
+            F.col("vec_id").alias("t_vec"),
+        )
+    )
+
+    prank = None
+    for qid, ranks in sorted(pranks.items()):
+        arr = F.element_at(
+            F.array(*[F.lit(int(x)) for x in ranks]), F.col("cell") + 1
+        )
+        prank = (
+            F.when(F.col("query_id") == qid, arr)
+            if prank is None
+            else prank.when(F.col("query_id") == qid, arr)
+        )
+    probed = dist.withColumn("prank", prank).select(
+        "query_id",
+        "vec_id",
+        "d2",
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(p) for p in _NPROBE_GRID]),
+                lambda p: F.col("prank") <= p,
+            )
+        ).alias("nprobe"),
+    )
+    w_approx = Window.partitionBy("nprobe", "query_id").orderBy("d2", "vec_id")
+    approx = (
+        probed.withColumn("rn", F.row_number().over(w_approx))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("nprobe", "query_id", "vec_id")
+    )
+    base = spark.createDataFrame(
+        [(p, int(r["vec_id"])) for p in _NPROBE_GRID for r in q_rows],
+        "nprobe int, query_id int",
+    )
+    hits = (
+        base.join(approx, ["nprobe", "query_id"], "left")
+        .join(
+            F.broadcast(truth),
+            (F.col("query_id") == F.col("t_query"))
+            & (F.col("vec_id") == F.col("t_vec")),
+            "left",
+        )
+        .groupBy("nprobe", "query_id")
+        .agg(F.count("t_vec").alias("n_hit"))
+    )
+    return hits.groupBy("nprobe").agg(
+        F.sum("n_hit").cast("long").alias("n_hits"),
+        F.round(
+            F.sum("n_hit").cast("double")
+            / (F.count(F.lit(1)) * _RECALL_K),
+            6,
+        ).alias("avg_recall"),
+        F.round(F.min("n_hit").cast("double") / _RECALL_K, 6).alias(
+            "min_recall"
+        ),
+    )

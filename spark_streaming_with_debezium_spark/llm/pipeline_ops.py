@@ -1400,3 +1400,55 @@ def decontaminate_bitmap_prefilter(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hit_grams"))
     )
+
+
+@query(
+    "sample_balanced_classes",
+    oracle="""
+    WITH counts AS (
+      SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1
+    ),
+    floor_n AS (SELECT MIN(n) AS n_min FROM counts),
+    ranked AS (
+      SELECT vec_id, label,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+             ) AS sample_rank
+      FROM embeddings
+    )
+    SELECT r.vec_id, r.label, CAST(r.sample_rank AS INT) AS sample_rank
+    FROM ranked r, floor_n f
+    WHERE r.sample_rank <= f.n_min
+    """,
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling — the rebalancing pass a training
+    pipeline runs before fitting on skewed labels: every label keeps
+    exactly n_min rows (the size of the RAREST class), chosen by the
+    content-independent hash rank (`sample_hash_topk_per_group`'s
+    reproducible-reservoir discipline — same rows on every run,
+    engine, partitioning and cluster size; no RNG).
+
+    Shape: one count aggregate (map-side combined) feeding a 1-row
+    n_min broadcast; one window shuffle PARTITIONED BY LABEL with the
+    rank filter inside the window stage. At 100 TB with a dominant
+    class the biggest label partition carries the sort — swap
+    row_number for an approx-quantile hash threshold (the hash is
+    uniform, so the n_min-th smallest is a predictable cutoff) per the
+    scalable_windows note on `sample_hash_topk_per_group`."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n_min = F.broadcast(
+        e.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("n_min"))
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    ranked = e.select(
+        "vec_id", "label", F.row_number().over(w).alias("sample_rank")
+    )
+    return ranked.crossJoin(n_min).filter(
+        F.col("sample_rank") <= F.col("n_min")
+    ).select("vec_id", "label", "sample_rank")

@@ -110,6 +110,8 @@ _PRIORITY = (
     "join_asof_nearest",  # NEW r7 continuation: never checked
     "text_keyphrase_rake",  # NEW r7 continuation: never checked
     "events_pattern_decline_rebound",  # NEW r7 continuation: never checked
+    "sample_balanced_classes",  # NEW r7 continuation: never checked
+    "ann_nprobe_recall_curve",  # NEW r7 continuation: never checked
     "multimodal_image_features",  # NEW r7 continuation: never checked
     "multimodal_audio_features",  # NEW r7 continuation: never checked
     "decontaminate_semantic_cosine",  # NEW r7 continuation: never checked
@@ -139,9 +141,7 @@ _PRIORITY = (
     "cdc_scd2_incremental",
     "ann_lsh_topk",
     "contamination_cross_source",
-    "dedup_clusters",
     "dedup_simhash",
-    "embedding_cosine_neardup",
     # window_running_frames, text_similar_topk, ann_ivf_topk,
     # join_asof, join_broadcast_dims, join_inner_equi,
     # join_range_band, join_left_anti, join_left_semi,
@@ -186,8 +186,14 @@ _PRIORITY = (
     # earlier windows, text_fingerprint via the dedup family);
     # text_keyphrase_rake and events_pattern_decline_rebound displace
     # embedding_normalize and embedding_quantize_int8 (re-proven every
-    # round through the oracled int8-rescore/ANN headline machinery).
+    # round through the oracled int8-rescore/ANN headline machinery);
+    # sample_balanced_classes and ann_nprobe_recall_curve displace
+    # dedup_clusters and embedding_cosine_neardup (both re-proven via
+    # the headline dedup_minhash_lsh pipeline and the full local
+    # oracle sweep every session).
     # --- 50-query prefix boundary (round-7 driver window) ---
+    "embedding_cosine_neardup",
+    "dedup_clusters",
     "embedding_quantize_int8",
     "embedding_normalize",
     "text_idf",

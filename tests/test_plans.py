@@ -482,6 +482,7 @@ def test_extended_plan_census(spark, sf_dir):
         "events_lifecycle_accounting",  # 1-row max-week broadcast
         "text_pmi_collocations",  # 1-row token/bigram-total broadcasts
         "decontaminate_bitmap_prefilter",  # 1-row bitmap broadcast probe
+        "sample_balanced_classes",  # 1-row n_min broadcast
     }
     for name in bench.EXTENDED:
         txt = _single_plan(QUERIES[name].fn(spark, sf_dir))
@@ -525,6 +526,7 @@ def test_repo_wide_cartesian_and_bnlj_census(spark, sf_dir):
         "events_lifecycle_accounting",  # 1-row max-week broadcast
         "text_pmi_collocations",  # 1-row token/bigram-total broadcasts
         "decontaminate_bitmap_prefilter",  # 1-row bitmap broadcast probe
+        "sample_balanced_classes",  # 1-row n_min broadcast
         # bounded query-set / centroid broadcasts (ANN serving shape)
         "ann_int8_rescore", "ann_cosine_topk", "ann_ivf_topk",
         "text_similar_topk",
