@@ -106,6 +106,7 @@ EXTENDED = (
     "events_pattern_decline_rebound",  # CEP-style lag-chain pattern (r7 cont.)
     "sample_balanced_classes",  # deterministic class-balanced downsample (r7 cont.)
     "ann_nprobe_recall_curve",  # measured IVF recall-vs-nprobe curve (r7 cont.)
+    "orders_open_backlog_daily",  # sweep-line order backlog curve (r7 cont.)
 )
 
 

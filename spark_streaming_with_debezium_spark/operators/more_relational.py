@@ -2893,3 +2893,75 @@ def events_funnel_time_constrained(
         rate(F.count("t3"), F.count("t2")).alias("r_signup"),
         rate(F.count("t4"), F.count("t3")).alias("r_purchase"),
     )
+
+
+@query(
+    "orders_open_backlog_daily",
+    oracle="""
+    WITH life AS (
+      SELECT o.o_orderkey, o.o_orderdate AS opened,
+             MAX(l.l_shipdate) AS last_ship
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT opened AS day, 1 AS d FROM life
+      UNION ALL
+      SELECT CAST(last_ship + INTERVAL 1 DAY AS DATE) AS day, -1 AS d
+      FROM life
+    ),
+    daily AS (
+      SELECT day,
+             SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS n_opened,
+             SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS n_closed,
+             SUM(d) AS net
+      FROM deltas GROUP BY 1
+    )
+    SELECT day, CAST(n_opened AS BIGINT) AS n_opened,
+           CAST(n_closed AS BIGINT) AS n_closed,
+           CAST(SUM(net) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS backlog
+    FROM daily
+    """,
+)
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time — the fulfillment-operations curve
+    (how many orders are in flight each day): an order is open from
+    its order date until its LAST lineitem ships; the backlog is the
+    running sum of +1/−1 lifecycle deltas — the sweep-line shape that
+    never materializes an (order × open-day) explosion (at 100 TB an
+    order open for a year would otherwise emit 365 rows).
+
+    Shape: one join+max rollup on orderkey (the natural key — both
+    sides shuffle once, co-partitioned; bucketed layout makes it
+    shuffle-free per `test_bucketed_join_is_shuffle_free`), a
+    two-delta union, a groupBy on O(days) rows, and a calendar-grain
+    running sum (global window keyed `day` — the census tiny-frame
+    class). All counts exact integers."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    life = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    deltas = life.select(
+        F.col("o_orderdate").alias("day"), F.lit(1).alias("d")
+    ).unionByName(
+        life.select(
+            F.date_add("last_ship", 1).alias("day"), F.lit(-1).alias("d")
+        )
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_opened"),
+        F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).alias("n_closed"),
+        F.sum("d").alias("net"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        F.col("n_opened").cast("long").alias("n_opened"),
+        F.col("n_closed").cast("long").alias("n_closed"),
+        F.sum("net").over(w).cast("long").alias("backlog"),
+    )

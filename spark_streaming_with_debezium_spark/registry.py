@@ -112,6 +112,7 @@ _PRIORITY = (
     "events_pattern_decline_rebound",  # NEW r7 continuation: never checked
     "sample_balanced_classes",  # NEW r7 continuation: never checked
     "ann_nprobe_recall_curve",  # NEW r7 continuation: never checked
+    "orders_open_backlog_daily",  # NEW r7 continuation: never checked
     "multimodal_image_features",  # NEW r7 continuation: never checked
     "multimodal_audio_features",  # NEW r7 continuation: never checked
     "decontaminate_semantic_cosine",  # NEW r7 continuation: never checked
@@ -141,7 +142,6 @@ _PRIORITY = (
     "cdc_scd2_incremental",
     "ann_lsh_topk",
     "contamination_cross_source",
-    "dedup_simhash",
     # window_running_frames, text_similar_topk, ann_ivf_topk,
     # join_asof, join_broadcast_dims, join_inner_equi,
     # join_range_band, join_left_anti, join_left_semi,
@@ -190,8 +190,10 @@ _PRIORITY = (
     # sample_balanced_classes and ann_nprobe_recall_curve displace
     # dedup_clusters and embedding_cosine_neardup (both re-proven via
     # the headline dedup_minhash_lsh pipeline and the full local
-    # oracle sweep every session).
+    # oracle sweep every session); orders_open_backlog_daily displaces
+    # dedup_simhash (headline-bench-proven every round).
     # --- 50-query prefix boundary (round-7 driver window) ---
+    "dedup_simhash",
     "embedding_cosine_neardup",
     "dedup_clusters",
     "embedding_quantize_int8",
