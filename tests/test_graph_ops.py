@@ -120,10 +120,12 @@ def _ref_pagerank(edges, n_iter=3, damping=0.85):
 @given(edges=EDGES)
 def test_pagerank_matches_reference_any_digraph(spark, edges):
     """For ANY directed graph — self-loops, dangling destinations,
-    multi-hub — pagerank_fixed must equal the driver-side decimal
-    reference bit-for-bit after the output rounding. Exercises the
-    dangling-node left-join path the (undirected) registered query
-    never hits."""
+    multi-hub — pagerank_fixed must match the driver-side decimal
+    reference to 1e-9 (the reference's own float steps carry ~1-ulp
+    noise, and round-at-9-digits equality amplified that at exact
+    half-boundaries — hypothesis found ...8125 vs ...8125000000001).
+    Exercises the dangling-node left-join path the (undirected)
+    registered query never hits."""
     edges = sorted(set(edges))
     df = spark.createDataFrame(
         [(f"n{u}", f"n{v}") for u, v in edges], ["src", "dst"]
@@ -132,7 +134,7 @@ def test_pagerank_matches_reference_any_digraph(spark, edges):
     want = {f"n{n}": v for n, v in _ref_pagerank(edges).items()}
     assert set(got) == set(want)
     for n in want:
-        assert round(got[n], 9) == round(want[n], 9), (n, got[n], want[n])
+        assert abs(got[n] - want[n]) < 1e-9, (n, got[n], want[n])
 
 
 def test_triangle_census_matches_bruteforce(spark):
