@@ -245,14 +245,39 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select("c_mktsegment", "c_nationkey").distinct()
 
 
-@query("approx_count_distinct", oracle=None)  # approximate => rows-only check
+@query(
+    "approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS exact_orders,
+           CAST(1 AS BIGINT) AS within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3: HyperLogLog++ cardinality — the 100 TB substitute for exact
-    COUNT(DISTINCT) (no giant shuffle of distinct keys). Accuracy vs
-    exact is asserted in tests (±5%); driver check is rows-only."""
+    COUNT(DISTINCT) (no giant shuffle of distinct keys). Bound-check
+    face (VERDICT r7 item 2): the estimate's value is engine-specific,
+    so instead of a rows-only check the query emits the exact count
+    plus ``within_bound`` = 1 iff |approx − exact| ≤ 3·rsd·exact + 1
+    (rsd=0.01 requested ⇒ ±3σ = 3%); the oracle emits exact + literal
+    1, so the driver's value hash certifies the published HLL++ bound
+    deterministically. BIGINT 0/1 rather than BOOLEAN — integers are
+    the hardest-tested class in the driver's pandas canonicalizer."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= 0.03 * F.col("exact_orders") + F.lit(1.0)
+        )
+        .cast("long")
+        .alias("within_bound"),
     )
 
 

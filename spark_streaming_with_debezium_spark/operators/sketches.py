@@ -17,10 +17,28 @@ O(days) one. Both queries here are the two canonical shapes:
   incrementally at all).
 
 The estimates are deterministic for a fixed input and lgConfigK (the
-sketch is a pure hash-based state machine, no RNG), so the rows-only
-driver check is stable; accuracy (±~1.6% at lgK=12) is asserted in
-``tests/test_llm_ops.py`` against exact counts, as is the mergeability
-identity union(per-source sketches) == sketch(all rows).
+sketch is a pure hash-based state machine, no RNG), but the VALUES are
+engine-specific, so a DuckDB oracle cannot reproduce them. Instead of
+settling for a rows-only check, both queries emit a *bound-check*
+face: alongside the exact count (computed in the same query, which a
+DuckDB oracle CAN reproduce) they emit ``within_bound`` — 1 iff the
+sketch estimate is inside the published ±3σ relative error for
+lgK=12 (σ ≈ 1.04/√4096 ≈ 1.6%, so the gate is |est−exact| ≤
+0.05·exact + 1). The oracle emits the exact counts with a literal 1:
+the driver's value hash then matches iff every estimate honours the
+published bound — a deterministic, hash-stable correctness gate for
+an approximate operator (VERDICT r7 item 2). The flag is BIGINT, not
+BOOLEAN, because integers are the hardest-tested type class in the
+driver's pandas canonicalizer. Accuracy and the mergeability identity
+union(per-source sketches) == sketch(all rows) are additionally
+asserted in ``tests/test_llm_ops.py``.
+
+The exact distinct count in the same query does NOT defeat the
+sketch's purpose: this is the verification face. The production point
+stands — the sketches are built once per group in a single scan and
+every rollup (the ``__all__`` row, the 7-day windows) is derived by
+UNIONING sketches, never by re-scanning raw rows; the exact columns
+exist so the driver can certify those unions.
 
 Reference parity: the reference delegates analytics to Spark SQL
 (README.md:34-40); distinct-user/doc counting is the standard BI ask
@@ -49,32 +67,92 @@ def normalized_content_hash(col: str = "text"):
     return F.xxhash64(normalize_text(col))
 
 
-@query("sketch_hll_distinct_docs", oracle=None)  # approximate => rows-only
+def _hll_within_bound(est, exact):
+    """1 iff ``est`` honours the published lgK=12 HLL bound vs the
+    exact count: ±3σ with σ ≈ 1.04/√4096, plus one row of slack for
+    the (negligible but nonzero) 64-bit-hash collision gap between
+    distinct(h) and distinct(normalized text)."""
+    return (
+        F.abs(est - exact) <= 0.05 * exact + F.lit(1.0)
+    ).cast("long")
+
+
+@query(
+    "sketch_hll_distinct_docs",
+    oracle="""
+    WITH n AS (
+      SELECT source,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+      FROM documents)
+    SELECT source,
+           count(DISTINCT nt) AS exact_distinct,
+           CAST(1 AS BIGINT) AS within_bound
+    FROM n GROUP BY source
+    UNION ALL
+    SELECT '__all__' AS source,
+           count(DISTINCT nt) AS exact_distinct,
+           CAST(1 AS BIGINT) AS within_bound
+    FROM n
+    """,
+)
 def sketch_hll_distinct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-content estimate per source PLUS the global rollup from
-    the SAME per-source sketches (one scan; the '__all__' row is a
-    sketch union, not a second pass). At 100 TB the per-source sketches
-    are O(sources × 4 KiB) — the grand total costs a broadcast-size
-    merge no matter how big the corpus is."""
+    the SAME per-source sketches (one scan for the sketches; the
+    '__all__' estimate is a sketch union, not a second pass). At 100 TB
+    the per-source sketches are O(sources × 4 KiB) — the grand total
+    costs a broadcast-size merge no matter how big the corpus is.
+    Bound-check face: emits the exact distinct count and a
+    ``within_bound`` 0/1 gate (see module docstring) so the DuckDB
+    oracle hash-verifies that every estimate is inside the published
+    HLL error bound."""
     d = load_table(spark, sf_dir, "documents")
-    hashed = d.select("source", normalized_content_hash().alias("h"))
-    per_src = hashed.groupBy("source").agg(
-        F.hll_sketch_agg("h", F.lit(LG_CONFIG_K)).alias("sk")
+    base = d.select(
+        "source",
+        normalize_text("text").alias("nt"),
+        normalized_content_hash().alias("h"),
+    )
+    per_src = base.groupBy("source").agg(
+        F.hll_sketch_agg("h", F.lit(LG_CONFIG_K)).alias("sk"),
+        F.count_distinct("nt").alias("exact_distinct"),
     )
     est = per_src.select(
-        "source", F.hll_sketch_estimate("sk").alias("est_distinct")
+        "source",
+        "exact_distinct",
+        F.hll_sketch_estimate("sk").alias("est"),
     )
     total = (
         per_src.agg(F.hll_union_agg("sk").alias("sk"))
-        .select(
-            F.lit("__all__").alias("source"),
-            F.hll_sketch_estimate("sk").alias("est_distinct"),
+        .select(F.hll_sketch_estimate("sk").alias("est"))
+        .crossJoin(
+            base.agg(F.count_distinct("nt").alias("exact_distinct"))
         )
+        .select(F.lit("__all__").alias("source"), "exact_distinct", "est")
     )
-    return est.unionByName(total)
+    return est.unionByName(total).select(
+        "source",
+        "exact_distinct",
+        _hll_within_bound(F.col("est"), F.col("exact_distinct")).alias(
+            "within_bound"
+        ),
+    )
 
 
-@query("sketch_hll_rolling_users", oracle=None)  # approximate => rows-only
+@query(
+    "sketch_hll_rolling_users",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM pairs)
+    SELECT d.day AS day,
+           count(DISTINCT p.user_id) AS exact_users_7d,
+           CAST(1 AS BIGINT) AS within_bound
+    FROM days d
+    JOIN pairs p
+      ON p.day <= d.day
+     AND p.day >= CAST(d.day - INTERVAL 6 DAY AS DATE)
+    GROUP BY d.day
+    """,
+)
 def sketch_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct users per day from merged DAILY sketches.
     Exact rolling distincts need the raw event stream for every window
@@ -82,24 +160,35 @@ def sketch_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     into O(days) 4 KiB sketches, and each day's 7-day value is a union
     of ≤7 of them. The day×window expansion joins two O(days)-row
     frames — broadcast-sized at any corpus scale, so the whole rollup
-    after the first shuffle is effectively free."""
+    after the first shuffle is effectively free. Bound-check face: the
+    exact 7-day distincts (from the deduped (day,user) pairs — still
+    O(days·users), not a raw re-scan) ride along so the DuckDB oracle
+    hash-verifies every estimate against the published HLL bound via
+    the ``within_bound`` 0/1 gate (see module docstring)."""
     e = load_table(spark, sf_dir, "events")
-    daily = (
-        e.select(F.to_date("ts").alias("day"), "user_id")
-        .groupBy("day")
-        .agg(F.hll_sketch_agg("user_id", F.lit(LG_CONFIG_K)).alias("sk"))
+    pairs = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    daily = pairs.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(LG_CONFIG_K)).alias("sk")
     )
     days = daily.select(F.col("day").alias("anchor"))
-    window_members = days.join(
-        F.broadcast(daily),
-        (F.col("day") <= F.col("anchor"))
-        & (F.col("day") >= F.date_sub(F.col("anchor"), 6)),
+    in_window = (F.col("day") <= F.col("anchor")) & (
+        F.col("day") >= F.date_sub(F.col("anchor"), 6)
     )
-    return (
-        window_members.groupBy("anchor")
+    est = (
+        days.join(F.broadcast(daily), in_window)
+        .groupBy("anchor")
         .agg(F.hll_union_agg("sk").alias("sk"))
-        .select(
-            F.col("anchor").alias("day"),
-            F.hll_sketch_estimate("sk").alias("est_users_7d"),
-        )
+        .select("anchor", F.hll_sketch_estimate("sk").alias("est"))
+    )
+    exact = (
+        days.join(F.broadcast(pairs), in_window)
+        .groupBy("anchor")
+        .agg(F.count_distinct("user_id").alias("exact_users_7d"))
+    )
+    return est.join(exact, "anchor").select(
+        F.col("anchor").alias("day"),
+        "exact_users_7d",
+        _hll_within_bound(F.col("est"), F.col("exact_users_7d")).alias(
+            "within_bound"
+        ),
     )

@@ -171,17 +171,76 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
 
 
-@query("agg_approx_percentile", oracle=None)  # approximate => rows-only
+def _rank_ok(le, lt, p: float, n):
+    """1 iff an approx-percentile value whose occupied ranks are
+    [lt+1, le] overlaps the guaranteed rank interval p·n ± ε·n
+    (ε = 1/accuracy = 1e-4; ±2 rows of slack absorb floor/ceil
+    boundary effects so the gate never flakes on exact multiples)."""
+    eps = 1.0e-4
+    lo = F.ceil((p - eps) * n) - F.lit(2)
+    hi = F.floor((p + eps) * n) + F.lit(2)
+    return ((le >= lo) & (lt <= hi)).cast("long")
+
+
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(1 AS BIGINT) AS median_ok,
+           CAST(1 AS BIGINT) AS q1_ok,
+           CAST(1 AS BIGINT) AS q3_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G7 approx path: percentile_approx — the 100 TB substitute for
-    exact percentiles (t-digest-style sketch, no per-group sort);
-    accuracy vs exact asserted in tests."""
-    li = load_table(spark, sf_dir, "lineitem")
+    exact percentiles (Greenwald-Khanna-style sketch, no per-group
+    sort). Bound-check face (VERDICT r7 item 2): the sketch guarantees
+    a returned value whose RANK is within ±1/accuracy of the target
+    quantile, so the query re-ranks each approx value in its group
+    (one broadcast join of the 3-row-per-group result back to
+    lineitem, one conditional-count pass) and emits 0/1 gates the
+    DuckDB oracle mirrors with literal 1s — the driver hash then
+    certifies the published rank bound deterministically instead of
+    settling for a rows-only check."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
     iqr = F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000)
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
-        iqr.getItem(0).alias("approx_q1"),
-        iqr.getItem(1).alias("approx_q3"),
+    ap = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("am"),
+        iqr.getItem(0).alias("a1"),
+        iqr.getItem(1).alias("a3"),
+    )
+    p = F.col("l_extendedprice")
+
+    def _le(bound):
+        return F.sum((p <= F.col(bound)).cast("long"))
+
+    def _lt(bound):
+        return F.sum((p < F.col(bound)).cast("long"))
+
+    ranked = (
+        li.join(F.broadcast(ap), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _le("am").alias("le_m"),
+            _lt("am").alias("lt_m"),
+            _le("a1").alias("le_1"),
+            _lt("a1").alias("lt_1"),
+            _le("a3").alias("le_3"),
+            _lt("a3").alias("lt_3"),
+        )
+    )
+    n = F.col("n_rows")
+    return ranked.select(
+        "l_returnflag",
+        "n_rows",
+        _rank_ok(F.col("le_m"), F.col("lt_m"), 0.5, n).alias("median_ok"),
+        _rank_ok(F.col("le_1"), F.col("lt_1"), 0.25, n).alias("q1_ok"),
+        _rank_ok(F.col("le_3"), F.col("lt_3"), 0.75, n).alias("q3_ok"),
     )
 
 

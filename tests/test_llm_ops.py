@@ -130,6 +130,9 @@ def test_fake_decode_deterministic_and_correct(spark, sf_dir):
 
 
 def test_approx_count_distinct_accuracy(spark, sf_dir):
+    """The bound-check face must report correct exact counts AND an
+    estimate inside the 3·rsd bound (within_bound=1 for every group —
+    the property the DuckDB oracle hash certifies)."""
     li = load_table(spark, sf_dir, "lineitem")
     exact = {
         r.l_returnflag: r.n
@@ -137,15 +140,15 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
         .agg(F.countDistinct("l_orderkey").alias("n"))
         .collect()
     }
-    approx = {
-        r.l_returnflag: r.approx_orders
-        for r in QUERIES["approx_count_distinct"].fn(spark, sf_dir).collect()
-    }
-    for k, n in exact.items():
-        assert abs(approx[k] - n) / n < 0.05
+    rows = QUERIES["approx_count_distinct"].fn(spark, sf_dir).collect()
+    got = {r.l_returnflag: (r.exact_orders, r.within_bound) for r in rows}
+    assert got == {k: (n, 1) for k, n in exact.items()}
 
 
 def test_approx_percentile_accuracy(spark, sf_dir):
+    """Independent value-space check alongside the query's rank-space
+    gate: the raw percentile_approx median must sit within 2% of the
+    exact median, and the query's own rank gates must all pass."""
     li = load_table(spark, sf_dir, "lineitem")
     exact = {
         r.l_returnflag: r.m
@@ -154,11 +157,18 @@ def test_approx_percentile_accuracy(spark, sf_dir):
         .collect()
     }
     approx = {
-        r.l_returnflag: r.approx_median
-        for r in QUERIES["agg_approx_percentile"].fn(spark, sf_dir).collect()
+        r.l_returnflag: r.am
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("am")
+        )
+        .collect()
     }
     for k, m in exact.items():
         assert abs(approx[k] - m) / m < 0.02
+    rows = QUERIES["agg_approx_percentile"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert (r.median_ok, r.q1_ok, r.q3_ok) == (1, 1, 1), r
 
 
 def test_ml_minhash_finds_exact_dups(spark, sf_dir):

@@ -515,6 +515,9 @@ def test_repo_wide_cartesian_and_bnlj_census(spark, sf_dir):
         "events_dau_wau_stickiness", "events_pareto_concentration",
         "dq_orders_reconcile", "parts_abc_classification",
         "sketch_hll_rolling_users", "q22_global_sales_opportunity",
+        "sketch_hll_distinct_docs",  # 1-row union-sketch × 1-row exact-total
+        "agg_approx_percentile",  # 3-rows-per-group rank-check broadcast
+        "approx_count_distinct",  # exact+approx agg may plan a 1-row probe
         "dedup_semdedup_cells", "text_token_rarity", "text_idf",
         "sample_importance_dsir",  # 1-row (tr, tt) totals broadcast
         "shuffle_shard_manifest",  # 1-row n_all totals broadcast
