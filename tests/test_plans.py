@@ -483,6 +483,7 @@ def test_extended_plan_census(spark, sf_dir):
         "text_pmi_collocations",  # 1-row token/bigram-total broadcasts
         "decontaminate_bitmap_prefilter",  # 1-row bitmap broadcast probe
         "sample_balanced_classes",  # 1-row n_min broadcast
+        "ann_ivf_pq_topk",  # 8-row centroid broadcast (ANN serving shape)
     }
     for name in bench.EXTENDED:
         txt = _single_plan(QUERIES[name].fn(spark, sf_dir))
@@ -532,7 +533,7 @@ def test_repo_wide_cartesian_and_bnlj_census(spark, sf_dir):
         "sample_balanced_classes",  # 1-row n_min broadcast
         # bounded query-set / centroid broadcasts (ANN serving shape)
         "ann_int8_rescore", "ann_cosine_topk", "ann_ivf_topk",
-        "text_similar_topk",
+        "text_similar_topk", "ann_ivf_pq_topk",
         "ann_recall_report",  # composes the two audited ANN faces
         # the intentional cross-join demo over tiny dims
         "join_cross",
