@@ -447,3 +447,69 @@ def test_global_prev_min_matches_naive_window(spark, sf_dir):
     e = sorted(map(tuple, want.collect()), key=keyf)
     assert g == e
     assert any(r[2] is None for r in g)  # the global first row is NULL
+
+
+def test_timeseries_bucket_guard_binds_identically(spark, tmp_path):
+    """Pathological corpus for the VERDICT-r7 skew scenario: thousands
+    of users sharing the same (rare-ish) days. The _MAX_DAY_BUCKET
+    guard must bind, the engine and the DuckDB oracle must drop the
+    SAME buckets (identical — here empty — output), and
+    similarity_capped_days must log exactly the dropped days; with the
+    guard lifted the candidates reappear, proving the guard (not a
+    recall bug) removed them."""
+    import datetime
+
+    import duckdb
+
+    from spark_streaming_with_debezium_spark.operators.more_relational import (
+        _MAX_DAY_BUCKET,
+        _similarity_candidates,
+        _user_day_series,
+        similarity_capped_days,
+        timeseries_user_similarity,
+    )
+    from spark_streaming_with_debezium_spark.registry import load_all
+
+    n_users = _MAX_DAY_BUCKET + 52
+    n_days = 25  # > the T=20 overlap threshold
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (u, base + datetime.timedelta(days=d, hours=u % 24))
+        for u in range(n_users)
+        for d in range(n_days)
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    got = timeseries_user_similarity(spark, str(tmp_path)).collect()
+    assert got == [], "engine: guard should drop every candidate bucket"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    oracle_sql = load_all()["timeseries_user_similarity"].oracle
+    assert con.execute(oracle_sql).fetchall() == [], (
+        "oracle: must mirror the guard and drop the same buckets"
+    )
+    con.close()
+
+    capped = {
+        (r.day, r.bsize)
+        for r in similarity_capped_days(spark, str(tmp_path)).collect()
+    }
+    # every user is active all 25 days with identical day frequency, so
+    # each prefix = the first 25-20+1 = 6 calendar days, each shared by
+    # ALL users (> cap)
+    expect_days = {
+        (base + datetime.timedelta(days=d)).date() for d in range(6)
+    }
+    assert capped == {(d, n_users) for d in expect_days}
+
+    uncapped = _similarity_candidates(
+        _user_day_series(spark, str(tmp_path)), 20, max_bucket=10**9
+    )
+    assert uncapped.limit(1).count() == 1, (
+        "without the guard the candidates must reappear"
+    )
