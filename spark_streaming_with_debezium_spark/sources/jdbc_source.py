@@ -9,9 +9,13 @@ an unpartitioned JDBC read is a single-task scan:
   a numeric column, so a large table loads in parallel.
 - ``write_jdbc`` batches inserts.
 
-No JDBC driver jar ships in this environment; calls fail with Spark's
-own driver-not-found error at runtime, which tests assert (the plumbing
-is correct, the jar is deployment config).
+No Postgres/MySQL driver jar ships in this environment (calls fail
+with Spark's own driver-not-found error, which tests assert), but the
+Spark JVM bundles Apache Derby — ``tests/test_jdbc_roundtrip.py``
+round-trips through an EMBEDDED ``jdbc:derby:memory:`` database,
+asserting write → partitioned parallel read → predicate pushdown into
+the JDBC relation, closing the reference's live-database-assert gap
+(StreamingIT.scala:42) inside the sandbox.
 """
 
 from __future__ import annotations
@@ -29,6 +33,8 @@ def read_jdbc(
     lower_bound: int | None = None,
     upper_bound: int | None = None,
     num_partitions: int = 8,
+    driver: str | None = None,
+    options: dict[str, str] | None = None,
 ) -> DataFrame:
     reader = (
         spark.read.format("jdbc")
@@ -37,6 +43,10 @@ def read_jdbc(
         .option("user", user)
         .option("password", password)
     )
+    if driver is not None:
+        reader = reader.option("driver", driver)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
     if partition_column is not None:
         reader = (
             reader.option("partitionColumn", partition_column)
@@ -55,14 +65,19 @@ def write_jdbc(
     user: str = "",
     password: str = "",
     batch_size: int = 10_000,
+    driver: str | None = None,
+    options: dict[str, str] | None = None,
 ) -> None:
-    (
+    writer = (
         df.write.format("jdbc")
         .option("url", url)
         .option("dbtable", table)
         .option("user", user)
         .option("password", password)
         .option("batchsize", str(batch_size))
-        .mode(mode)
-        .save()
     )
+    if driver is not None:
+        writer = writer.option("driver", driver)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
