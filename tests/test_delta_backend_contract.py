@@ -263,3 +263,86 @@ def test_delta_backend_raises_cleanly_without_package(spark, tmp_path):
         pytest.skip("delta-spark present")
     with pytest.raises(ImportError, match="delta-spark is not installed"):
         DeltaStateTable(spark, str(tmp_path / "d"), ["id"])
+
+
+def _real_delta_available() -> bool:
+    """True only when delta-spark (the real package, not the fake) is
+    importable OUTSIDE the fake_delta fixture."""
+    import importlib.util
+
+    spec = importlib.util.find_spec("delta")
+    return spec is not None and spec.origin is not None
+
+
+@pytest.mark.skipif(
+    not _real_delta_available(),
+    reason="delta-spark not installed (sandbox); contract frozen by the "
+    "fake-executor matrix above",
+)
+def test_real_delta_backend_matches_parquet_backend(tmp_path):
+    """Optional-Delta parity gate (VERDICT r7 item 7): when delta-spark
+    IS installed, run the same update/delete/insert/unmatched-delete
+    battery through the REAL DeltaTable.merge and assert row-for-row
+    equality with ParquetStateTable. Runs in a subprocess because Delta
+    needs its session extensions configured before the SparkContext
+    exists (the suite's shared session has none)."""
+    import subprocess
+    import sys as _sys
+    import textwrap
+
+    script = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, {repr(str(__import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__)))))})
+        from delta import configure_spark_with_delta_pip
+        from pyspark.sql import SparkSession
+
+        builder = (
+            SparkSession.builder.master("local[4]")
+            .appName("delta-parity")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.shuffle.partitions", "4")
+            .config("spark.sql.extensions",
+                    "io.delta.sql.DeltaSparkSessionExtension")
+            .config("spark.sql.catalog.spark_catalog",
+                    "org.apache.spark.sql.delta.catalog.DeltaCatalog")
+        )
+        spark = configure_spark_with_delta_pip(builder).getOrCreate()
+        from spark_streaming_with_debezium_spark.cdc.delta_backend import (
+            DeltaStateTable,
+        )
+        from spark_streaming_with_debezium_spark.cdc.merge import (
+            ParquetStateTable,
+        )
+
+        snapshot = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+            "id long, name string, val long",
+        )
+        changes = spark.createDataFrame(
+            [
+                (1, "a2", 11, False),
+                (2, None, None, True),
+                (5, "e", 50, False),
+                (6, None, None, True),
+            ],
+            "id long, name string, val long, deleted boolean",
+        )
+        d = DeltaStateTable(spark, {repr(str(tmp_path / "delta"))}, ["id"])
+        d.init(snapshot)
+        d.merge(changes)
+        p = ParquetStateTable(spark, {repr(str(tmp_path / "pq"))}, ["id"], n_buckets=4)
+        p.init(snapshot)
+        p.merge(changes)
+        got = sorted(tuple(r) for r in d.read().collect())
+        want = sorted(tuple(r) for r in p.read().select(*d.read().columns).collect())
+        assert got == want, (got, want)
+        print("DELTA_PARITY_OK")
+        """
+    )
+    out = subprocess.run(
+        [_sys.executable, "-c", script], capture_output=True, text=True, timeout=600
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "DELTA_PARITY_OK" in out.stdout

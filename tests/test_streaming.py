@@ -1096,3 +1096,61 @@ def test_attribution_stateful_carries_touch_across_batches(spark, tmp_path):
         4: (1, "click", 20.0),
         6: (2, "signup", 5.0),
     }
+
+
+def test_cdc_offset_gap_recovery_broker_shaped(spark, tmp_path):
+    """Broker-shaped offset-gap recovery (VERDICT r7 item 6), the
+    `StreamingIT.scala:104-129` scenario on the file-backed envelope
+    source: snapshot (r, r) bootstraps state, binlog (c, c) drains
+    through a checkpoint, then the stream "loses" offsets 12-19
+    upstream (retention expiry — the already-processed input file also
+    disappears, as an expired Kafka segment would) and RESTARTS on the
+    same checkpoint with post-gap events (u, d) plus one LATE straggler
+    from inside the gap. failOnDataLoss=false semantics: the restart
+    must not fail on the missing processed input, must apply only the
+    new events, and LWW order must follow (partition, offset) ACROSS
+    the gap so the straggler cannot beat the post-gap update. Final
+    state must equal the golden exactly."""
+    src = tmp_path / "src"
+    src.mkdir()
+    state = ParquetStateTable(spark, str(tmp_path / "state"), ["id"], n_buckets=4)
+    ckpt = str(tmp_path / "ckpt")
+
+    # snapshot bootstrap (op='r'), the reference's initial-load job
+    from spark_streaming_with_debezium_spark.cdc.pipeline import initial_load
+
+    snap = spark.createDataFrame(
+        [json.loads(_env("r", 1, 0)), json.loads(_env("r", 2, 1))], RAW_SCHEMA
+    )
+    initial_load(snap, SPEC, state)
+    assert sorted(r.id for r in state.read().collect()) == [1, 2]
+
+    # binlog segment 1: offsets 10, 11
+    (src / "b1.json").write_text(
+        "\n".join([_env("c", 3, 10), _env("c", 4, 11)])
+    )
+    stream = spark.readStream.schema(RAW_SCHEMA).json(str(src))
+    run_cdc_stream(stream, SPEC, state, ckpt).awaitTermination()
+    assert sorted(r.id for r in state.read().collect()) == [1, 2, 3, 4]
+
+    # upstream retention expires the processed segment AND offsets
+    # 12-19 that this consumer never saw
+    (src / "b1.json").unlink()
+    (src / "b2.json").write_text(
+        "\n".join(
+            [
+                _env("u", 3, 12, "stale-from-gap@x.com"),  # late straggler
+                _env("u", 3, 20, "after-gap@x.com"),
+                _env("d", 4, 21),
+            ]
+        )
+    )
+    stream2 = spark.readStream.schema(RAW_SCHEMA).json(str(src))
+    run_cdc_stream(stream2, SPEC, state, ckpt).awaitTermination()
+
+    final = {r.id: r.email for r in state.read().collect()}
+    assert final == {
+        1: "u1@x.com",
+        2: "u2@x.com",
+        3: "after-gap@x.com",  # offset 20 beats the offset-12 straggler
+    }
