@@ -22,9 +22,13 @@ sys.path.insert(0, _HERE)
 
 from spark_streaming_with_debezium_spark.registry import load_all  # noqa: E402
 
-#: SparkContexts that already carry the packaged engine (addPyFile is
-#: one-shot per context).
-_PKG_SHIPPED: set[int] = set()
+#: Marker attribute stamped on SparkContexts that already carry the
+#: packaged engine (addPyFile is one-shot per context). An attribute
+#: on the context itself — NOT an id() set — because CPython can reuse
+#: a stopped context's id for a new one, which would silently skip the
+#: addPyFile and reintroduce the worker ModuleNotFoundError (ADVICE
+#: r7). The marker dies with the context, exactly the right lifetime.
+_PKG_MARKER = "_sswd_pkg_shipped"
 
 
 def _ensure_pkg_on_workers(spark: SparkSession) -> None:
@@ -38,7 +42,7 @@ def _ensure_pkg_on_workers(spark: SparkSession) -> None:
     package and ``addPyFile``-ing it makes the contract
     launch-cwd-independent; non-UDF queries never needed this."""
     sc = spark.sparkContext
-    if id(sc) in _PKG_SHIPPED:
+    if getattr(sc, _PKG_MARKER, False):
         return
     import tempfile
     import zipfile
@@ -54,7 +58,7 @@ def _ensure_pkg_on_workers(spark: SparkSession) -> None:
                     full = os.path.join(root, f)
                     z.write(full, os.path.relpath(full, _HERE))
     sc.addPyFile(zpath)
-    _PKG_SHIPPED.add(id(sc))
+    setattr(sc, _PKG_MARKER, True)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -17,6 +17,8 @@ connected-components-on-MapReduce recipe).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -387,18 +389,45 @@ def _km_best_struct(cents: list[list[int]], v="v"):
     )
 
 
-#: Final centroids per sf_dir. Safe to memoize across queries and
-#: bench runs BECAUSE the fixpoint is bit-deterministic in the input
-#: data alone (exact integer arithmetic, pinned seeds/tie-breaks) and
-#: the test datasets are immutable; the DuckDB oracle re-derives the
-#: centroids from scratch on every compare, so a stale entry could
-#: never pass silently.
+#: Final centroids per (sf_dir, data fingerprint). Safe to memoize
+#: across queries and bench runs BECAUSE the fixpoint is
+#: bit-deterministic in the input data alone (exact integer
+#: arithmetic, pinned seeds/tie-breaks); the DuckDB oracle re-derives
+#: the centroids from scratch on every compare. The cache key embeds a
+#: size/mtime fingerprint of the embeddings parquet (ADVICE r7), so a
+#: dataset regenerated at the same path within one process retrains
+#: instead of serving stale centroids as a confusing hash mismatch.
 _LLOYD_CACHE: dict[str, list[list[int]]] = {}
+
+
+def dataset_fingerprint(cache_key: str) -> str:
+    """``cache_key`` is ``sf_dir`` or ``sf_dir|tag`` by caller
+    convention; append the (size, mtime_ns) stats of the embeddings
+    parquet under that sf_dir so the key invalidates with the data."""
+    import glob
+
+    sf_dir = cache_key.split("|")[0]
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet"))) or [path]
+        if os.path.isdir(path)
+        else [path]
+    )
+    parts = []
+    for f in files:
+        try:
+            st = os.stat(f)
+            parts.append(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(f"{os.path.basename(f)}:missing")
+    return f"{cache_key}#{'|'.join(parts)}"
 
 
 def _lloyd_centroids(e: DataFrame, cache_key: str | None = None) -> list[list[int]]:
     """Run the ``_KM_ITERS``-round Lloyd loop and return the final
     centroid coordinate lists (exact integers)."""
+    if cache_key is not None:
+        cache_key = dataset_fingerprint(cache_key)
     if cache_key is not None and cache_key in _LLOYD_CACHE:
         return _LLOYD_CACHE[cache_key]
     # Seeds: global top-k by (md5, vec_id) — TakeOrderedAndProject, an

@@ -85,6 +85,13 @@ class IvfIndex:
         if pq_m > 0:
             self._train_books(assigned, cents_r, pq_m, pq_ksub, train_cap)
             assigned = self._encode(assigned, cents_r)
+        elif self.fs.exists(self._books_dir):
+            # rebuilding WITHOUT PQ over a previously-PQ index: stale
+            # codebooks would make upsert() PQ-encode new batches while
+            # resident rows lack pq_code (AnalysisException) and
+            # search_pq() misreport the index as PQ-capable — the
+            # on-disk layout must always match the build configuration
+            self.fs.delete(self._books_dir)
         (
             assigned.repartition(F.col("cell"))
             .write.mode("overwrite")

@@ -185,7 +185,15 @@ def _train_books(
     ``books[m][cluster] -> list of SUB exact ints``. ``e`` overrides
     the training vectors (a (vec_id, v) frame of exact ints — e.g.
     residuals for IVF-PQ); the default trains on the gridded corpus."""
-    cache_key = cache_key if cache_key is not None else sf_dir
+    from spark_streaming_with_debezium_spark.llm.cluster import (
+        dataset_fingerprint,
+    )
+
+    # fingerprinted key (ADVICE r7): retrain if the data at the path
+    # changed within this process instead of serving stale codebooks
+    cache_key = dataset_fingerprint(
+        cache_key if cache_key is not None else sf_dir
+    )
     if cache_key in _BOOKS_CACHE:
         return _BOOKS_CACHE[cache_key]
     if e is None:

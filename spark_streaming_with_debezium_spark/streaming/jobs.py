@@ -78,10 +78,13 @@ def trending_topk_stream(
     the single micro-batch whose watermark closes the window, so the
     per-batch rank always sees a complete window — no cross-batch
     rank state is needed. The rank window partitions on window_start
-    with at most |event_type| rows per partition. The sink appends
-    closed-window top-k rows to parquet; replays of a batch rewrite
-    the same closed windows (idempotent per window under the
-    file-source + availableNow drain used in tests)."""
+    with at most |event_type| rows per partition. The sink writes each
+    closed window's top-k with DYNAMIC PARTITION OVERWRITE on
+    window_start: a replayed batch (failure between the parquet write
+    and the checkpoint commit, or a full re-drain without a
+    checkpoint) re-emits the same closed windows and overwrites
+    exactly those partitions — genuinely idempotent, where a plain
+    append would duplicate them (ADVICE r7)."""
     from pyspark.sql import Window
 
     counted = (
@@ -102,7 +105,9 @@ def trending_topk_stream(
         (
             batch_df.withColumn("rn", F.row_number().over(w).cast("long"))
             .filter(F.col("rn") <= k)
-            .write.mode("append")
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("window_start")
             .parquet(out_dir)
         )
 

@@ -767,3 +767,30 @@ def test_ivf_pq_upsert_encodes_with_frozen_books(spark, sf_dir, tmp_path):
     # upserted vector must return rows (it lives in a probed cell)
     got = idx.search_pq(new, k=3, n_probe=5, refine=20)
     assert got.count() == 24  # 8 queries × 3
+
+
+def test_ivf_rebuild_without_pq_clears_stale_codebooks(spark, sf_dir, tmp_path):
+    """ADVICE r7: rebuilding a previously-PQ index with pq_m=0 must
+    delete the stale codebooks — otherwise upsert() PQ-encodes new
+    batches against plain resident rows (AnalysisException) and
+    search_pq() misreports the index as PQ-capable."""
+    import pytest
+
+    from spark_streaming_with_debezium_spark.llm.ivf_index import IvfIndex
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    idx.build(e, pq_m=8)
+    assert idx.fs.exists(idx._books_dir)
+
+    idx.build(e, pq_m=0)  # rebuild WITHOUT PQ
+    assert not idx.fs.exists(idx._books_dir), "stale pq_books survived"
+    with pytest.raises(ValueError, match="without PQ"):
+        idx.search_pq(e.filter(F.col("vec_id") < 2))
+    # upsert must take the plain (non-PQ) path cleanly
+    batch = e.filter(F.col("vec_id") < 4).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    idx.upsert(batch)
+    got = idx.search(e.filter(F.col("vec_id") < 2), k=3, n_probe=8).count()
+    assert got > 0

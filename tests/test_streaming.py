@@ -1154,3 +1154,39 @@ def test_cdc_offset_gap_recovery_broker_shaped(spark, tmp_path):
         2: "u2@x.com",
         3: "after-gap@x.com",  # offset 20 beats the offset-12 straggler
     }
+
+
+def test_trending_topk_replay_idempotent(spark, tmp_path):
+    """ADVICE r7: a replayed batch must not duplicate closed-window
+    rows — the sink overwrites its window_start partitions dynamically,
+    so draining the SAME input twice (no checkpoint = full replay)
+    leaves the output byte-identical."""
+    from spark_streaming_with_debezium_spark.streaming.jobs import (
+        events_file_stream,
+        trending_topk_stream,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    out = tmp_path / "topk"
+    _write_events(
+        src / "a.json",
+        [
+            (0, "2024-01-01 00:10:00", 1, "a", 1.0),
+            (1, "2024-01-01 00:15:00", 1, "b", 1.0),
+            (2, "2024-01-01 10:00:00", 1, "d", 1.0),
+        ],
+    )
+    trending_topk_stream(events_file_stream(spark, str(src)), str(out), k=3)
+    first = sorted(
+        (str(r.window_start), r.rn, r.event_type, r.n)
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    assert first, "no closed windows emitted"
+    # full replay: fresh stream over the same files, same output dir
+    trending_topk_stream(events_file_stream(spark, str(src)), str(out), k=3)
+    second = sorted(
+        (str(r.window_start), r.rn, r.event_type, r.n)
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    assert second == first, "replay duplicated closed-window rows"
