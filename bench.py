@@ -171,12 +171,25 @@ def main() -> None:
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
-    # CDC merge throughput: one 1M-event parse→compact→merge pass (the
+    # CDC merge throughput: 1M-event parse→compact→merge passes (the
     # reference's formatter is a single-threaded driver loop; this is
-    # the number that shows the distributed path).
+    # the number that shows the distributed path). Same protocol as the
+    # query timings — warm pass + median of 3 — because a single pass
+    # is hostage to sandbox interference (measured 21k..328k ev/s for
+    # IDENTICAL work in one session; the r6→r7 "regression" 310k→279k
+    # was this noise, VERDICT r7 item 8).
     from perf.cdc_throughput import measure as cdc_measure
 
-    cdc_tp = cdc_measure(spark, int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "1000000")))
+    cdc_n = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "1000000"))
+    cdc_measure(spark, min(cdc_n, 100_000))  # warm
+    cdc_runs = sorted(
+        (cdc_measure(spark, cdc_n) for _ in range(n_runs)),
+        key=lambda r: r["events_per_sec"],
+    )
+    cdc_tp = cdc_runs[len(cdc_runs) // 2]
+    cdc_tp["events_per_sec_spread"] = (
+        cdc_runs[-1]["events_per_sec"] - cdc_runs[0]["events_per_sec"]
+    )
 
     # Z-order data skipping, measured (not just unit-tested): lay out
     # lineitem z-ordered on (l_orderkey, l_partkey) vs hash-unclustered
@@ -267,6 +280,9 @@ def main() -> None:
                 "ivf_index_build_sec": ivf_build,
                 "ivf_query_only_sec": ivf_query,
                 "cdc_merge_events_per_sec": cdc_tp["events_per_sec"],
+                "cdc_merge_events_per_sec_spread": cdc_tp[
+                    "events_per_sec_spread"
+                ],
                 "cdc_merge_n_events": cdc_tp["n_events"],
                 "zorder": zorder,
                 "sf": sf,
