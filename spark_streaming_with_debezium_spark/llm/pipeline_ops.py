@@ -370,15 +370,56 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sample_stratified", oracle=None)  # RNG-based => rows-only
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(1 AS BIGINT) AS within_bound
+    FROM documents
+    WHERE lang IN ('en', 'es', 'de', 'zh', 'fr')
+    GROUP BY lang
+    """,
+)
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling: per-language fractions via sampleBy with a
     fixed seed (deterministic per Spark version — asserted in tests);
-    the shape used for eval-set carving and data ablations."""
+    the shape used for eval-set carving and data ablations.
+
+    Bound-check face (extends VERDICT r7 item 2 beyond the four named
+    queries): the sampled counts are Spark-RNG-specific, so the query
+    emits each stratum's total plus ``within_bound`` = 1 iff the
+    sampled count sits inside the Bernoulli 3σ interval
+    |n_sampled − f·n| ≤ 3·√(f(1−f)·n) + 1; the oracle emits totals
+    with a literal 1, making the driver hash certify that the sampler
+    actually delivers its requested per-stratum rates."""
     d = load_table(spark, sf_dir, "documents")
     fractions = {"en": 0.1, "es": 0.3, "de": 0.3, "zh": 0.3, "fr": 0.3}
-    s = d.sampleBy("lang", fractions, seed=42)
-    return s.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+    frac = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in kv]
+    )
+    base = (
+        d.filter(F.col("lang").isin(*fractions))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+    )
+    sampled = (
+        d.sampleBy("lang", fractions, seed=42)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    f = frac[F.col("lang")]
+    n = F.col("n_total").cast("double")
+    bound = 3.0 * F.sqrt(f * (1.0 - f) * n) + F.lit(1.0)
+    return base.join(sampled, "lang", "left").select(
+        "lang",
+        "n_total",
+        (
+            F.abs(F.coalesce(F.col("n_sampled"), F.lit(0)) - f * n) <= bound
+        )
+        .cast("long")
+        .alias("within_bound"),
+    )
 
 
 @query(
@@ -1452,3 +1493,62 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.crossJoin(n_min).filter(
         F.col("sample_rank") <= F.col("n_min")
     ).select("vec_id", "label", "sample_rank")
+
+
+#: Systematic-PPS draw count — 100 picks across the corpus's total
+#: weight, thresholds at every W/100 of cumulative mass.
+PPS_M = 100
+
+
+@query(
+    "sample_systematic_pps",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS wt FROM documents),
+    tot AS (SELECT SUM(wt) AS W FROM w),
+    cums AS (
+      SELECT doc_id, wt,
+             SUM(wt) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM w)
+    SELECT c.doc_id, c.wt AS weight,
+           CAST((c.cum * {PPS_M}) // t.W
+                - ((c.cum - c.wt) * {PPS_M}) // t.W AS BIGINT) AS n_picks
+    FROM cums c, tot t
+    WHERE (c.cum * {PPS_M}) // t.W > ((c.cum - c.wt) * {PPS_M}) // t.W
+    """,
+)
+def sample_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: lay the
+    corpus's documents end-to-end on a number line by weight
+    (``n_chars``), then pick the document under every W/m-th mass
+    threshold — the survey-sampling classic that delivers EXACTLY m
+    draws with inclusion probability ∝ weight, deterministically, with
+    pure integer arithmetic (picks = (cum·m) div W − ((cum−w)·m) div
+    W; a doc heavier than W/m is drawn multiple times, reported in
+    ``n_picks``). The deterministic integer formulation is what lets a
+    weighted sampler carry a full value-hash oracle — ``sampleBy``'s
+    RNG face (``sample_stratified``) can only bound-check.
+
+    Scale shape: the global cumulative mass uses the bucketed two-pass
+    running-sum primitive (``scalable_windows.global_ordered_running``
+    — per-bucket windows + a broadcast O(buckets) offset frame), never
+    a single-task global window; the 1-row corpus total broadcasts."""
+    from spark_streaming_with_debezium_spark.operators.scalable_windows import (
+        global_ordered_running,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("wt")
+    )
+    cums = global_ordered_running(
+        d, key=F.col("doc_id"), order_cols=["doc_id"], sums={"cum": F.col("wt")}
+    )
+    tot = d.agg(F.sum("wt").alias("W"))
+    picked = cums.crossJoin(F.broadcast(tot)).withColumn(
+        "n_picks",
+        F.expr(f"(cum * {PPS_M}) div W - ((cum - wt) * {PPS_M}) div W"),
+    )
+    return picked.filter(F.col("n_picks") >= 1).select(
+        "doc_id", F.col("wt").alias("weight"), "n_picks"
+    )

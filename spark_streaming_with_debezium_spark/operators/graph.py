@@ -405,3 +405,144 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright("node", 1).alias("node_key"),
         F.round("rank", 6).alias("pagerank"),
     )
+
+
+#: Fixed min-label-propagation rounds for connected components — 10
+#: covers the worst measured convergence need on the shipped data
+#: (8 rounds at sf0.01) with margin; the `stable` flag exposes
+#: (identically in both engines) whether a node's label still moved in
+#: the final round, so an unconverged giant-diameter graph is visible
+#: in the result instead of silently mislabeled.
+CC_ITERS = 10
+#: Trading pairs with ≥ this many distinct orders form an edge — the
+#: repeat-business graph (one-off orders are noise at every SF).
+CC_MIN_ORDERS = 3
+
+
+def _cc_oracle() -> str:
+    """Unrolled 10-round min-label propagation dual (same chained-CTE
+    discipline as the Lloyd/PQ fixpoints — DuckDB recursive CTEs
+    forbid aggregates in the recursive term, so the fixed iteration
+    count IS the portable formulation)."""
+    chain = [
+        """
+    pairs AS (
+      SELECT o_custkey AS ck, l_suppkey AS sk
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+      HAVING count(DISTINCT o_orderkey) >= {thr}
+    ),
+    nodes AS (
+      SELECT DISTINCT ck * 2 AS node FROM pairs
+      UNION SELECT DISTINCT sk * 2 + 1 FROM pairs
+    ),
+    edges AS (
+      SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM pairs
+      UNION ALL SELECT sk * 2 + 1, ck * 2 FROM pairs
+      UNION ALL SELECT node, node FROM nodes
+    ),
+    lab0 AS (SELECT node, node AS lab FROM nodes)""".format(thr=CC_MIN_ORDERS)
+    ]
+    for i in range(1, CC_ITERS + 1):
+        chain.append(
+            f"""
+    lab{i} AS (
+      SELECT e.dst AS node, MIN(p.lab) AS lab
+      FROM edges e JOIN lab{i - 1} p ON p.node = e.src
+      GROUP BY e.dst
+    )"""
+        )
+    return (
+        "WITH "
+        + ",".join(chain)
+        + f"""
+    SELECT CASE WHEN a.node % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
+           CAST(a.node // 2 AS BIGINT) AS node_key,
+           CAST(a.lab AS BIGINT) AS component,
+           CAST(a.lab = b.lab AS BIGINT) AS stable
+    FROM lab{CC_ITERS} a JOIN lab{CC_ITERS - 1} b ON a.node = b.node
+    """
+    )
+
+
+@query("graph_connected_components", oracle=_cc_oracle())
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the repeat-business trade graph
+    (customer↔supplier pairs with ≥ CC_MIN_ORDERS distinct orders) via
+    ``CC_ITERS`` rounds of synchronous min-label propagation — the
+    entity-resolution / community-extraction primitive (and the
+    dedup-cluster canonicalizer's graph-theoretic big sibling).
+
+    Every node starts labeled with its own packed id; each round
+    every node takes the min label over itself ∪ neighbors (self-loop
+    edges make it ONE aggregate). Integer mins are order-insensitive,
+    so the fixed-round result is bit-deterministic and the DuckDB
+    dual is an unrolled CTE chain. ``stable`` = 1 iff the label did
+    not move in the final round — convergence is VISIBLE in the
+    result (and asserted on shipped data in tests) instead of assumed.
+
+    Scale shape: identical to the PageRank loop — the edge list is
+    built once and persisted, each round ships only the O(V) label
+    vector (broadcast when provably small, same bounded-count
+    heuristic), the min-aggregate combines map-side, and an eager
+    localCheckpoint cuts per-round lineage. Plain propagation costs
+    O(diameter) rounds; the production upgrade for giant-diameter
+    graphs (alternating star contractions, O(log d)) trades this
+    oracle-able fixed shape for driver-side convergence control —
+    documented, not hidden, via the ``stable`` flag.
+
+    Reference parity: no graph surface in the reference (README.md:12
+    front-ends BI dashboards); beyond-reference operator per the
+    brief, same family as `graph_pagerank`/`graph_triangle_count`."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk")
+        )
+        .agg(F.count_distinct("o_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") >= CC_MIN_ORDERS)
+    )
+    fwd = pairs.select(
+        (F.col("ck").cast("long") * 2).alias("src"),
+        (F.col("sk").cast("long") * 2 + 1).alias("dst"),
+    )
+    cached = []
+    try:
+        nodes = (
+            fwd.select(F.col("src").alias("node"))
+            .union(fwd.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
+        cached.append(nodes)
+        edges = (
+            fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
+            .persist()
+        )
+        cached.append(edges)
+        broadcast_labels = nodes.count() <= 5_000_000
+        labs = nodes.select("node", F.col("node").alias("lab"))
+        prev = labs
+        for i in range(CC_ITERS):
+            prev = labs
+            lab_side = F.broadcast(labs) if broadcast_labels else labs
+            labs = (
+                edges.join(lab_side, edges.src == lab_side.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("lab").alias("lab"))
+            ).localCheckpoint(eager=True)
+        stable = labs.join(
+            prev.select(F.col("node"), F.col("lab").alias("prev_lab")), "node"
+        )
+        return stable.select(
+            F.when(F.col("node") % 2 == 0, "c").otherwise("s").alias("node_type"),
+            F.shiftright("node", 1).alias("node_key"),
+            F.col("lab").alias("component"),
+            (F.col("lab") == F.col("prev_lab")).cast("long").alias("stable"),
+        )
+    finally:
+        for df in cached:
+            df.unpersist()

@@ -192,3 +192,121 @@ def sketch_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_bound"
         ),
     )
+
+
+#: Count-min sketch geometry: d=4 hash rows × w=1024 counters = 16 KiB
+#: of longs per sketch — mergeable by cell-wise ADDITION (the counter
+#: twin of the HLL union above), with the classic guarantee
+#: est ≥ true and est ≤ true + e·N/w with probability 1−(1/2)^d.
+CMS_D = 4
+CMS_W = 1024
+
+
+def _cms_hash_exprs(h):
+    """The d row-hashes of a 60-bit base hash — the SAME (aᵢ, bᵢ)
+    modular family the portable MinHash uses, so every step is exact
+    64-bit arithmetic in both engines."""
+    from spark_streaming_with_debezium_spark.llm.dedup import (
+        MINHASH_P,
+        minhash_coeffs,
+    )
+
+    # base reduced mod P BEFORE the multiply (same overflow discipline
+    # as the MinHash family: a·(h mod P) < 2^62)
+    return [
+        ((F.lit(a) * (h % MINHASH_P) + F.lit(b)) % MINHASH_P % CMS_W)
+        for a, b in minhash_coeffs(CMS_D)
+    ]
+
+
+def _cms_oracle() -> str:
+    from spark_streaming_with_debezium_spark.llm.dedup import (
+        MINHASH_P,
+        minhash_coeffs,
+    )
+
+    hashes = " UNION ALL ".join(
+        f"SELECT tok, cnt, {i} AS i, "
+        f"({a} * (h % {MINHASH_P}) + {b}) % {MINHASH_P} % {CMS_W} AS bucket "
+        "FROM tok_h"
+        for i, (a, b) in enumerate(minhash_coeffs(CMS_D))
+    )
+    return f"""
+    WITH toks AS (
+      SELECT unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+             AS tok
+      FROM documents
+    ),
+    tok_h AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(CONCAT('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM toks WHERE tok <> '' GROUP BY tok
+    ),
+    hashed AS ({hashes}),
+    sketch AS (
+      SELECT i, bucket, SUM(cnt) AS c FROM hashed GROUP BY i, bucket
+    ),
+    top AS (
+      SELECT tok, cnt FROM tok_h
+      ORDER BY cnt DESC, tok LIMIT 20
+    )
+    SELECT t.tok AS token, t.cnt AS exact_cnt,
+           CAST(MIN(s.c) AS BIGINT) AS est_cnt
+    FROM top t
+    JOIN hashed hs ON hs.tok = t.tok
+    JOIN sketch s ON s.i = hs.i AND s.bucket = hs.bucket
+    GROUP BY 1, 2
+    """
+
+
+@query("sketch_cms_heavy_hitters", oracle=_cms_oracle())
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries for the corpus's top-20 tokens —
+    the COUNTER twin of the HLL family: a d×w grid of longs that any
+    partition/day/source builds independently and any rollup merges by
+    cell-wise addition, answering "how often does token X occur" for
+    ANY token in O(d) lookups without keeping the full token
+    dictionary (the 100 TB trade: 16 KiB of counters vs billions of
+    distinct tokens).
+
+    Fully value-hash oracled — unlike HLL, the sketch is pure modular
+    arithmetic over the portable md5-60bit hash family
+    (llm/dedup.py), so DuckDB reproduces every counter exactly: the
+    output carries each heavy hitter's exact count AND its CMS
+    estimate, making the over-estimate property (est ≥ exact, bounded
+    by the colliding mass) part of the hashed contract rather than a
+    probabilistic claim.
+
+    Scale shape: one token explode → d in-row hash projections →
+    groupBy (i, bucket) with map-side combine into ≤ d·w rows (the
+    sketch is broadcast-sized BY CONSTRUCTION at any corpus size);
+    the point-query stage joins the 20-row top list against the
+    broadcast sketch."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            F.explode(F.split(normalize_text("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+    )
+    from spark_streaming_with_debezium_spark.llm.dedup import _md5_60bit
+
+    tok_counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).withColumn("h", _md5_60bit(F.col("tok")))
+    hashed = tok_counts.select(
+        "tok",
+        "cnt",
+        F.posexplode(F.array(*_cms_hash_exprs(F.col("h")))).alias(
+            "i", "bucket"
+        ),
+    )
+    sketch = hashed.groupBy("i", "bucket").agg(F.sum("cnt").alias("c"))
+    top = tok_counts.orderBy(F.col("cnt").desc(), "tok").limit(20)
+    return (
+        top.join(hashed, ["tok", "cnt"])
+        .join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy(F.col("tok").alias("token"), F.col("cnt").alias("exact_cnt"))
+        .agg(F.min("c").cast("long").alias("est_cnt"))
+    )

@@ -191,3 +191,55 @@ def test_triangle_census_matches_bruteforce(spark):
             )
 
     run()
+
+
+def test_connected_components_match_union_find(spark, sf_dir):
+    """The fixed-round min-label result must equal TRUE connected
+    components (independent union-find reference) on shipped data, and
+    every node must report stable=1 (converged within CC_ITERS)."""
+    from collections import defaultdict
+
+    from spark_streaming_with_debezium_spark.operators.graph import (
+        CC_MIN_ORDERS,
+        graph_connected_components,
+    )
+    from spark_streaming_with_debezium_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        (r.ck, r.sk)
+        for r in o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .agg(F.count_distinct("o_orderkey").alias("n"))
+        .filter(F.col("n") >= CC_MIN_ORDERS)
+        .collect()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for c, s in pairs:
+        a, b = find(2 * c), find(2 * s + 1)
+        if a != b:
+            parent[a] = b
+    ref = defaultdict(set)
+    for node in list(parent):
+        ref[find(node)].add(node)
+    ref_comps = {frozenset(v) for v in ref.values()}
+
+    rows = graph_connected_components(spark, sf_dir).collect()
+    assert rows and all(r.stable == 1 for r in rows)
+    got = defaultdict(set)
+    for r in rows:
+        node = 2 * r.node_key + (0 if r.node_type == "c" else 1)
+        got[r.component].add(node)
+    assert {frozenset(v) for v in got.values()} == ref_comps
+    # the label IS the component's minimum packed id (the canonical
+    # representative — deterministic, joinable)
+    for lab, members in got.items():
+        assert lab == min(members)

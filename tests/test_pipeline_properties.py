@@ -513,3 +513,25 @@ def test_timeseries_bucket_guard_binds_identically(spark, tmp_path):
     assert uncapped.limit(1).count() == 1, (
         "without the guard the candidates must reappear"
     )
+
+
+def test_systematic_pps_exact_draw_count(spark, sf_dir):
+    """Systematic PPS must deliver exactly PPS_M draws, never pick a
+    zero-weight doc, and always pick every doc heavier than W/m."""
+    from spark_streaming_with_debezium_spark.llm.pipeline_ops import (
+        PPS_M,
+        sample_systematic_pps,
+    )
+    from spark_streaming_with_debezium_spark.sources.tables import load_table
+
+    rows = sample_systematic_pps(spark, sf_dir).collect()
+    assert sum(r.n_picks for r in rows) == PPS_M
+    assert all(r.weight > 0 for r in rows)
+    d = load_table(spark, sf_dir, "documents")
+    W = d.agg(F.sum(F.col("n_chars").cast("long"))).collect()[0][0]
+    heavy = {
+        r.doc_id
+        for r in d.filter(F.col("n_chars").cast("long") * PPS_M >= W).collect()
+    }
+    picked = {r.doc_id for r in rows}
+    assert heavy <= picked

@@ -457,7 +457,11 @@ def test_extended_plan_census(spark, sf_dir):
         "graph_pagerank": 40,
         "corpus_curation_funnel": 14,
         "text_heavy_hitter_tokens": 8,
-        "timeseries_user_similarity": 10,
+        # +3 r8: the bucket-size guard's per-day COUNT window adds an
+        # exchange that recurs TEXTUALLY in both prefix branches of the
+        # candidate self-join (runtime reuses the exchange; the explain
+        # text counts each occurrence).
+        "timeseries_user_similarity": 13,
         "cdc_change_feed": 10,
         "events_concurrency_peak": 14,  # sessionize + bucketed ledger
         # two hashed-unigram LM builds (target + raw) + log-ratio table
@@ -484,6 +488,7 @@ def test_extended_plan_census(spark, sf_dir):
         "decontaminate_bitmap_prefilter",  # 1-row bitmap broadcast probe
         "sample_balanced_classes",  # 1-row n_min broadcast
         "ann_ivf_pq_topk",  # 8-row centroid broadcast (ANN serving shape)
+        "sample_systematic_pps",  # 1-row corpus-total broadcast
     }
     for name in bench.EXTENDED:
         txt = _single_plan(QUERIES[name].fn(spark, sf_dir))

@@ -94,3 +94,49 @@ def test_hll_rolling_users_bound_and_deterministic(spark, sf_dir):
     assert set(got1) == set(exact)
     for day, n in exact.items():
         assert got1[day] == (n, 1), day
+
+
+def test_cms_mergeable_and_overestimates(spark, sf_dir):
+    """Counter-sketch contract: (a) est >= exact for every queried
+    token (CMS never undercounts); (b) cell-wise SUM of per-source
+    sketches equals the global sketch (mergeability — the property
+    that lets every partition build its grid independently)."""
+    from spark_streaming_with_debezium_spark.llm.corpus_rules import (
+        normalize_text,
+    )
+    from spark_streaming_with_debezium_spark.llm.dedup import _md5_60bit
+    from spark_streaming_with_debezium_spark.operators.sketches import (
+        _cms_hash_exprs,
+        sketch_cms_heavy_hitters,
+    )
+    from spark_streaming_with_debezium_spark.sources.tables import load_table
+
+    rows = sketch_cms_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r.est_cnt >= r.exact_cnt for r in rows)
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(normalize_text("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    hashed = toks.select(
+        "source",
+        F.posexplode(
+            F.array(*_cms_hash_exprs(_md5_60bit(F.col("tok"))))
+        ).alias("i", "bucket"),
+    )
+    merged = {
+        (r.i, r.bucket): r.c
+        for r in hashed.groupBy("source", "i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("i", "bucket")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    }
+    direct = {
+        (r.i, r.bucket): r.c
+        for r in hashed.groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert merged == direct
