@@ -852,3 +852,122 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_fraction"),
     )
+
+
+#: Content-defined chunking geometry: a boundary opens wherever the
+#: 60-bit hash of the W-char window divides D — average chunk ≈ D
+#: chars, and (the CDC property) boundaries depend only on LOCAL
+#: content, so an insertion near the top of a document shifts every
+#: byte offset yet leaves all downstream chunk boundaries — and
+#: therefore their hashes — unchanged. Fixed-stride shingling loses
+#: exactly that alignment.
+CDC_WIN = 16
+CDC_DIV = 64
+
+
+def _cdc_chunks_oracle() -> str:
+    return f"""
+    WITH n AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, nt, len(nt) AS l,
+             list_prepend(CAST(1 AS BIGINT), list_filter(
+               range(2, len(nt) + 1),
+               i -> i <= len(nt) - {CDC_WIN} + 1
+                AND CAST(CONCAT('0x', substr(md5(substr(nt, CAST(i AS INT), {CDC_WIN})), 1, 15))
+                        AS BIGINT) % {CDC_DIV} = 0
+             )) AS bounds
+      FROM n WHERE len(nt) > 0
+    ),
+    c AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(bounds) + 1),
+               k -> substr(nt, CAST(bounds[CAST(k AS INT)] AS INT),
+                           CAST(COALESCE(bounds[CAST(k AS INT) + 1], l + 1)
+                                - bounds[CAST(k AS INT)] AS INT))
+             )) AS chunk
+      FROM b
+    )
+    SELECT md5(chunk) AS chunk_hash,
+           CAST(len(chunk) AS BIGINT) AS n_chars,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ
+    FROM c
+    GROUP BY chunk
+    HAVING count(*) > 1
+    """
+
+
+@query("dedup_cdc_chunks", oracle=_cdc_chunks_oracle())
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup (the FastCDC/rsync family, the
+    sub-document sibling of exact dedup): chunk every normalized
+    document at content-determined boundaries (W-char window hash ≡ 0
+    mod D over the portable md5-60bit hash) and report every chunk
+    that occurs more than once across the corpus — shared
+    boilerplate, quoted passages, and template fragments that
+    whole-document hashing can never see, with boundaries that
+    SURVIVE insertions (unlike fixed-stride shingles, a local edit
+    re-chunks only its own neighborhood).
+
+    Scale shape: chunking is a stateless per-document projection
+    (array higher-order functions, no UDF, no shuffle); the only
+    shuffle is the chunk-hash groupBy with map-side combine, and the
+    output is bounded by the shared-content volume, not the corpus.
+    Fully value-hash oracled — both engines run the identical modular
+    arithmetic and md5 chunk hashes.
+
+    Reference parity: no sub-document dedup in the reference (its
+    pipeline ends at row-level state); beyond-reference
+    training-data operator per the brief, same family as
+    `dedup_exact_substring`."""
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.select("doc_id", _NORM_SPARK(F.col("text")).alias("nt"))
+        .withColumn("l", F.length("nt"))
+        .filter(F.col("l") > 0)
+    )
+    is_boundary = lambda i: (  # noqa: E731
+        (i <= F.col("l") - CDC_WIN + 1)
+        & (_md5_60bit(F.col("nt").substr(i, F.lit(CDC_WIN))) % CDC_DIV == 0)
+    )
+    bounds = F.concat(
+        F.array(F.lit(1).cast("long")),
+        F.filter(F.sequence(F.lit(2).cast("long"), F.col("l").cast("long")), is_boundary),
+    )
+    withb = base.withColumn("bounds", bounds)
+    chunks = withb.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("bounds")),
+                lambda k: F.col("nt").substr(
+                    F.get(F.col("bounds"), k - 1).cast("int"),
+                    (
+                        F.coalesce(
+                            F.get(F.col("bounds"), k), F.col("l") + 1
+                        )
+                        - F.get(F.col("bounds"), k - 1)
+                    ).cast("int"),
+                ),
+            )
+        ).alias("chunk"),
+    )
+    return (
+        chunks.groupBy("chunk")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_occ") > 1)
+        .select(
+            F.md5("chunk").alias("chunk_hash"),
+            F.length("chunk").cast("long").alias("n_chars"),
+            "n_docs",
+            "n_occ",
+        )
+    )

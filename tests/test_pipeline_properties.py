@@ -535,3 +535,35 @@ def test_systematic_pps_exact_draw_count(spark, sf_dir):
     }
     picked = {r.doc_id for r in rows}
     assert heavy <= picked
+
+
+def test_cdc_chunks_survive_insertion(spark, tmp_path):
+    """THE content-defined-chunking property: inserting text near the
+    top of a document shifts every byte offset but leaves downstream
+    chunk boundaries — and so their hashes — aligned. Most of the
+    original document's chunk mass must be recognized as shared with
+    its prefix-edited twin (fixed-stride shingling would lose all of
+    it)."""
+    import hashlib
+
+    from spark_streaming_with_debezium_spark.llm.dedup import (
+        dedup_cdc_chunks,
+    )
+
+    parts = []
+    h = b"seed"
+    for _ in range(120):
+        h = hashlib.md5(h).digest()
+        parts.append(h.hex())
+    text = " ".join(parts)  # ~3.9k chars of varied content
+    edited = "an inserted preamble sentence! " + text
+    df = spark.createDataFrame(
+        [(1, text, "en", "a", len(text)), (2, edited, "en", "a", len(edited))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = dedup_cdc_chunks(spark, str(tmp_path)).collect()
+    shared = sum(r.n_chars for r in rows if r.n_docs == 2)
+    assert shared >= 0.8 * len(text), (
+        f"only {shared} of {len(text)} chars recognized as shared"
+    )
