@@ -971,3 +971,75 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_occ",
         )
     )
+
+
+#: Min-label rounds for the near-dup component fold — near-dup
+#: components are chains/cliques of verified pairs; 6 rounds cover a
+#: 6-hop chain diameter, and the `stable` flag exposes (identically in
+#: both engines) any corpus where that isn't enough.
+NEARDUP_CC_ITERS = 6
+
+
+def _neardup_components_oracle() -> str:
+    from spark_streaming_with_debezium_spark.operators.graph import (
+        cc_label_ctes,
+    )
+
+    final = f"lab{NEARDUP_CC_ITERS}"
+    prev = f"lab{NEARDUP_CC_ITERS - 1}"
+    return f"""
+    WITH {minhash_pairs_ctes()},
+    p AS (SELECT doc_a, doc_b FROM verified WHERE jac >= 0.5),
+    cedges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM p
+      UNION ALL SELECT doc_b, doc_a FROM p
+      UNION ALL SELECT n, n FROM (
+        SELECT doc_a AS n FROM p UNION SELECT doc_b FROM p)
+    ),
+    {cc_label_ctes("cedges", NEARDUP_CC_ITERS)},
+    csized AS (
+      SELECT a.node, a.lab,
+             CAST(a.lab = b.lab AS BIGINT) AS stable,
+             COUNT(*) OVER (PARTITION BY a.lab) AS csize
+      FROM {final} a JOIN {prev} b ON a.node = b.node
+    )
+    SELECT node AS doc_id, CAST(lab AS BIGINT) AS cluster,
+           CAST(csize AS BIGINT) AS cluster_size, stable
+    FROM csized
+    """
+
+
+@query("dedup_neardup_components", oracle=_neardup_components_oracle())
+def dedup_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-duplicate clusters: connected components over
+    the verified MinHash-LSH pair graph — the production dedup-cluster
+    fold (pair A≈B and B≈C put A and C in ONE cluster even when A≉C
+    directly, so "keep one per cluster" is well-defined; pairwise
+    keep-rules alone can keep both A and C). Composes two fully
+    oracled pipelines end-to-end: the banded/size-guarded/
+    exact-Jaccard-verified pair generation (`dedup_minhash_lsh`) and
+    the fixed-round min-label propagation core shared with
+    `graph_connected_components` (`operators/graph.py:cc_fixed`),
+    cluster = min doc_id (the canonical keeper), with `cluster_size`
+    and the convergence-visibility `stable` flag in the hashed
+    output.
+
+    Scale shape: inherits the LSH stage's bounded buckets and the CC
+    stage's broadcast-labels/map-side-min rounds; the component fold
+    touches only docs that appear in ≥1 verified pair — a tiny
+    fraction of any real corpus."""
+    from spark_streaming_with_debezium_spark.operators.graph import cc_fixed
+    from pyspark.sql import Window as W
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").cast("long").alias("src"),
+        F.col("doc_b").cast("long").alias("dst"),
+    )
+    labs = cc_fixed(pairs, NEARDUP_CC_ITERS)
+    wb = W.partitionBy("lab")
+    return labs.select(
+        F.col("node").alias("doc_id"),
+        F.col("lab").alias("cluster"),
+        F.count(F.lit(1)).over(wb).alias("cluster_size"),
+        "stable",
+    )

@@ -419,6 +419,75 @@ CC_ITERS = 10
 CC_MIN_ORDERS = 3
 
 
+def cc_fixed(fwd: DataFrame, n_iter: int) -> DataFrame:
+    """(node, lab, stable) after ``n_iter`` rounds of synchronous
+    min-label propagation over the UNDIRECTED graph given by ``fwd``
+    (src, dst) — mirroring and self-loops are added here; ``stable`` =
+    1 iff the label did not move in the final round. Reusable core of
+    :func:`graph_connected_components` (see its docstring for the
+    scale shape and determinism argument); also drives the transitive
+    near-dup clusters in ``llm/dedup.py``."""
+    cached = []
+    try:
+        nodes = (
+            fwd.select(F.col("src").alias("node"))
+            .union(fwd.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
+        cached.append(nodes)
+        edges = (
+            fwd.union(
+                fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .union(
+                nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+            )
+            .persist()
+        )
+        cached.append(edges)
+        broadcast_labels = nodes.count() <= 5_000_000
+        labs = nodes.select("node", F.col("node").alias("lab"))
+        prev = labs
+        for _ in range(n_iter):
+            prev = labs
+            lab_side = F.broadcast(labs) if broadcast_labels else labs
+            labs = (
+                edges.join(lab_side, edges.src == lab_side.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("lab").alias("lab"))
+            ).localCheckpoint(eager=True)
+        return labs.join(
+            prev.select(F.col("node"), F.col("lab").alias("prev_lab")), "node"
+        ).select(
+            "node",
+            "lab",
+            (F.col("lab") == F.col("prev_lab")).cast("long").alias("stable"),
+        )
+    finally:
+        for df in cached:
+            df.unpersist()
+
+
+def cc_label_ctes(edges_cte: str, n_iter: int, prefix: str = "lab") -> str:
+    """Unrolled min-label CTE chain over an existing ``edges_cte``
+    relation (src, dst — must already include both directions and
+    self-loops); yields ``{prefix}0 .. {prefix}{n_iter}``."""
+    parts = [
+        f"{prefix}0 AS (SELECT DISTINCT src AS node, src AS lab "
+        f"FROM {edges_cte})"
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""{prefix}{i} AS (
+      SELECT e.dst AS node, MIN(p.lab) AS lab
+      FROM {edges_cte} e JOIN {prefix}{i - 1} p ON p.node = e.src
+      GROUP BY e.dst
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
 def _cc_oracle() -> str:
     """Unrolled 10-round min-label propagation dual (same chained-CTE
     discipline as the Lloyd/PQ fixpoints — DuckDB recursive CTEs
@@ -508,41 +577,10 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ck").cast("long") * 2).alias("src"),
         (F.col("sk").cast("long") * 2 + 1).alias("dst"),
     )
-    cached = []
-    try:
-        nodes = (
-            fwd.select(F.col("src").alias("node"))
-            .union(fwd.select(F.col("dst").alias("node")))
-            .distinct()
-            .persist()
-        )
-        cached.append(nodes)
-        edges = (
-            fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-            .union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
-            .persist()
-        )
-        cached.append(edges)
-        broadcast_labels = nodes.count() <= 5_000_000
-        labs = nodes.select("node", F.col("node").alias("lab"))
-        prev = labs
-        for i in range(CC_ITERS):
-            prev = labs
-            lab_side = F.broadcast(labs) if broadcast_labels else labs
-            labs = (
-                edges.join(lab_side, edges.src == lab_side.node)
-                .groupBy(F.col("dst").alias("node"))
-                .agg(F.min("lab").alias("lab"))
-            ).localCheckpoint(eager=True)
-        stable = labs.join(
-            prev.select(F.col("node"), F.col("lab").alias("prev_lab")), "node"
-        )
-        return stable.select(
-            F.when(F.col("node") % 2 == 0, "c").otherwise("s").alias("node_type"),
-            F.shiftright("node", 1).alias("node_key"),
-            F.col("lab").alias("component"),
-            (F.col("lab") == F.col("prev_lab")).cast("long").alias("stable"),
-        )
-    finally:
-        for df in cached:
-            df.unpersist()
+    labs = cc_fixed(fwd, CC_ITERS)
+    return labs.select(
+        F.when(F.col("node") % 2 == 0, "c").otherwise("s").alias("node_type"),
+        F.shiftright("node", 1).alias("node_key"),
+        F.col("lab").alias("component"),
+        "stable",
+    )

@@ -794,3 +794,42 @@ def test_ivf_rebuild_without_pq_clears_stale_codebooks(spark, sf_dir, tmp_path):
     idx.upsert(batch)
     got = idx.search(e.filter(F.col("vec_id") < 2), k=3, n_probe=8).count()
     assert got > 0
+
+
+def test_neardup_components_transitive_and_canonical(spark, sf_dir):
+    """Every verified near-dup pair must land in one cluster, the
+    cluster label must be the component's min doc_id, cluster_size
+    must count members, and all nodes must report stable=1 on shipped
+    data."""
+    from collections import defaultdict
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    ref = defaultdict(set)
+    for n in list(parent):
+        ref[find(n)].add(n)
+    ref_comps = {frozenset(v) for v in ref.values()}
+
+    rows = QUERIES["dedup_neardup_components"].fn(spark, sf_dir).collect()
+    assert rows and all(r.stable == 1 for r in rows)
+    got = defaultdict(set)
+    for r in rows:
+        got[r.cluster].add(r.doc_id)
+    assert {frozenset(v) for v in got.values()} == ref_comps
+    for r in rows:
+        assert r.cluster == min(got[r.cluster])
+        assert r.cluster_size == len(got[r.cluster])
