@@ -539,6 +539,7 @@ def test_repo_wide_cartesian_and_bnlj_census(spark, sf_dir):
         # bounded query-set / centroid broadcasts (ANN serving shape)
         "ann_int8_rescore", "ann_cosine_topk", "ann_ivf_topk",
         "text_similar_topk", "ann_ivf_pq_topk",
+        "sample_systematic_pps",  # 1-row corpus-total broadcast
         "ann_recall_report",  # composes the two audited ANN faces
         # the intentional cross-join demo over tiny dims
         "join_cross",
