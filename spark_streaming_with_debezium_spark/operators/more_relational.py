@@ -3047,3 +3047,134 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_closed").cast("long").alias("n_closed"),
         F.sum("net").over(w).cast("long").alias("backlog"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH pw AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (SELECT l_returnflag, SUM(w) AS tw FROM pw GROUP BY 1),
+    cum AS (
+      SELECT l_returnflag, price, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      FROM pw
+    )
+    SELECT c.l_returnflag,
+           MIN(c.price) AS weighted_median,
+           CAST(MIN(t.tw) AS BIGINT) AS total_weight
+    FROM cum c JOIN tot t USING (l_returnflag)
+    WHERE 2 * c.cw >= t.tw
+    GROUP BY 1
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (lower median: the smallest price whose
+    cumulative quantity weight reaches half the group total) — the
+    quantile that answers "what price point splits the SHIPPED UNITS
+    in half", where the unweighted median only splits the rows.
+
+    Exactness: weights aggregate per (group, price) as BIGINTs, the
+    threshold test is pure integer arithmetic (2·cw ≥ W), and the
+    price values flow through untouched from parquet — no float
+    arithmetic anywhere, so both engines agree bit-for-bit.
+
+    Scale shape: the per-(group, price) pre-aggregate map-side
+    combines; the running weight uses
+    ``scalable_windows.grouped_ordered_running`` (per-group quantile
+    buckets + broadcast offset frame) — a skewed group never becomes
+    a single-task sort; the 3-row totals frame broadcasts."""
+    from spark_streaming_with_debezium_spark.operators.scalable_windows import (
+        grouped_ordered_running,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pw = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    cum = grouped_ordered_running(
+        pw,
+        ["l_returnflag"],
+        key=F.col("price"),
+        order_cols=["price"],
+        sums={"cw": F.col("w")},
+    )
+    tot = pw.groupBy("l_returnflag").agg(F.sum("w").alias("tw"))
+    return (
+        cum.join(F.broadcast(tot), "l_returnflag")
+        .filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").alias("weighted_median"),
+            F.min("tw").cast("long").alias("total_weight"),
+        )
+    )
+
+
+@query(
+    "events_theilsen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    slopes AS (
+      SELECT CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS s
+      FROM daily a JOIN daily b ON a.x < b.x
+    )
+    SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+           CAST((SELECT COUNT(*) FROM slopes) AS BIGINT) AS n_pairs,
+           round(quantile_cont(s, 0.5), 6) AS slope_per_day
+    FROM slopes
+    """,
+)
+def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily event volume: the median of all
+    pairwise day-to-day slopes — insensitive to up to ~29% outlier
+    days, where the OLS fit (`agg_linreg_exact`) bends toward every
+    anomaly; the standard robust-regression companion to the MAD
+    anomaly detector.
+
+    Determinism: each slope is ONE IEEE division of exact integer
+    differences (identical in both engines); the median follows the
+    house exact-percentile discipline (`F.percentile` ↔
+    ``quantile_cont`` with round 6).
+
+    Scale shape: the day aggregate map-side combines to O(days) rows;
+    the pairwise slope join is O(days²) over that TINY aggregate —
+    for multi-year horizons the repartition-free pair fan-out stays
+    in the millions, and the median reduces in one pass. The O(n²)
+    is in the ESTIMATOR's definition (Sen 1968), not an
+    implementation accident — bounded because it never touches raw
+    events."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x"))
+        ).alias("s")
+    )
+    n_days = daily.agg(F.count(F.lit(1)).alias("n")).select("n")
+    return (
+        slopes.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.expr("percentile(s, 0.5)"), 6).alias("slope_per_day"),
+        )
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            F.col("n").cast("long").alias("n_days"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            "slope_per_day",
+        )
+    )

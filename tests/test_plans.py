@@ -540,6 +540,9 @@ def test_repo_wide_cartesian_and_bnlj_census(spark, sf_dir):
         "ann_int8_rescore", "ann_cosine_topk", "ann_ivf_topk",
         "text_similar_topk", "ann_ivf_pq_topk",
         "sample_systematic_pps",  # 1-row corpus-total broadcast
+        # O(days) daily-aggregate self-pairing (the Theil-Sen
+        # estimator's definition) + 1-row n_days broadcast
+        "events_theilsen_trend",
         "ann_recall_report",  # composes the two audited ANN faces
         # the intentional cross-join demo over tiny dims
         "join_cross",
