@@ -1043,3 +1043,153 @@ def dedup_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wb).alias("cluster_size"),
         "stable",
     )
+
+
+#: Containment threshold 4/5 (A is "contained" in B when ≥80% of A's
+#: distinct shingles also occur in B) and the posting-list guard: a
+#: shingle shared by more than 64 documents is boilerplate-frequency
+#: and is dropped as a candidate KEY (pairs remain discoverable
+#: through their rarer shared shingles — same honest-truncation
+#: semantics as the LSH bucket guard).
+CONTAIN_NUM, CONTAIN_DEN = 4, 5
+CONTAIN_MAX_POSTING = 64
+
+
+def _containment_oracle() -> str:
+    return f"""
+    WITH w AS (
+      SELECT doc_id, lower(trim(text)) AS norm,
+             string_split_regex(lower(trim(text)), '\\s+') AS words
+      FROM documents
+    ),
+    sh0 AS (
+      SELECT doc_id,
+             CASE WHEN len(words) >= 3
+                  THEN [array_to_string(words[i:i+2], ' ')
+                        FOR i IN range(1, len(words) - 1)]
+                  ELSE [norm] END AS shingles
+      FROM w
+    ),
+    dsh AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh0),
+    ex AS (SELECT doc_id, unnest(sset) AS s FROM dsh),
+    sdf AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s),
+    kept AS (
+      SELECT e.doc_id, e.s FROM ex e JOIN sdf USING (s)
+      WHERE df <= {CONTAIN_MAX_POSTING}
+    ),
+    ranked AS (
+      SELECT e.doc_id, e.s,
+             row_number() OVER (PARTITION BY e.doc_id
+                                ORDER BY f.df, e.s) AS rk,
+             len(d2.sset) AS n
+      FROM ex e
+      JOIN sdf f USING (s)
+      JOIN dsh d2 ON d2.doc_id = e.doc_id
+    ),
+    prefix AS (
+      SELECT doc_id, s FROM ranked
+      WHERE rk <= n - ({CONTAIN_NUM} * n + {CONTAIN_DEN} - 1)
+                     // {CONTAIN_DEN} + 1
+    ),
+    cand AS (
+      SELECT DISTINCT p.doc_id AS doc_a, k.doc_id AS doc_b
+      FROM prefix p JOIN kept k USING (s)
+      WHERE k.doc_id <> p.doc_id
+    ),
+    ver AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(a.sset, b.sset)) AS inter,
+             len(a.sset) AS n_a
+      FROM cand c
+      JOIN dsh a ON a.doc_id = c.doc_a
+      JOIN dsh b ON b.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / n_a, 6) AS containment,
+           CAST(n_a AS BIGINT) AS n_shingles_a
+    FROM ver
+    WHERE {CONTAIN_DEN} * inter >= {CONTAIN_NUM} * n_a
+    """
+
+
+@query("dedup_containment", oracle=_containment_oracle())
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle CONTAINMENT pairs: doc A → doc B when ≥ 80% of
+    A's distinct 3-gram shingles occur in B — the asymmetric near-dup
+    relation symmetric Jaccard can't see (a paragraph quoted inside a
+    long article has tiny Jaccard but total containment; training-data
+    curation wants the quote flagged, not the article).
+
+    Candidates by prefix filtering on the CONTAINMENT bound: a pair
+    with |A∩B| ≥ ⌈t·|A|⌉ must share a shingle among A's first
+    |A|−⌈t·|A|⌉+1 shingles under the global (doc-frequency ASC,
+    shingle) order — only A needs a prefix; B is reached through the
+    full inverted index, whose posting lists carry the ≤ 64 guard
+    (boilerplate shingles are dropped as keys, mirrored in the
+    oracle). The verify stage then tests the exact integer gate
+    DEN·|A∩B| ≥ NUM·|A| — thresholding never touches floats, so both
+    engines agree bit-for-bit.
+
+    Scale shape: shingle doc-frequency is one map-side-combined
+    aggregate; the candidate join's per-shingle fan-out is
+    min(postings, 64)·prefix-occupancy; the verify join is bounded by
+    the candidate count, same discipline as `dedup_minhash_lsh`.
+
+    Reference parity: no sub-set/containment dedup anywhere in the
+    reference; beyond-reference training-data operator (SSJoin/
+    AllPairs prefix filtering, Bayardo et al. 2007)."""
+    d = load_table(spark, sf_dir, "documents")
+    dsh = d.select("doc_id", shingle_set(F.col("text")).alias("sset"))
+    ex = dsh.select(
+        "doc_id", F.size("sset").alias("n"), F.explode("sset").alias("s")
+    )
+    sdf = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    with_df = ex.join(sdf, "s")
+    kept = with_df.filter(F.col("df") <= CONTAIN_MAX_POSTING).select(
+        "doc_id", "s"
+    )
+    w_rk = Window.partitionBy("doc_id").orderBy("df", "s")
+    plen = F.col("n") - F.expr(
+        f"({CONTAIN_NUM} * n + {CONTAIN_DEN} - 1) div {CONTAIN_DEN}"
+    ) + 1
+    prefix = (
+        with_df.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= plen)
+        .select("doc_id", "s")
+    )
+    cand = (
+        prefix.alias("p")
+        .join(kept.alias("k"), "s")
+        .filter(F.col("p.doc_id") != F.col("k.doc_id"))
+        .select(
+            F.col("p.doc_id").alias("doc_a"),
+            F.col("k.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ver = (
+        cand.join(
+            dsh.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            dsh.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa", "sb")).alias("inter"),
+            F.size("sa").alias("n_a"),
+        )
+    )
+    return ver.filter(
+        CONTAIN_DEN * F.col("inter") >= CONTAIN_NUM * F.col("n_a")
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("inter").cast("double") / F.col("n_a"), 6).alias(
+            "containment"
+        ),
+        F.col("n_a").cast("long").alias("n_shingles_a"),
+    )

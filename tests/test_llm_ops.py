@@ -833,3 +833,42 @@ def test_neardup_components_transitive_and_canonical(spark, sf_dir):
     for r in rows:
         assert r.cluster == min(got[r.cluster])
         assert r.cluster_size == len(got[r.cluster])
+
+
+def test_containment_finds_planted_quote(spark, tmp_path):
+    """A verbatim quote (doc 2) lifted from inside a long article
+    (doc 1) must be flagged as contained in it with containment 1.0;
+    the reverse direction and the unrelated doc must not appear."""
+    import hashlib
+
+    from spark_streaming_with_debezium_spark.llm.dedup import (
+        dedup_containment,
+    )
+
+    def words(seed, n):
+        out, h = [], seed.encode()
+        for _ in range(n):
+            h = hashlib.md5(h).digest()
+            out.append(h.hex()[:8])
+        return out
+
+    big_words = words("article", 200)
+    quote = " ".join(big_words[50:90])
+    big = " ".join(big_words)
+    other = " ".join(words("unrelated", 120))
+    df = spark.createDataFrame(
+        [
+            (1, big, "en", "a", len(big)),
+            (2, quote, "en", "a", len(quote)),
+            (3, other, "en", "a", len(other)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dedup_containment(spark, str(tmp_path)).collect()
+    }
+    assert rows.get((2, 1)) == 1.0, rows
+    assert (1, 2) not in rows  # the article is NOT contained in the quote
+    assert not any(3 in pair for pair in rows), rows
