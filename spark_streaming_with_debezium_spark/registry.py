@@ -94,6 +94,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: Names not listed keep module registration order after the listed
 #: ones (driver only reads the first 50; the tail order is
 #: documentation).
+#: Round-8 continuations added nine NEW queries (bound-check faces
+#: for the two HLL sketches, approx_count_distinct,
+#: agg_approx_percentile and sample_stratified count as
+#: behavior-changed rather than new; the genuinely new ones are
+#: graph_connected_components, sketch_cms_heavy_hitters,
+#: sample_systematic_pps, dedup_cdc_chunks, dedup_neardup_components,
+#: agg_weighted_median, events_theilsen_trend, dedup_containment) —
+#: all registered BELOW the boundary this round so the stale-evidence
+#: window stays intact; they lead the round-9 queue together with the
+#: 14 displaced TPC-H names.
 _PRIORITY = (
     # --- round-8 driver window (50) ---
     "dedup_simhash",
