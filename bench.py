@@ -107,6 +107,14 @@ EXTENDED = (
     "sample_balanced_classes",  # deterministic class-balanced downsample (r7 cont.)
     "ann_nprobe_recall_curve",  # measured IVF recall-vs-nprobe curve (r7 cont.)
     "orders_open_backlog_daily",  # sweep-line order backlog curve (r7 cont.)
+    "graph_connected_components",  # fixed-round min-label CC (r8)
+    "sketch_cms_heavy_hitters",  # fully-oracled count-min sketch (r8)
+    "sample_systematic_pps",  # integer-exact weighted sampling (r8)
+    "dedup_cdc_chunks",  # content-defined chunk dedup (r8)
+    "dedup_neardup_components",  # transitive near-dup clusters (r8)
+    "agg_weighted_median",  # exact weighted median, skew-safe cumsum (r8)
+    "events_theilsen_trend",  # robust pairwise-slope trend (r8)
+    "dedup_containment",  # directed shingle containment (r8)
 )
 
 

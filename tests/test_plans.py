@@ -468,6 +468,14 @@ def test_extended_plan_census(spark, sf_dir):
         # + per-doc importance rollup — four aggregation stages by
         # construction, not a regression.
         "sample_importance_dsir": 8,
+        # r8 additions: iterative/min-label rounds and the bucketed
+        # grouped running-sum each shuffle by construction; counts are
+        # textual (localCheckpoint scans recur per round in explain)
+        "graph_connected_components": 26,
+        "dedup_neardup_components": 30,
+        "agg_weighted_median": 12,
+        "dedup_containment": 10,
+        "dedup_cdc_chunks": 7,
     }
     # 1-row scalar-total broadcasts (corpus n_docs/avgdl etc.) — the
     # audited crossJoin sites from the r5 review, not data-data loops.
@@ -489,6 +497,7 @@ def test_extended_plan_census(spark, sf_dir):
         "sample_balanced_classes",  # 1-row n_min broadcast
         "ann_ivf_pq_topk",  # 8-row centroid broadcast (ANN serving shape)
         "sample_systematic_pps",  # 1-row corpus-total broadcast
+        "events_theilsen_trend",  # O(days) aggregate self-pairing + 1-row total
     }
     for name in bench.EXTENDED:
         txt = _single_plan(QUERIES[name].fn(spark, sf_dir))
