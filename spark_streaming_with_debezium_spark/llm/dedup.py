@@ -1144,7 +1144,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size("sset").alias("n"), F.explode("sset").alias("s")
     )
     sdf = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    with_df = ex.join(sdf, "s")
+    # consumed by BOTH the inverted index (kept) and the prefix rank —
+    # cache so the shingle explode + df join computes once
+    with_df = ex.join(sdf, "s").persist()
     kept = with_df.filter(F.col("df") <= CONTAIN_MAX_POSTING).select(
         "doc_id", "s"
     )
