@@ -627,3 +627,89 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def run_rolling_hll_stream(
+    events: DataFrame, state_dir: str, checkpoint_dir: str
+) -> None:
+    """Incremental DAILY-HLL sketch state maintained by a stream — the
+    streaming face of ``operators/sketches.py``: each micro-batch
+    folds its rows into per-day sketches (``hll_sketch_agg``) and
+    MERGES them into a (day, sketch) parquet state table with the
+    two-arg ``hll_union`` — the whole point of a mergeable sketch is
+    that this incremental fold needs NO raw-event history: state is
+    O(days) × 4 KiB forever, and any rolling-window distinct count is
+    served from state alone (`sketch_hll_rolling_users` shape)
+    without re-reading a single event.
+
+    Replay safety: the merge rewrites the full (tiny) state atomically
+    per batch via overwrite-into-temp + rename; a replayed batch
+    re-unions the same day sketches — HLL union is IDEMPOTENT
+    (set-semantics state machine), so duplicate delivery cannot
+    inflate estimates, which a counter-based state table cannot claim.
+    """
+    import os
+    import shutil
+
+    from spark_streaming_with_debezium_spark.operators.sketches import (
+        LG_CONFIG_K,
+    )
+
+    spark = events.sparkSession
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return  # P3 empty-batch guard
+        daily = batch_df.groupBy(F.to_date("ts").alias("day")).agg(
+            F.hll_sketch_agg("user_id", F.lit(LG_CONFIG_K)).alias("sk_new")
+        )
+        if os.path.isdir(state_dir):
+            state = spark.read.parquet(state_dir)
+            merged = (
+                state.join(daily, "day", "full_outer")
+                .select(
+                    "day",
+                    F.when(
+                        F.col("sk").isNotNull() & F.col("sk_new").isNotNull(),
+                        F.expr("hll_union(sk, sk_new)"),
+                    )
+                    .otherwise(F.coalesce("sk", "sk_new"))
+                    .alias("sk"),
+                )
+            )
+        else:
+            merged = daily.select("day", F.col("sk_new").alias("sk"))
+        tmp = state_dir + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    q = (
+        events.writeStream.outputMode("append")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def rolling_hll_estimates(spark: SparkSession, state_dir: str) -> DataFrame:
+    """7-day rolling distinct estimates served PURELY from the sketch
+    state table (no event access) — the query side of
+    :func:`run_rolling_hll_stream`."""
+    daily = spark.read.parquet(state_dir)
+    days = daily.select(F.col("day").alias("anchor"))
+    in_window = (F.col("day") <= F.col("anchor")) & (
+        F.col("day") >= F.date_sub(F.col("anchor"), 6)
+    )
+    return (
+        days.join(F.broadcast(daily), in_window)
+        .groupBy("anchor")
+        .agg(F.expr("hll_union_agg(sk)").alias("sk"))
+        .select(
+            F.col("anchor").alias("day"),
+            F.expr("hll_sketch_estimate(sk)").alias("est_users_7d"),
+        )
+    )

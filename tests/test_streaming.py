@@ -1190,3 +1190,94 @@ def test_trending_topk_replay_idempotent(spark, tmp_path):
         for r in spark.read.parquet(str(out)).collect()
     )
     assert second == first, "replay duplicated closed-window rows"
+
+
+def test_rolling_hll_stream_matches_batch_and_replays_idempotently(
+    spark, tmp_path
+):
+    """The incremental daily-HLL state (foreachBatch sketch fold) must
+    serve the same 7-day rolling estimates as a one-shot batch sketch
+    over the same rows, survive checkpointed restarts (only new files
+    applied), and be IDEMPOTENT under full replay — HLL union is a
+    set-semantics state machine, so duplicate delivery cannot inflate
+    estimates."""
+    from spark_streaming_with_debezium_spark.operators.sketches import (
+        LG_CONFIG_K,
+    )
+    from spark_streaming_with_debezium_spark.streaming.jobs import (
+        events_file_stream,
+        rolling_hll_estimates,
+        run_rolling_hll_stream,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    state = str(tmp_path / "hll_state")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [
+        (i, f"2024-01-0{1 + i % 3} 0{i % 10}:00:00", i % 7, "view", 1.0)
+        for i in range(40)
+    ]
+    rows2 = [
+        (100 + i, f"2024-01-0{4 + i % 2} 03:00:00", i % 11, "view", 1.0)
+        for i in range(30)
+    ]
+    _write_events(src / "a.json", rows1)
+    run_rolling_hll_stream(
+        events_file_stream(spark, str(src), max_files_per_trigger=None),
+        state,
+        ckpt,
+    )
+    _write_events(src / "b.json", rows2)
+    run_rolling_hll_stream(
+        events_file_stream(spark, str(src), max_files_per_trigger=None),
+        state,
+        ckpt,
+    )
+
+    got = {
+        str(r.day): r.est_users_7d
+        for r in rolling_hll_estimates(spark, state).collect()
+    }
+
+    # batch reference over ALL rows with the same sketch machinery
+    all_df = spark.read.schema(
+        events_file_stream(spark, str(src)).schema
+    ).json(str(src))
+    daily = all_df.groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr(f"hll_sketch_agg(user_id, {LG_CONFIG_K})").alias("sk")
+    )
+    days = daily.select(F.col("day").alias("anchor"))
+    ref = {
+        str(r.day): r.est
+        for r in days.join(
+            F.broadcast(daily),
+            (F.col("day") <= F.col("anchor"))
+            & (F.col("day") >= F.date_sub(F.col("anchor"), 6)),
+        )
+        .groupBy("anchor")
+        .agg(F.expr("hll_union_agg(sk)").alias("sk"))
+        .select(
+            F.col("anchor").alias("day"),
+            F.expr("hll_sketch_estimate(sk)").alias("est"),
+        )
+        .collect()
+    }
+    assert set(got) == set(ref)
+    for day, est in ref.items():
+        # sketches built incrementally vs one-shot may differ only
+        # within the HLL error bound (sparse->dense promotion)
+        assert abs(got[day] - est) <= 0.05 * est + 1, day
+
+    # full replay on a FRESH checkpoint re-unions every batch into the
+    # existing state: estimates must not inflate (idempotent union)
+    run_rolling_hll_stream(
+        events_file_stream(spark, str(src), max_files_per_trigger=None),
+        state,
+        str(tmp_path / "ckpt2"),
+    )
+    replayed = {
+        str(r.day): r.est_users_7d
+        for r in rolling_hll_estimates(spark, state).collect()
+    }
+    assert replayed == got
