@@ -1048,9 +1048,12 @@ def dedup_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Containment threshold 4/5 (A is "contained" in B when ≥80% of A's
 #: distinct shingles also occur in B) and the posting-list guard: a
 #: shingle shared by more than 64 documents is boilerplate-frequency
-#: and is dropped as a candidate KEY (pairs remain discoverable
-#: through their rarer shared shingles — same honest-truncation
-#: semantics as the LSH bucket guard).
+#: and is dropped as a candidate KEY. The actual guarantee: a pair
+#: (A, B) is discovered only when at least one shared shingle is BOTH
+#: inside A's prefix-filter window AND under the posting cap — a pair
+#: whose every prefix-window shared shingle is boilerplate IS missed.
+#: Honest truncation, mirrored exactly in the DuckDB oracle (same
+#: semantics class as the LSH bucket guard, not completeness).
 CONTAIN_NUM, CONTAIN_DEN = 4, 5
 CONTAIN_MAX_POSTING = 64
 

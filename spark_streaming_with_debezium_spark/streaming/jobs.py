@@ -629,6 +629,29 @@ def streaming_heavy_hitters(
     )
 
 
+def _recover_hll_state(state_dir: str) -> None:
+    """Crash recovery for :func:`run_rolling_hll_stream`'s rename-based
+    state swap. If ``state_dir`` is absent, restore the newest complete
+    copy: prefer ``_tmp`` (the just-written merge, complete iff its
+    parquet ``_SUCCESS`` marker exists) over ``_old`` (the pre-swap
+    state). Then clear any leftover side directories so the next swap
+    starts clean. Idempotent; called before every micro-batch merge."""
+    import os
+    import shutil
+
+    tmp, old = state_dir + "_tmp", state_dir + "_old"
+    if not os.path.isdir(state_dir):
+        if os.path.isdir(tmp) and os.path.exists(
+            os.path.join(tmp, "_SUCCESS")
+        ):
+            os.rename(tmp, state_dir)
+        elif os.path.isdir(old):
+            os.rename(old, state_dir)
+    for side in (tmp, old):
+        if os.path.isdir(side):
+            shutil.rmtree(side)
+
+
 def run_rolling_hll_stream(
     events: DataFrame, state_dir: str, checkpoint_dir: str
 ) -> None:
@@ -642,11 +665,16 @@ def run_rolling_hll_stream(
     served from state alone (`sketch_hll_rolling_users` shape)
     without re-reading a single event.
 
-    Replay safety: the merge rewrites the full (tiny) state atomically
-    per batch via overwrite-into-temp + rename; a replayed batch
-    re-unions the same day sketches — HLL union is IDEMPOTENT
-    (set-semantics state machine), so duplicate delivery cannot
-    inflate estimates, which a counter-based state table cannot claim.
+    Replay safety: the merge rewrites the full (tiny) state per batch
+    via write-into-temp + a rename-based swap (``state`` → ``_old``,
+    ``_tmp`` → ``state``, then drop ``_old``) so a crash at ANY point
+    leaves a complete state copy recoverable: ``_recover_hll_state``
+    runs before every batch and prefers a fully-written ``_tmp``
+    (``_SUCCESS`` marker present) over ``_old`` when ``state`` is
+    absent. A replayed batch re-unions the same day sketches — HLL
+    union is IDEMPOTENT (set-semantics state machine), so duplicate
+    delivery cannot inflate estimates, which a counter-based state
+    table cannot claim.
     """
     import os
     import shutil
@@ -660,6 +688,7 @@ def run_rolling_hll_stream(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return  # P3 empty-batch guard
+        _recover_hll_state(state_dir)
         daily = batch_df.groupBy(F.to_date("ts").alias("day")).agg(
             F.hll_sketch_agg("user_id", F.lit(LG_CONFIG_K)).alias("sk_new")
         )
@@ -679,11 +708,16 @@ def run_rolling_hll_stream(
             )
         else:
             merged = daily.select("day", F.col("sk_new").alias("sk"))
-        tmp = state_dir + "_tmp"
+        tmp, old = state_dir + "_tmp", state_dir + "_old"
         merged.write.mode("overwrite").parquet(tmp)
+        # Rename-based swap: a crash between any two steps leaves
+        # either state_dir intact, or a complete copy in _tmp/_old
+        # that _recover_hll_state restores on the next batch.
         if os.path.isdir(state_dir):
-            shutil.rmtree(state_dir)
+            os.rename(state_dir, old)
         os.rename(tmp, state_dir)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
 
     q = (
         events.writeStream.outputMode("append")

@@ -30,15 +30,10 @@ def _derby_available(spark) -> bool:
         return False
 
 
-@pytest.fixture(scope="module")
-def derby(spark):
-    if not _derby_available(spark):
-        pytest.skip("Derby not on the Spark JVM classpath")
-    return spark
-
-
-def test_jdbc_write_read_roundtrip(derby):
-    spark = derby
+def _seed_roundtrip(spark) -> None:
+    """(Re)create the shared 'roundtrip' table — called by the fixture
+    so every test is order-independent (ADVICE r8: tests previously
+    relied on test_jdbc_write_read_roundtrip running first)."""
     df = spark.range(0, 1000).select(
         F.col("id"),
         (F.col("id") * 2).alias("doubled"),
@@ -51,6 +46,19 @@ def test_jdbc_write_read_roundtrip(derby):
         mode="overwrite",
         driver="org.apache.derby.jdbc.EmbeddedDriver",
     )
+
+
+@pytest.fixture(scope="module")
+def derby(spark):
+    if not _derby_available(spark):
+        pytest.skip("Derby not on the Spark JVM classpath")
+    _seed_roundtrip(spark)
+    return spark
+
+
+def test_jdbc_write_read_roundtrip(derby):
+    spark = derby
+    _seed_roundtrip(spark)
     back = read_jdbc(
         spark,
         URL,
@@ -74,15 +82,23 @@ def test_jdbc_predicate_pushdown(derby):
         URL,
         "roundtrip",
         driver="org.apache.derby.jdbc.EmbeddedDriver",
-    ).filter(F.col("id") >= 990)
+    ).filter((F.col("id") >= 990) & (F.col("id") < 1000))
     plan = filtered._jdf.queryExecution().executedPlan().toString()
-    # the >= predicate must reach the JDBC relation, not a Spark Filter
+    # the range predicate must reach the JDBC relation, not a Spark Filter
     assert "PushedFilters" in plan and "id" in plan.split("PushedFilters")[1][:200], plan
+    # bounded above too, so the count is stable even if the append test
+    # (ids 1000-1009) ran first under randomized ordering
     assert filtered.count() == 10
 
 
 def test_jdbc_append_mode(derby):
     spark = derby
+    before = read_jdbc(
+        spark,
+        URL,
+        "roundtrip",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    ).count()
     extra = spark.range(1000, 1010).select(
         F.col("id"),
         (F.col("id") * 2).alias("doubled"),
@@ -101,4 +117,4 @@ def test_jdbc_append_mode(derby):
         "roundtrip",
         driver="org.apache.derby.jdbc.EmbeddedDriver",
     )
-    assert back.count() == 1010
+    assert back.count() == before + 10

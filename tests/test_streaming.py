@@ -1281,3 +1281,85 @@ def test_rolling_hll_stream_matches_batch_and_replays_idempotently(
         for r in rolling_hll_estimates(spark, state).collect()
     }
     assert replayed == got
+
+
+def test_rolling_hll_state_swap_crash_recovery(spark, tmp_path):
+    """ADVICE r8: the state swap must survive a crash at ANY point of
+    the rename sequence. Simulate both crash windows and prove
+    ``_recover_hll_state`` restores a complete state copy: (a) state
+    renamed away with a COMPLETE _tmp present (crash between the two
+    renames) → _tmp wins; (b) state absent with a PARTIAL _tmp (no
+    _SUCCESS; crash mid-write after an earlier swap moved state to
+    _old) → _old wins and the junk _tmp is discarded. Then prove a
+    replayed stream over the recovered state stays idempotent."""
+    import os
+    import shutil
+
+    from spark_streaming_with_debezium_spark.streaming.jobs import (
+        _recover_hll_state,
+        events_file_stream,
+        rolling_hll_estimates,
+        run_rolling_hll_stream,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    state = str(tmp_path / "hll_state")
+    rows = [
+        (i, f"2024-02-0{1 + i % 3} 0{i % 10}:00:00", i % 13, "view", 1.0)
+        for i in range(50)
+    ]
+    _write_events(src / "a.json", rows)
+    run_rolling_hll_stream(
+        events_file_stream(spark, str(src), max_files_per_trigger=None),
+        state,
+        str(tmp_path / "ckpt"),
+    )
+    baseline = {
+        str(r.day): r.est_users_7d
+        for r in rolling_hll_estimates(spark, state).collect()
+    }
+
+    # (a) crash between rename(state→_old) and rename(_tmp→state):
+    # both copies exist, _tmp is the newer committed merge and wins
+    shutil.copytree(state, state + "_old")
+    os.rename(state, state + "_tmp")
+    assert os.path.exists(os.path.join(state + "_tmp", "_SUCCESS"))
+    _recover_hll_state(state)
+    assert os.path.isdir(state)
+    assert not os.path.isdir(state + "_tmp")
+    assert not os.path.isdir(state + "_old")
+    got = {
+        str(r.day): r.est_users_7d
+        for r in rolling_hll_estimates(spark, state).collect()
+    }
+    assert got == baseline
+
+    # (b) crash mid-write: _tmp partial (no _SUCCESS), state already
+    # swapped away to _old by a prior batch → _old restored, junk gone
+    os.rename(state, state + "_old")
+    os.makedirs(state + "_tmp")
+    with open(os.path.join(state + "_tmp", "part-junk.parquet"), "w") as f:
+        f.write("truncated")
+    _recover_hll_state(state)
+    assert os.path.isdir(state)
+    assert not os.path.isdir(state + "_tmp")
+    assert not os.path.isdir(state + "_old")
+    got = {
+        str(r.day): r.est_users_7d
+        for r in rolling_hll_estimates(spark, state).collect()
+    }
+    assert got == baseline
+
+    # recovered state keeps serving the stream: full replay on a fresh
+    # checkpoint must not inflate estimates (idempotent HLL union)
+    run_rolling_hll_stream(
+        events_file_stream(spark, str(src), max_files_per_trigger=None),
+        state,
+        str(tmp_path / "ckpt2"),
+    )
+    replayed = {
+        str(r.day): r.est_users_7d
+        for r in rolling_hll_estimates(spark, state).collect()
+    }
+    assert replayed == baseline
