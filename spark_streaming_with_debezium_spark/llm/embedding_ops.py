@@ -184,7 +184,10 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         _gridded_embeddings,
     )
 
-    e = _gridded_embeddings(spark, sf_dir).select("vec_id", "v")
+    # One materialization for BOTH power iterations: without persist
+    # each half_pass re-runs the parquet scan + per-element grid
+    # transform (iterations × scan). Bounded cache: n × d longs.
+    e = _gridded_embeddings(spark, sf_dir).select("vec_id", "v").persist()
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     zero = F.lit(0).cast("decimal(38,0)")
     add = lambda a, x: (a + x).cast("decimal(38,0)")  # noqa: E731
@@ -192,25 +195,44 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     def half_pass(t_col) -> list[int]:
         """One v ← Xᵀ(X·v) pass: t_col is the per-row dot X·v; returns
         the d exact integer components of the new iterate (bounded
-        d-row collect — the iterative-ML driver loop shape)."""
+        d-row collect — the iterative-ML driver loop shape).
+
+        t is bound ONCE per row by making the generator's argument the
+        product array ``zip_with(v, array_repeat(t, d), *)``: selecting
+        ``t`` next to ``posexplode(v)`` plans the Project ABOVE the
+        Generate, re-evaluating the d-element interpreted decimal dot
+        per exploded element — O(d²) lambda evals per row (measured
+        4.5× slower at d=64). Generate evaluates its argument once per
+        input row, so this form is O(d)."""
+        prod = F.zip_with(
+            "v",
+            F.array_repeat(t_col, F.size("v")),
+            lambda x, t: dec(x) * t,
+        )
         rows = (
-            e.select(t_col.alias("t"), F.posexplode("v").alias("pos", "x"))
+            e.select(F.posexplode(prod).alias("pos", "p"))
             .groupBy("pos")
-            .agg(F.sum(dec(F.col("x")) * F.col("t")).alias("s"))
+            .agg(F.sum("p").alias("s"))
             .collect()
         )
         by_pos = {r["pos"]: int(r["s"]) for r in rows}
         return [by_pos[p] for p in range(len(by_pos))]
 
-    # iteration 1: v0 = all-ones ⇒ X·v0 is just the coordinate sum
-    t0 = F.aggregate("v", zero, lambda a, x: add(a, dec(x)))
-    v1 = half_pass(t0)
-    # iteration 2: dot against the broadcast exact iterate
-    v1_lit = F.array(*[F.lit(str(c)).cast("decimal(38,0)") for c in v1])
-    t1 = F.aggregate(
-        F.zip_with("v", v1_lit, lambda x, c: dec(x) * c), zero, add
-    )
-    v2 = half_pass(t1)
+    try:
+        # iteration 1: v0 = all-ones ⇒ X·v0 is just the coordinate sum
+        t0 = F.aggregate("v", zero, lambda a, x: add(a, dec(x)))
+        v1 = half_pass(t0)
+        # iteration 2: dot against the broadcast exact iterate
+        v1_lit = F.array(
+            *[F.lit(str(c)).cast("decimal(38,0)") for c in v1]
+        )
+        t1 = F.aggregate(
+            F.zip_with("v", v1_lit, lambda x, c: dec(x) * c), zero, add
+        )
+        v2 = half_pass(t1)
+    finally:
+        # both iterates are collected integers; the cache is done
+        e.unpersist()
 
     d = len(v2)
     ref = sorted(range(d), key=lambda p: (-abs(v2[p]), p))[0]
