@@ -159,9 +159,11 @@ def dedup_clusters_ml(spark, sf_dir: str) -> DataFrame:
     candidate generators without changing the keep/drop logic.
     Exact-duplicate groups must appear identically in both faces'
     clusters (asserted in tests/test_llm_ops.py)."""
-    from spark_streaming_with_debezium_spark.llm.ml_lsh import dedup_minhash_ml
+    from spark_streaming_with_debezium_spark.llm.ml_lsh import (
+        minhash_ml_pairs,
+    )
 
-    return clusters_from_pairs(dedup_minhash_ml(spark, sf_dir))
+    return clusters_from_pairs(minhash_ml_pairs(spark, sf_dir))
 
 
 def _group_split_oracle() -> str:

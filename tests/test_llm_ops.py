@@ -88,12 +88,19 @@ def test_ann_ivf_recall_vs_exact(spark, sf_dir):
         (r.query_id, r.vec_id)
         for r in QUERIES["ann_cosine_topk"].fn(spark, sf_dir).collect()
     }
+    from spark_streaming_with_debezium_spark.llm.similarity import (
+        ivf_topk_rows,
+    )
+
     approx = {
         (r.query_id, r.vec_id)
-        for r in QUERIES["ann_ivf_topk"].fn(spark, sf_dir).collect()
+        for r in ivf_topk_rows(spark, sf_dir).collect()
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"IVF recall {recall:.2f} below 0.6"
+    # the registered bound-check face must gate green on the same data
+    for r in QUERIES["ann_ivf_topk"].fn(spark, sf_dir).collect():
+        assert r.recall_ok == 1, f"query {r.query_id} below recall floor"
 
 
 def test_ann_brp_recall_vs_exact(spark, sf_dir):
@@ -104,7 +111,11 @@ def test_ann_brp_recall_vs_exact(spark, sf_dir):
         (r.query_id, r.vec_id)
         for r in QUERIES["ann_cosine_topk"].fn(spark, sf_dir).collect()
     }
-    rows = QUERIES["ann_brp_ml"].fn(spark, sf_dir).collect()
+    from spark_streaming_with_debezium_spark.llm.ml_lsh import (
+        brp_topk_rows,
+    )
+
+    rows = brp_topk_rows(spark, sf_dir).collect()
     approx = {(r.query_id, r.vec_id) for r in rows}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"BRP recall {recall:.2f} below 0.5"
@@ -189,9 +200,13 @@ def test_ml_minhash_finds_exact_dups(spark, sf_dir):
     for g in groups:
         ids = sorted(hash_to_ids[g.content_hash])
         exact_pairs.update((a, b) for i, a in enumerate(ids) for b in ids[i + 1 :])
+    from spark_streaming_with_debezium_spark.llm.ml_lsh import (
+        minhash_ml_pairs,
+    )
+
     ml = {
         (r.doc_a, r.doc_b)
-        for r in QUERIES["dedup_minhash_ml"].fn(spark, sf_dir).collect()
+        for r in minhash_ml_pairs(spark, sf_dir).collect()
     }
     missed = exact_pairs - ml
     assert not missed, f"ml LSH missed exact-dup pairs: {missed}"
@@ -298,22 +313,37 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
 
 
 def test_semdedup_pairs_truly_near(spark, sf_dir):
-    """Every (drop, keep) pair must be a genuine ≥0.95-cosine pair with
-    keep_id < drop_id (deterministic keep-lowest rule)."""
+    """Every (drop, keep) pair must be a genuine ≥ NUM/DEN-cosine pair
+    ON THE 1e-6 GRID (the exact-integer membership test), with
+    keep_id < drop_id (deterministic keep-lowest rule) — and the
+    operator must actually fire (nonzero drops) at every SF, unlike
+    the old 0.95-threshold face that was vacuously empty on the
+    random synthetic embeddings."""
     import math
 
+    from spark_streaming_with_debezium_spark.llm.similarity import (
+        SEMDEDUP_DEN,
+        SEMDEDUP_NUM,
+    )
+
     rows = QUERIES["dedup_semdedup_cells"].fn(spark, sf_dir).collect()
+    assert rows, "semdedup found no pairs — threshold not exercising"
     vecs = {
-        r.vec_id: r.embedding
+        r.vec_id: [math.floor(float(x) * 1_000_000) for x in r.embedding]
         for r in load_table(spark, sf_dir, "embeddings").collect()
     }
+    thr = SEMDEDUP_NUM / SEMDEDUP_DEN
     for r in rows[:50]:
         assert r.keep_id < r.drop_id
         a, b = vecs[r.keep_id], vecs[r.drop_id]
-        dot = sum(float(x) * float(y) for x, y in zip(a, b))
-        na = math.sqrt(sum(float(x) ** 2 for x in a))
-        nb = math.sqrt(sum(float(x) ** 2 for x in b))
-        assert dot / (na * nb) >= 0.95 - 1e-9
+        dot = sum(x * y for x, y in zip(a, b))
+        n2a = sum(x * x for x in a)
+        n2b = sum(y * y for y in b)
+        # exact integer membership: DEN²·dot² ≥ NUM²·|a|²·|b|²
+        assert dot > 0
+        assert SEMDEDUP_DEN**2 * dot * dot >= SEMDEDUP_NUM**2 * n2a * n2b
+        assert abs(r.cos_sim - dot / math.sqrt(n2a * n2b)) < 1e-5
+        assert r.cos_sim >= thr - 1e-6
 
 
 def test_ivf_index_persistent_search(spark, sf_dir, tmp_path):
@@ -330,9 +360,13 @@ def test_ivf_index_persistent_search(spark, sf_dir, tmp_path):
         (r.query_id, r.vec_id, r.rnk)
         for r in idx.search(queries, k=5, n_probe=5).collect()
     }
+    from spark_streaming_with_debezium_spark.llm.similarity import (
+        ivf_topk_rows,
+    )
+
     inline = {
         (r.query_id, r.vec_id, r.rnk)
-        for r in QUERIES["ann_ivf_topk"].fn(spark, sf_dir).collect()
+        for r in ivf_topk_rows(spark, sf_dir).collect()
     }
     assert got == inline
     # pruning: the data read carries a partition filter on cell
