@@ -94,70 +94,35 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: Names not listed keep module registration order after the listed
 #: ones (driver only reads the first 50; the tail order is
 #: documentation).
-#: Round-8 continuations added nine NEW queries (bound-check faces
-#: for the two HLL sketches, approx_count_distinct,
-#: agg_approx_percentile and sample_stratified count as
-#: behavior-changed rather than new; the genuinely new ones are
-#: graph_connected_components, sketch_cms_heavy_hitters,
-#: sample_systematic_pps, dedup_cdc_chunks, dedup_neardup_components,
-#: agg_weighted_median, events_theilsen_trend, dedup_containment) —
-#: all registered BELOW the boundary this round so the stale-evidence
-#: window stays intact; they lead the round-9 queue together with the
-#: 14 displaced TPC-H names.
+#: Round-9 rotation (VERDICT r8 items 1, 4, 7). The window takes, in
+#: order: the 8 never-driver-checked r8 operators (ledger queue head),
+#: the 4 queries whose faces were REWRITTEN this round and therefore
+#: need fresh hash rows (ann_ivf_topk + ann_brp_ml recall bound-checks,
+#: dedup_semdedup_cells full Lloyd-cell oracle, dedup_minhash_ml count
+#: gate — rows-only shrinks 5 → 1, only dedup_clusters_ml remains),
+#: the 14 TPC-H names displaced in r8 (stale at r03), the 5 remaining
+#: r03 names, and 19 of the 23 r04 names. The 4 r04 names displaced
+#: past the boundary to the round-10 queue head — chosen as the least
+#: regression-prone of the cohort (single built-in aggregate/sort
+#: pipelines, green in every session's full local oracle sweep):
+#: agg_count_distinct, agg_filtered, distinct_rows, sort_limit_topk.
 _PRIORITY = (
-    # --- round-8 driver window (50) ---
-    "dedup_simhash",
-    "dedup_clusters",
-    "embedding_cosine_neardup",
-    "embedding_normalize",
-    "embedding_quantize_int8",
-    "fn_array_agg_decimal",
-    "fn_arrays_extended",
-    "fn_conditionals_nulls",
-    "fn_datetime",
-    "fn_datetime_parts",
-    "fn_hashes",
-    "fn_json_extract",
-    "fn_math",
-    "fn_strings_extended",
-    "text_fingerprint",
-    "text_idf",
-    "text_langid",
-    "text_quality",
-    "text_redact",
-    "text_repetition",
-    "text_token_counts",
-    "window_running_frames",
-    "sketch_hll_distinct_docs",
-    "sketch_hll_rolling_users",
-    "approx_count_distinct",
-    "agg_approx_percentile",
+    # --- round-9 driver window (50) ---
+    # 8 never-driver-checked (r8-new operators)
+    "agg_weighted_median",
+    "events_theilsen_trend",
+    "dedup_cdc_chunks",
+    "graph_connected_components",
+    "dedup_neardup_components",
+    "dedup_containment",
+    "sketch_cms_heavy_hitters",
+    "sample_systematic_pps",
+    # 4 faces rewritten this round (rows-only promotions)
     "ann_ivf_topk",
-    "cdc_history_per_key",
     "dedup_semdedup_cells",
-    "events_retention_cohorts",
-    "filter_predicates",
-    "fn_casts",
-    "fn_map_higher_order",
-    "join_asof",
-    "join_broadcast_dims",
-    "join_cross",
-    "join_full_outer",
-    "join_inner_equi",
-    "join_left_anti",
-    "join_left_outer",
-    "join_left_semi",
-    "join_range_band",
-    "sample_stratified",
-    "text_bigram_predictability",
-    "text_corpus_stats",
-    "text_similar_topk",
-    "q10_returned_items",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_ratio",
-    # --- 50-query prefix boundary (round-8 driver window) ---
-    # Displaced r3-stale TPC-H q-series: round-9 queue head.
+    "dedup_minhash_ml",
+    "ann_brp_ml",
+    # 14 TPC-H displaced from the r8 window (stale at r03)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
@@ -172,6 +137,38 @@ _PRIORITY = (
     "q18_large_orders",
     "q19_disjunctive_predicates",
     "q22_global_sales_opportunity",
+    # remaining r03-stale names
+    "text_token_rarity",
+    "window_dense_ntile",
+    "window_dist_functions",
+    "window_lww_compaction",
+    "window_rank_topk_per_group",
+    # r04-stale names (19 of 23)
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_stats",
+    "dedup_edit_distance",
+    "dedup_exact_groups",
+    "embedding_label_cohesion",
+    "events_cumulative_users",
+    "events_sessionize_gap",
+    "multimodal_frame_sample",
+    "sql_correlated_exists",
+    "sql_in_subquery",
+    "sql_scalar_subquery",
+    "stream_dedup",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_tumbling_window",
+    "text_keywords_tfidf",
+    # --- 50-query prefix boundary (round-9 driver window) ---
+    # Displaced r04-stale names: round-10 queue head.
+    "agg_count_distinct",
+    "agg_filtered",
+    "distinct_rows",
+    "sort_limit_topk",
 )
 
 
