@@ -131,6 +131,40 @@ def main() -> None:
     # the round-1 single-shot numbers were (±20% run-to-run).
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
+    # Calibration rows (VERDICT r8 item 2): fixed reference work whose
+    # cost is INDEPENDENT of any query change, so future rounds can
+    # tell sandbox interference from real regressions. Two probes —
+    # a pure-JVM CPU burn (SF-independent, saturates all cores) and a
+    # fixed parquet scan-aggregate — each warm + median-of-3, sampled
+    # BEFORE and AFTER the query sets to bracket the run. If a round's
+    # per-query rows look slow but its calibration rows match the
+    # previous round's, the regression is real; if calibration moved
+    # too, it's the box.
+    from pyspark.sql import functions as _F
+
+    def _median_timed(fn, runs=n_runs):
+        fn()  # warm
+        ts = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return round(ts[len(ts) // 2], 3), round(ts[-1] - ts[0], 3)
+
+    def _calib_cpu():
+        spark.range(0, 200_000_000, 1, 32).select(
+            _F.sum(_F.col("id") % 7).alias("s")
+        ).write.format("noop").mode("overwrite").save()
+
+    def _calib_scan():
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).agg(
+            _F.count(_F.lit(1)), _F.sum("l_quantity")
+        ).write.format("noop").mode("overwrite").save()
+
+    calib_cpu_pre, calib_cpu_pre_spread = _median_timed(_calib_cpu)
+    calib_scan_pre, calib_scan_pre_spread = _median_timed(_calib_scan)
+
     def bench_set(names):
         timings: dict[str, float] = {}
         spreads: dict[str, float] = {}
@@ -274,6 +308,16 @@ def main() -> None:
         shutil.rmtree(zdir, ignore_errors=True)
         shutil.rmtree(udir, ignore_errors=True)
 
+    calib_cpu_post, calib_cpu_post_spread = _median_timed(_calib_cpu)
+    calibration = {
+        "cpu_pre_sec": calib_cpu_pre,
+        "cpu_pre_spread": calib_cpu_pre_spread,
+        "cpu_post_sec": calib_cpu_post,
+        "cpu_post_spread": calib_cpu_post_spread,
+        "scan_pre_sec": calib_scan_pre,
+        "scan_pre_spread": calib_scan_pre_spread,
+    }
+
     total = round(sum(timings.values()), 3)
     payload = {
                 "metric": "headline_queries_total_wall",
@@ -293,6 +337,7 @@ def main() -> None:
                 ],
                 "cdc_merge_n_events": cdc_tp["n_events"],
                 "zorder": zorder,
+                "calibration": calibration,
                 "sf": sf,
     }
     print(json.dumps(payload))
