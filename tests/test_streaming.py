@@ -1193,6 +1193,7 @@ def test_starting_offsets_per_partition_json(spark, tmp_path):
         )
     )
     state = ParquetStateTable(spark, str(tmp_path / "state"), ["id"], n_buckets=4)
+    state.init(spark.createDataFrame([], "id long, email string"))
     stream = spark.readStream.schema(RAW_SCHEMA).json(str(src))
     positioned = apply_starting_offsets(
         stream, '{"t": {"0": 2, "1": -2, "2": -1}}', topic="t"
@@ -1237,6 +1238,7 @@ def test_partition_interleave_order_independence(spark, tmp_path):
         state = ParquetStateTable(
             spark, str(tmp_path / f"state{drain.n}"), ["id"], n_buckets=4
         )
+        state.init(spark.createDataFrame([], "id long, email string"))
         ckpt = str(tmp_path / f"ckpt{drain.n}")
         for i, batch in enumerate(batches):
             (d / f"b{i}.json").write_text("\n".join(batch))
