@@ -52,10 +52,11 @@ def hub_graph(spark, n_nodes: int):
     """(src, dst) edges: star component over nodes [0, n/2] (50% of
     nodes incl. the hub) + 2-node components over the rest."""
     half = n_nodes // 2
-    star = spark.range(1, half + 1).select(
+    # star component = nodes 0..half-1 (size half, hub node 0)
+    star = spark.range(1, half).select(
         F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
     )
-    # pair (half+2k, half+2k+1)
+    # pair components (half+2k, half+2k+1) over the other half
     pairs = spark.range(0, (n_nodes - half) // 2).select(
         (F.lit(half) + F.col("id") * 2).alias("src"),
         (F.lit(half) + F.col("id") * 2 + 1).alias("dst"),
@@ -76,7 +77,7 @@ def run_point(spark, n_nodes: int, runs: int = 3) -> tuple[float, dict]:
         "giant_size": int(sizes[0]["count"]),
         "second_size": int(sizes[1]["count"]) if len(sizes) > 1 else 0,
     }
-    assert check["giant_label"] == 0 and check["giant_size"] == n_nodes // 2 + 1, check
+    assert check["giant_label"] == 0 and check["giant_size"] == n_nodes // 2, check
     ts = []
     for _ in range(runs):
         t0 = time.perf_counter()
