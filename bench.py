@@ -162,8 +162,27 @@ def main() -> None:
             _F.count(_F.lit(1)), _F.sum("l_quantity")
         ).write.format("noop").mode("overwrite").save()
 
+    # Write-path probe: the state-table operators (CDC merge, SCD2
+    # fold) are bounded by small-parquet WRITE latency, which the CPU
+    # and read probes cannot see (r9 diagnosis: scd2/triangle rows ran
+    # 6s vs r7's 0.36-1.6s while warm 8-file writes cost 0.4-0.6s each
+    # — environmental write latency, not a plan change).
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    _wdir = _tempfile.mkdtemp(prefix="bench_wcal_")
+    _wdf = spark.range(0, 100_000).select(
+        "id", (_F.col("id") % 97).alias("k")
+    )
+
+    def _calib_write():
+        _wdf.repartition(8).write.mode("overwrite").parquet(
+            os.path.join(_wdir, "t")
+        )
+
     calib_cpu_pre, calib_cpu_pre_spread = _median_timed(_calib_cpu)
     calib_scan_pre, calib_scan_pre_spread = _median_timed(_calib_scan)
+    calib_write_pre, calib_write_pre_spread = _median_timed(_calib_write)
 
     def bench_set(names):
         timings: dict[str, float] = {}
@@ -309,6 +328,8 @@ def main() -> None:
         shutil.rmtree(udir, ignore_errors=True)
 
     calib_cpu_post, calib_cpu_post_spread = _median_timed(_calib_cpu)
+    calib_write_post, calib_write_post_spread = _median_timed(_calib_write)
+    _shutil.rmtree(_wdir, ignore_errors=True)
     calibration = {
         "cpu_pre_sec": calib_cpu_pre,
         "cpu_pre_spread": calib_cpu_pre_spread,
@@ -316,6 +337,10 @@ def main() -> None:
         "cpu_post_spread": calib_cpu_post_spread,
         "scan_pre_sec": calib_scan_pre,
         "scan_pre_spread": calib_scan_pre_spread,
+        "write_pre_sec": calib_write_pre,
+        "write_pre_spread": calib_write_pre_spread,
+        "write_post_sec": calib_write_post,
+        "write_post_spread": calib_write_post_spread,
     }
 
     total = round(sum(timings.values()), 3)
