@@ -629,9 +629,9 @@ def streaming_heavy_hitters(
     )
 
 
-def _recover_hll_state(state_dir: str) -> None:
-    """Crash recovery for :func:`run_rolling_hll_stream`'s rename-based
-    state swap. If ``state_dir`` is absent, restore the newest complete
+def _recover_swapped_state(state_dir: str) -> None:
+    """Crash recovery for the rename-based state swap used by
+    :func:`run_rolling_hll_stream` and :func:`run_cms_token_stream`. If ``state_dir`` is absent, restore the newest complete
     copy: prefer ``_tmp`` (the just-written merge, complete iff its
     parquet ``_SUCCESS`` marker exists) over ``_old`` (the pre-swap
     state). Then clear any leftover side directories so the next swap
@@ -668,7 +668,7 @@ def run_rolling_hll_stream(
     Replay safety: the merge rewrites the full (tiny) state per batch
     via write-into-temp + a rename-based swap (``state`` → ``_old``,
     ``_tmp`` → ``state``, then drop ``_old``) so a crash at ANY point
-    leaves a complete state copy recoverable: ``_recover_hll_state``
+    leaves a complete state copy recoverable: ``_recover_swapped_state``
     runs before every batch and prefers a fully-written ``_tmp``
     (``_SUCCESS`` marker present) over ``_old`` when ``state`` is
     absent. A replayed batch re-unions the same day sketches — HLL
@@ -688,7 +688,7 @@ def run_rolling_hll_stream(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return  # P3 empty-batch guard
-        _recover_hll_state(state_dir)
+        _recover_swapped_state(state_dir)
         daily = batch_df.groupBy(F.to_date("ts").alias("day")).agg(
             F.hll_sketch_agg("user_id", F.lit(LG_CONFIG_K)).alias("sk_new")
         )
@@ -745,5 +745,153 @@ def rolling_hll_estimates(spark: SparkSession, state_dir: str) -> DataFrame:
         .select(
             F.col("anchor").alias("day"),
             F.expr("hll_sketch_estimate(sk)").alias("est_users_7d"),
+        )
+    )
+
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def docs_file_stream(
+    spark: SparkSession, dir_path: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """Deterministic file-source stream of (doc_id, text) json lines —
+    the document twin of :func:`events_file_stream`."""
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(dir_path)
+
+
+def run_cms_token_stream(
+    docs: DataFrame, state_dir: str, checkpoint_dir: str
+) -> None:
+    """Incremental token count-min sketch maintained by a stream — the
+    streaming face of ``operators/sketches.sketch_cms_heavy_hitters``,
+    and the EXACTLY-ONCE counterpart of :func:`run_rolling_hll_stream`:
+    HLL union is idempotent, so replays are harmless there; CMS cells
+    are COUNTERS, merged by addition, and a replayed batch would
+    double-count. The standard Structured Streaming recipe applies —
+    fence on the monotone ``batch_id`` foreachBatch provides: the state
+    records the last applied id, and a batch with id ≤ last is skipped
+    (a restart replays the uncommitted batch with the SAME id, so the
+    fence makes add-merge transactional).
+
+    Atomicity: the fence column rides INSIDE the same parquet rows as
+    the counters and the whole directory commits via the rename-based
+    swap (shared :func:`_recover_swapped_state` crash recovery), so
+    counters and fence can never diverge.
+
+    State is d×w longs (16 KiB) forever — any token's running count is
+    served from state alone via :func:`cms_token_estimates`, no
+    document history kept. At 100 TB the per-batch sketch build is one
+    explode + map-side-combined groupBy into ≤ d·w rows.
+    """
+    import os
+    import shutil
+
+    from spark_streaming_with_debezium_spark.llm.dedup import _md5_60bit
+    from spark_streaming_with_debezium_spark.operators.sketches import (
+        _cms_hash_exprs,
+    )
+    from spark_streaming_with_debezium_spark.llm.corpus_rules import (
+        normalize_text,
+    )
+
+    spark = docs.sparkSession
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return  # P3 empty-batch guard
+        _recover_swapped_state(state_dir)
+        have_state = os.path.isdir(state_dir)
+        if have_state:
+            state = spark.read.parquet(state_dir)
+            last = state.agg(F.max("last_batch_id")).collect()[0][0]
+            if last is not None and batch_id <= last:
+                return  # fenced: this batch already committed
+        toks = batch_df.select(
+            F.explode(F.split(normalize_text("text"), " ")).alias("tok")
+        ).filter(F.col("tok") != "")
+        tok_counts = toks.groupBy("tok").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).withColumn("h", _md5_60bit(F.col("tok")))
+        delta = (
+            tok_counts.select(
+                "cnt",
+                F.posexplode(
+                    F.array(*_cms_hash_exprs(F.col("h")))
+                ).alias("i", "bucket"),
+            )
+            .groupBy("i", "bucket")
+            .agg(F.sum("cnt").alias("dc"))
+        )
+        if have_state:
+            merged = (
+                state.join(delta, ["i", "bucket"], "full_outer")
+                .select(
+                    "i",
+                    "bucket",
+                    (
+                        F.coalesce(F.col("c"), F.lit(0))
+                        + F.coalesce(F.col("dc"), F.lit(0))
+                    ).alias("c"),
+                )
+            )
+        else:
+            merged = delta.select("i", "bucket", F.col("dc").alias("c"))
+        out = merged.withColumn(
+            "last_batch_id", F.lit(int(batch_id)).cast("long")
+        )
+        tmp, old = state_dir + "_tmp", state_dir + "_old"
+        out.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(state_dir):
+            os.rename(state_dir, old)
+        os.rename(tmp, state_dir)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
+    q = (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def cms_token_estimates(
+    spark: SparkSession, state_dir: str, tokens: list[str]
+) -> DataFrame:
+    """Point-query the streaming CMS state: (token, est_cnt) with
+    est = min over the d row cells — served purely from the 16 KiB
+    counter state, no document access (the query side of
+    :func:`run_cms_token_stream`)."""
+    from spark_streaming_with_debezium_spark.llm.dedup import _md5_60bit
+    from spark_streaming_with_debezium_spark.operators.sketches import (
+        _cms_hash_exprs,
+    )
+
+    state = spark.read.parquet(state_dir)
+    toks = spark.createDataFrame(
+        [(t,) for t in tokens], "token string"
+    ).withColumn("h", _md5_60bit(F.col("token")))
+    hashed = toks.select(
+        "token",
+        F.posexplode(F.array(*_cms_hash_exprs(F.col("h")))).alias(
+            "i", "bucket"
+        ),
+    )
+    return (
+        hashed.join(F.broadcast(state), ["i", "bucket"], "left")
+        .groupBy("token")
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est_cnt")
         )
     )
