@@ -922,3 +922,116 @@ def decontaminate_semantic_cosine(
             F.round(F.max("cos"), 6).alias("max_cos"),
         )
     )
+
+
+#: Matryoshka prefix-dimension grid: recall of exact top-k computed on
+#: only the first d coordinates vs the full-width exact top-k. 64 = the
+#: corpus width, so its recall row is the built-in 1.0 sanity anchor.
+MATRYOSHKA_DIMS = (8, 16, 32, 64)
+
+
+def _matryoshka_oracle() -> str:
+    dims_vals = ", ".join(f"({d})" for d in MATRYOSHKA_DIMS)
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    dgrid(dims) AS (VALUES {dims_vals}),
+    scored AS (
+      SELECT d.dims, q.query_id, e.vec_id,
+             list_cosine_similarity(
+               CAST(q.qe[1:d.dims] AS DOUBLE[]),
+               CAST(e.embedding[1:d.dims] AS DOUBLE[])) AS cos
+      FROM q, dgrid d, embeddings e
+      WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT dims, query_id, vec_id,
+             row_number() OVER (PARTITION BY dims, query_id
+                                ORDER BY cos DESC, vec_id) AS rnk
+      FROM scored
+    ),
+    approx AS (SELECT dims, query_id, vec_id FROM ranked
+               WHERE rnk <= {TOP_K}),
+    truth AS (SELECT query_id, vec_id FROM ranked
+              WHERE dims = {max(MATRYOSHKA_DIMS)} AND rnk <= {TOP_K}),
+    hits AS (
+      SELECT a.dims, a.query_id, count(t.vec_id) AS n_hit
+      FROM approx a LEFT JOIN truth t
+        ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT dims,
+           round(CAST(SUM(n_hit) AS DOUBLE) / (COUNT(*) * {TOP_K}), 6)
+             AS avg_recall,
+           round(CAST(MIN(n_hit) AS DOUBLE) / {TOP_K}, 6) AS min_recall
+    FROM hits GROUP BY 1
+    """
+
+
+@query("ann_matryoshka_recall", oracle=_matryoshka_oracle())
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / prefix-dimension serving curve: recall@k of the
+    exact cosine top-k computed on only the FIRST d coordinates
+    (d ∈ ``MATRYOSHKA_DIMS``) against the full-width exact top-k — the
+    measured basis for the MRL serving trade (scan d/64 of the vector
+    bytes per candidate; re-rank survivors at full width), the same
+    "measure, don't guess" discipline as ``ann_nprobe_recall_curve``.
+    Fully value-hash oracled: both faces are exact float cosine with
+    pinned (cos DESC, vec_id) tie order, no training anywhere.
+
+    Shape: ONE corpus pass scores every (query, dims) pair against the
+    broadcast 8-vector query set (q·|dims|·n rows, q bounded — the
+    serving-eval shape); per-(dims, query) top-k windows; the corpus
+    never shuffles."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = e.join(
+        F.broadcast(qs), F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.named_struct(
+                        F.lit("dims"),
+                        F.lit(d),
+                        F.lit("cos"),
+                        cosine(
+                            F.slice("qe", 1, d),
+                            F.slice("embedding", 1, d),
+                        ),
+                    )
+                    for d in MATRYOSHKA_DIMS
+                ]
+            )
+        ).alias("z"),
+    ).select("query_id", "vec_id", "z.dims", F.col("z.cos").alias("cos"))
+    w = Window.partitionBy("dims", "query_id").orderBy(
+        F.col("cos").desc(), "vec_id"
+    )
+    ranked = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOP_K
+    )
+    truth = ranked.filter(F.col("dims") == max(MATRYOSHKA_DIMS)).select(
+        F.col("query_id").alias("t_query"), F.col("vec_id").alias("t_vec")
+    )
+    hits = (
+        ranked.join(
+            F.broadcast(truth),
+            (F.col("query_id") == F.col("t_query"))
+            & (F.col("vec_id") == F.col("t_vec")),
+            "left",
+        )
+        .groupBy("dims", "query_id")
+        .agg(F.count("t_vec").alias("n_hit"))
+    )
+    return hits.groupBy("dims").agg(
+        F.round(F.sum("n_hit") / (F.count(F.lit(1)) * TOP_K), 6).alias(
+            "avg_recall"
+        ),
+        F.round(F.min("n_hit") / TOP_K, 6).alias("min_recall"),
+    )

@@ -555,6 +555,7 @@ def test_repo_wide_cartesian_and_bnlj_census(spark, sf_dir):
         # estimator's definition) + 1-row n_days broadcast
         "events_theilsen_trend",
         "ann_recall_report",  # composes the two audited ANN faces
+        "ann_matryoshka_recall",  # 8-query + top-k truth broadcasts
         "ann_brp_ml",  # composes the audited exact ANN face (recall gate)
         "dedup_minhash_ml",  # 1-row x 1-row count-tolerance crossJoin
         # the intentional cross-join demo over tiny dims
