@@ -895,3 +895,40 @@ def cms_token_estimates(
             F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est_cnt")
         )
     )
+
+
+def run_ivf_upsert_stream(
+    vectors: DataFrame, index_path: str, checkpoint_dir: str
+) -> None:
+    """Streaming ANN index maintenance: a stream of (vec_id, embedding)
+    rows — e.g. the CDC feed of an embeddings table — folds into the
+    persistent :class:`~spark_streaming_with_debezium_spark.llm.
+    ivf_index.IvfIndex` via its touched-cell ``upsert``, so searches
+    see new/changed vectors without any rebuild. The index must exist
+    (``IvfIndex.build`` on the initial corpus — the snapshot/binlog
+    split, same as the CDC jobs).
+
+    Replay safety comes from upsert's LWW semantics (a batch id always
+    supersedes the resident row), so no batch fencing is needed —
+    re-delivery lands the identical rows. Per batch, cost is O(batch)
+    assignment + a rewrite of only the touched cells; centroids stay
+    frozen (re-train on ``cell_balance`` drift, the standard IVF
+    policy)."""
+    from spark_streaming_with_debezium_spark.llm.ivf_index import IvfIndex
+
+    spark = vectors.sparkSession
+    idx = IvfIndex(spark, index_path)
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return  # P3 empty-batch guard
+        idx.upsert(batch_df)
+
+    q = (
+        vectors.writeStream.outputMode("append")
+        .foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1581,3 +1581,97 @@ def test_cms_token_stream_exactly_once(spark, tmp_path):
     # d*w = 4096 cells, ~20 tokens -> collisions vanishingly unlikely
     assert est["cat"] == exact["cat"] == 4
     assert est["the"] == exact["the"] == 4
+
+
+def test_ivf_upsert_stream_matches_batch_and_replays(spark, tmp_path, sf_dir):
+    """Streaming ANN index maintenance (round-9 new face): build the
+    IVF index on a base corpus, stream two micro-batches of new AND
+    changed vectors into it, and assert (a) search results equal an
+    index that received the same rows as ONE batch upsert (same frozen
+    centroids, so the comparison is exact), (b) a full re-drain on a
+    fresh checkpoint leaves results identical (upsert LWW = replay
+    idempotent), and (c) changed vectors really moved cells (no stale
+    duplicate under the old cell)."""
+    import json as _json
+
+    from spark_streaming_with_debezium_spark.llm.ivf_index import IvfIndex
+    from spark_streaming_with_debezium_spark.sources.tables import load_table
+    from spark_streaming_with_debezium_spark.streaming.jobs import (
+        run_ivf_upsert_stream,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+
+    # two update batches: 4 brand-new ids + 2 CHANGED resident vectors
+    # (vec 100/101 get vec 8/9's embeddings — likely different cells)
+    donors = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin([8, 9, 10, 11, 12, 13])).collect()
+    }
+    b1 = [(10_000, donors[10]), (10_001, donors[11]), (100, donors[8])]
+    b2 = [(10_002, donors[12]), (10_003, donors[13]), (101, donors[9])]
+
+    def write_batch(d, name, rows):
+        (d / name).write_text(
+            "\n".join(
+                _json.dumps({"vec_id": i, "embedding": v}) for i, v in rows
+            )
+        )
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    write_batch(src, "a.json", b1)
+    write_batch(src, "b.json", b2)
+
+    # streamed index
+    s_path = str(tmp_path / "ivf_s")
+    IvfIndex(spark, s_path).build(base)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    run_ivf_upsert_stream(stream, s_path, str(tmp_path / "ckpt"))
+
+    # batch reference: same base build + ONE upsert of all rows
+    r_path = str(tmp_path / "ivf_r")
+    IvfIndex(spark, r_path).build(base)
+    all_rows = spark.createDataFrame(b1 + b2, schema)
+    IvfIndex(spark, r_path).upsert(all_rows)
+
+    queries = emb.filter(F.col("vec_id") < 4)
+
+    def results(path):
+        return {
+            (r.query_id, r.vec_id, r.rnk)
+            for r in IvfIndex(spark, path).search(queries, k=5, n_probe=5).collect()
+        }
+
+    got = results(s_path)
+    assert got == results(r_path)
+
+    # (c) no stale duplicates: each upserted id appears in exactly one cell
+    rows = (
+        spark.read.parquet(str(tmp_path / "ivf_s" / "cells"))
+        .filter(F.col("vec_id").isin([100, 101, 10_000, 10_001, 10_002, 10_003]))
+        .groupBy("vec_id")
+        .count()
+        .collect()
+    )
+    assert len(rows) == 6 and all(r["count"] == 1 for r in rows)
+
+    # (b) full re-drain on a fresh checkpoint: byte-identical results
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    run_ivf_upsert_stream(stream2, s_path, str(tmp_path / "ckpt2"))
+    assert results(s_path) == got
