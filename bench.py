@@ -115,6 +115,7 @@ EXTENDED = (
     "agg_weighted_median",  # exact weighted median, skew-safe cumsum (r8)
     "events_theilsen_trend",  # robust pairwise-slope trend (r8)
     "dedup_containment",  # directed shingle containment (r8)
+    "ann_matryoshka_recall",  # prefix-dim serving recall curve (r9)
 )
 
 

@@ -500,6 +500,7 @@ def test_extended_plan_census(spark, sf_dir):
         "ann_ivf_pq_topk",  # 8-row centroid broadcast (ANN serving shape)
         "sample_systematic_pps",  # 1-row corpus-total broadcast
         "events_theilsen_trend",  # O(days) aggregate self-pairing + 1-row total
+        "ann_matryoshka_recall",  # 8-query + top-k truth broadcasts (r9)
     }
     for name in bench.EXTENDED:
         txt = _single_plan(QUERIES[name].fn(spark, sf_dir))
