@@ -1552,3 +1552,68 @@ def sample_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.filter(F.col("n_picks") >= 1).select(
         "doc_id", F.col("wt").alias("weight"), "n_picks"
     )
+
+
+@query(
+    "sample_temperature_mix",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1
+    ),
+    w AS (
+      SELECT source, n_docs,
+             CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(38,6)) AS wd
+      FROM s
+    ),
+    t AS (
+      SELECT CAST(SUM(wd) AS DECIMAL(38,6)) AS total,
+             CAST(SUM(n_docs) AS BIGINT) AS total_docs
+      FROM w
+    )
+    SELECT source, n_docs,
+           round(CAST(wd AS DOUBLE) / CAST(total AS DOUBLE), 6) AS weight,
+           round((CAST(wd AS DOUBLE) / CAST(total AS DOUBLE))
+                 / (CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE)), 6)
+             AS boost
+    FROM w, t
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights — the multilingual /
+    multi-source mixing recipe (mT5/XLM-R style): sample source i with
+    probability ∝ n_i^α so low-resource sources are upweighted without
+    drowning the head. α = 1/2 here because sqrt is a CORRECTLY-ROUNDED
+    IEEE primitive (bit-identical cross-engine), where a general
+    ``pow(n, 0.7)`` may differ by an ulp between engines; the weight
+    normalization accumulates the per-source sqrt in decimal(38,6)
+    (order-independent — functions/numeric.py discipline), so the whole
+    mix table value-hashes. ``boost`` = weight / natural share: the
+    over/undersampling factor each source receives at this temperature.
+
+    Scale shape: one groupBy(source) aggregate (map-side combined) to
+    O(sources) rows; the 1-row total frame broadcasts. At 100 TB
+    nothing but the per-source counts ever moves."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = s.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.sqrt(F.col("n_docs").cast("double"))
+        .cast("decimal(38,6)")
+        .alias("wd"),
+    )
+    totals = w.agg(
+        F.sum("wd").cast("decimal(38,6)").alias("total"),
+        F.sum("n_docs").cast("long").alias("total_docs"),
+    )
+    weight = F.col("wd").cast("double") / F.col("total").cast("double")
+    natural = F.col("n_docs").cast("double") / F.col("total_docs").cast(
+        "double"
+    )
+    return w.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        F.round(weight, 6).alias("weight"),
+        F.round(weight / natural, 6).alias("boost"),
+    )

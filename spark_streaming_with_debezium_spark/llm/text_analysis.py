@@ -1514,3 +1514,92 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "phrase")
         .limit(20)
     )
+
+
+#: vocabulary-size grid for the coverage curve (tokenizer budgeting:
+#: what fraction of all token OCCURRENCES does a top-N vocab cover).
+VOCAB_COVERAGE_NS = (100, 1000)
+
+
+def _vocab_coverage_oracle() -> str:
+    per_n = " UNION ALL ".join(
+        f"""
+        SELECT CAST({n} AS BIGINT) AS vocab_size,
+               CAST(SUM(cnt) FILTER (rnk <= {n}) AS BIGINT) AS covered
+        FROM ranked"""
+        for n in VOCAB_COVERAGE_NS
+    )
+    return f"""
+    WITH toks AS (
+      SELECT unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+             AS tok
+      FROM documents
+    ),
+    counts AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks WHERE tok <> '' GROUP BY tok
+    ),
+    ranked AS (
+      SELECT tok, cnt,
+             row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+      FROM counts
+    ),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n_vocab
+          FROM counts),
+    per_n AS ({per_n})
+    SELECT p.vocab_size, p.covered, t.total, t.n_vocab,
+           round(CAST(p.covered AS DOUBLE) / t.total, 6) AS coverage
+    FROM per_n p, t
+    """
+
+
+@query("text_vocab_coverage", oracle=_vocab_coverage_oracle())
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — for each candidate vocab size N
+    (``VOCAB_COVERAGE_NS``), the fraction of ALL token occurrences a
+    top-N frequency vocabulary covers (everything else would hit
+    <unk>/byte-fallback): the measured basis for choosing a tokenizer
+    vocab budget, next to ``text_zipf_fit``'s parametric view. Every
+    number is exact integer counting with a pinned (cnt DESC, tok)
+    rank order + one final double division, so the curve value-hashes.
+
+    Scale shape: one token explode → map-side-combined groupBy(tok);
+    each top-N is orderBy+limit (TakeOrdered — never a global window,
+    the scalable_windows discipline); the 1-row total broadcasts."""
+    from spark_streaming_with_debezium_spark.llm.corpus_rules import (
+        normalize_text,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(normalize_text("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = counts.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+    )
+    per_n = None
+    for n in VOCAB_COVERAGE_NS:
+        row = (
+            counts.orderBy(F.col("cnt").desc(), "tok")
+            .limit(n)
+            .agg(
+                F.lit(n).cast("long").alias("vocab_size"),
+                F.sum("cnt").cast("long").alias("covered"),
+            )
+        )
+        per_n = row if per_n is None else per_n.unionByName(row)
+    return per_n.crossJoin(F.broadcast(totals)).select(
+        "vocab_size",
+        "covered",
+        "total",
+        "n_vocab",
+        F.round(F.col("covered").cast("double") / F.col("total"), 6).alias(
+            "coverage"
+        ),
+    )

@@ -548,6 +548,8 @@ def test_repo_wide_cartesian_and_bnlj_census(spark, sf_dir):
         "text_pmi_collocations",  # 1-row token/bigram-total broadcasts
         "decontaminate_bitmap_prefilter",  # 1-row bitmap broadcast probe
         "sample_balanced_classes",  # 1-row n_min broadcast
+        "sample_temperature_mix",  # 1-row mix-totals broadcast (r9)
+        "text_vocab_coverage",  # 1-row corpus-total broadcast (r9)
         # bounded query-set / centroid broadcasts (ANN serving shape)
         "ann_int8_rescore", "ann_cosine_topk", "ann_ivf_topk",
         "text_similar_topk", "ann_ivf_pq_topk",
