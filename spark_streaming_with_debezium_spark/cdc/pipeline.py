@@ -103,6 +103,45 @@ def apply_starting_offsets(
     return df.filter(pred)
 
 
+def apply_ending_offsets(
+    df: DataFrame, ending_offsets: str, topic: str | None = None
+) -> DataFrame:
+    """Kafka ``endingOffsets`` (batch-read bound) on the file-backed
+    envelope source — the other half of the offset-window contract
+    :func:`apply_starting_offsets` covers: a bounded BACKFILL reads
+    ``spark.read.format("kafka")`` with start AND end, replaying a
+    fixed log window idempotently. Accepts ``"latest"`` (everything
+    present) or a per-partition JSON ``{"<topic>": {"0": 15}}`` where
+    the offset is EXCLUSIVE (Kafka's endingOffsets semantics) and
+    ``-1`` = latest; unlisted partitions read to latest. Compose both
+    for a closed window:
+    ``apply_ending_offsets(apply_starting_offsets(df, s), e)``."""
+    import json as _json
+
+    s = ending_offsets.strip()
+    if s == "latest":
+        return df
+    spec = _json.loads(s)
+    if topic is None:
+        if len(spec) != 1:
+            raise ValueError(
+                "topic must be given when endingOffsets JSON names "
+                f"multiple topics: {sorted(spec)}"
+            )
+        topic = next(iter(spec))
+    per_part = spec.get(topic, {})
+    pred = F.lit(True)  # unlisted partitions read to latest
+    for part, off in per_part.items():
+        p = int(part)
+        o = int(off)
+        if o == -1:  # latest
+            continue
+        pred = pred & (
+            (F.col("partition") != p) | (F.col("offset") < o)
+        )
+    return df.filter(pred)
+
+
 def project_kafka(df: DataFrame) -> DataFrame:
     """CAST(key AS STRING), CAST(value AS STRING), topic + ordering cols
     (`StreamingJobExecutor.scala:22-23`, plus partition/offset which the

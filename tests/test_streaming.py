@@ -1675,3 +1675,54 @@ def test_ivf_upsert_stream_matches_batch_and_replays(spark, tmp_path, sf_dir):
     )
     run_ivf_upsert_stream(stream2, s_path, str(tmp_path / "ckpt2"))
     assert results(s_path) == got
+
+
+def test_ending_offsets_bounded_backfill(spark, tmp_path):
+    """``endingOffsets`` dual of the startingOffsets contract: a
+    bounded backfill reads a CLOSED (start, end] window per partition
+    — end offsets are EXCLUSIVE (Kafka semantics), -1/unlisted read to
+    latest — and replaying the same window twice is idempotent."""
+    from spark_streaming_with_debezium_spark.cdc.pipeline import (
+        apply_ending_offsets,
+        apply_starting_offsets,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b.json").write_text(
+        "\n".join(
+            [
+                _envp("c", 1, 0, 0),
+                _envp("c", 2, 0, 1),
+                _envp("c", 3, 0, 2),  # beyond p0's end: excluded
+                _envp("c", 4, 1, 0),
+                _envp("c", 5, 1, 1),  # p1 ends at -1 (latest): included
+                _envp("c", 6, 2, 0),  # p2 unlisted in end spec: included
+            ]
+        )
+    )
+    raw = spark.read.schema(RAW_SCHEMA).json(str(src))
+    window = apply_ending_offsets(
+        apply_starting_offsets(
+            raw, '{"t": {"0": 1, "1": -2, "2": -2}}', topic="t"
+        ),
+        '{"t": {"0": 2, "1": -1}}',
+        topic="t",
+    )
+    # p0: offsets [1, 2) -> only offset 1 (id=2); p1: all; p2: all
+    got = sorted(
+        (r.partition, r.offset) for r in window.select("partition", "offset").collect()
+    )
+    assert got == [(0, 1), (1, 0), (1, 1), (2, 0)]
+
+    # idempotent bounded replay: applying the same window to a state
+    # table twice leaves the same rows (LWW upsert of identical batch)
+    state = ParquetStateTable(spark, str(tmp_path / "state"), ["id"], n_buckets=4)
+    state.init(spark.createDataFrame([], "id long, email string"))
+    from spark_streaming_with_debezium_spark.cdc.pipeline import batch_apply
+
+    batch_apply(window, SPEC, state)
+    first = sorted((r.id, r.email) for r in state.read().collect())
+    assert [i for i, _ in first] == [2, 4, 5, 6]
+    batch_apply(window, SPEC, state)
+    assert sorted((r.id, r.email) for r in state.read().collect()) == first
