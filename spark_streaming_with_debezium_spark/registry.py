@@ -164,7 +164,10 @@ _PRIORITY = (
     "stream_tumbling_window",
     "text_keywords_tfidf",
     # --- 50-query prefix boundary (round-9 driver window) ---
-    # Displaced r04-stale names: round-10 queue head.
+    # Displaced r04-stale names: round-10 queue head, together with
+    # the three r9-NEW queries registered below the boundary in module
+    # order (ann_matryoshka_recall, sample_temperature_mix,
+    # text_vocab_coverage — never driver-checked, local 3-SF green).
     "agg_count_distinct",
     "agg_filtered",
     "distinct_rows",
