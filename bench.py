@@ -181,9 +181,20 @@ def main() -> None:
             os.path.join(_wdir, "t")
         )
 
+    # Per-job scheduling probe: many extended queries are MANY-SMALL-
+    # JOBS shaped (iterative localCheckpoints, state folds, driver
+    # loops); their wall time is jobs × per-job latency. Healthy
+    # local[32] runs ~10-30 ms/job; r9 measured 146 ms/job on this box
+    # — a 30-job query pays ~4.5 s of pure scheduling, which is the
+    # entire r8→r9 "regression" on those rows (code unchanged).
+    def _calib_job():
+        for _ in range(10):
+            spark.range(1).count()
+
     calib_cpu_pre, calib_cpu_pre_spread = _median_timed(_calib_cpu)
     calib_scan_pre, calib_scan_pre_spread = _median_timed(_calib_scan)
     calib_write_pre, calib_write_pre_spread = _median_timed(_calib_write)
+    calib_job_pre, _ = _median_timed(_calib_job)
 
     def bench_set(names):
         timings: dict[str, float] = {}
@@ -330,6 +341,7 @@ def main() -> None:
 
     calib_cpu_post, calib_cpu_post_spread = _median_timed(_calib_cpu)
     calib_write_post, calib_write_post_spread = _median_timed(_calib_write)
+    calib_job_post, _ = _median_timed(_calib_job)
     _shutil.rmtree(_wdir, ignore_errors=True)
     calibration = {
         "cpu_pre_sec": calib_cpu_pre,
@@ -342,6 +354,8 @@ def main() -> None:
         "write_pre_spread": calib_write_pre_spread,
         "write_post_sec": calib_write_post,
         "write_post_spread": calib_write_post_spread,
+        "job_ms_pre": round(calib_job_pre * 100, 1),
+        "job_ms_post": round(calib_job_post * 100, 1),
     }
 
     total = round(sum(timings.values()), 3)
