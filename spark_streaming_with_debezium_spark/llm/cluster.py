@@ -152,18 +152,95 @@ def dedup_clusters(spark, sf_dir: str) -> DataFrame:
     return clusters_from_pairs(dedup_minhash_lsh(spark, sf_dir))
 
 
-@query("dedup_clusters_ml", oracle=None)  # iterative => rows-only
-def dedup_clusters_ml(spark, sf_dir: str) -> DataFrame:
+def clusters_ml_rows(spark, sf_dir: str) -> DataFrame:
     """Same cluster output over the pyspark.ml MinHashLSH face — both
     LSH implementations feed ONE clustering path, so a user can swap
-    candidate generators without changing the keep/drop logic.
-    Exact-duplicate groups must appear identically in both faces'
-    clusters (asserted in tests/test_llm_ops.py)."""
+    candidate generators without changing the keep/drop logic. Raw
+    cluster rows (the registered ``dedup_clusters_ml`` query wraps
+    this in an exact-dup-coverage gate)."""
     from spark_streaming_with_debezium_spark.llm.ml_lsh import (
         minhash_ml_pairs,
     )
 
     return clusters_from_pairs(minhash_ml_pairs(spark, sf_dir))
+
+
+@query(
+    "dedup_clusters_ml",
+    oracle=r"""
+    WITH h AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ch
+      FROM documents
+    ),
+    g AS (SELECT ch FROM h GROUP BY ch HAVING COUNT(*) >= 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_groups,
+           CAST(1 AS BIGINT) AS exact_groups_clustered
+    FROM g
+    """,
+)
+def dedup_clusters_ml(spark, sf_dir: str) -> DataFrame:
+    """Coverage bound-check face of the pyspark.ml cluster path
+    (:func:`clusters_ml_rows`) — the last rows-only promotion (VERDICT
+    r8 item 4's pattern): emit the DuckDB-exact count of exact-dup
+    groups (whitespace-normalized content-hash groups of size ≥ 2)
+    plus a BIGINT 0/1 gate asserting EVERY such group lands whole
+    inside ONE ml cluster — the minimum-recall contract any LSH
+    clustering must honour (an exact duplicate is the easiest possible
+    near-dup; splitting one across clusters means the candidate
+    generator failed outright)."""
+    from spark_streaming_with_debezium_spark.sources.tables import (
+        load_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    groups = (
+        d.select(
+            "doc_id",
+            F.md5(
+                F.regexp_replace(F.lower(F.trim("text")), "\\s+", " ")
+            ).alias("ch"),
+        )
+        .groupBy("ch")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_list("doc_id").alias("ids"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    m2c = clusters_ml_rows(spark, sf_dir).select(
+        "canonical_doc",
+        F.explode(F.split("members", ",")).alias("_m"),
+    ).select("canonical_doc", F.col("_m").cast("long").alias("doc_id"))
+    per_group = (
+        groups.select("ch", "n", F.explode("ids").alias("doc_id"))
+        .join(m2c, "doc_id", "left")
+        .groupBy("ch")
+        .agg(
+            F.max("n").alias("n"),
+            F.count("canonical_doc").alias("n_found"),
+            F.countDistinct("canonical_doc").alias("n_canon"),
+        )
+    )
+    return per_group.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_groups"),
+        # coalesce: zero exact-dup groups (possible at tiny SFs) is a
+        # vacuously-satisfied contract, not a NULL gate
+        (
+            F.coalesce(
+                F.sum(
+                    (
+                        (F.col("n_found") == F.col("n"))
+                        & (F.col("n_canon") == 1)
+                    ).cast("long")
+                ),
+                F.lit(0),
+            )
+            == F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("exact_groups_clustered"),
+    )
 
 
 def _group_split_oracle() -> str:

@@ -99,13 +99,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: the 4 queries whose faces were REWRITTEN this round and therefore
 #: need fresh hash rows (ann_ivf_topk + ann_brp_ml recall bound-checks,
 #: dedup_semdedup_cells full Lloyd-cell oracle, dedup_minhash_ml count
-#: gate — rows-only shrinks 5 → 1, only dedup_clusters_ml remains),
+#: gate; a continuation additionally gated dedup_clusters_ml on
+#: exact-dup-group coverage — rows-only is now 0),
 #: the 14 TPC-H names displaced in r8 (stale at r03), the 5 remaining
 #: r03 names, and 19 of the 23 r04 names. The 4 r04 names displaced
 #: past the boundary to the round-10 queue head — chosen as the least
 #: regression-prone of the cohort (single built-in aggregate/sort
 #: pipelines, green in every session's full local oracle sweep):
-#: agg_count_distinct, agg_filtered, distinct_rows, sort_limit_topk.
+#: agg_count_distinct, agg_filtered, distinct_rows, sort_limit_topk,
+#: and (continuation, to make room for the dedup_clusters_ml coverage
+#: gate that also needs a fresh hash row) agg_cube.
 _PRIORITY = (
     # --- round-9 driver window (50) ---
     # 8 never-driver-checked (r8-new operators)
@@ -117,11 +120,12 @@ _PRIORITY = (
     "dedup_containment",
     "sketch_cms_heavy_hitters",
     "sample_systematic_pps",
-    # 4 faces rewritten this round (rows-only promotions)
+    # 5 faces rewritten this round (rows-only promotions)
     "ann_ivf_topk",
     "dedup_semdedup_cells",
     "dedup_minhash_ml",
     "ann_brp_ml",
+    "dedup_clusters_ml",
     # 14 TPC-H displaced from the r8 window (stale at r03)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -143,8 +147,7 @@ _PRIORITY = (
     "window_dist_functions",
     "window_lww_compaction",
     "window_rank_topk_per_group",
-    # r04-stale names (19 of 23)
-    "agg_cube",
+    # r04-stale names (18 of 23)
     "agg_grouping_sets",
     "agg_percentiles",
     "agg_rollup",
@@ -169,6 +172,7 @@ _PRIORITY = (
     # order (ann_matryoshka_recall, sample_temperature_mix,
     # text_vocab_coverage — never driver-checked, local 3-SF green).
     "agg_count_distinct",
+    "agg_cube",
     "agg_filtered",
     "distinct_rows",
     "sort_limit_topk",

@@ -242,8 +242,16 @@ def test_cluster_faces_agree_on_exact_dups(spark, sf_dir):
         .collect()
     )
     exact_groups = [sorted(r.ids) for r in by_hash]
-    for qname in ("dedup_clusters", "dedup_clusters_ml"):
-        clusters = QUERIES[qname].fn(spark, sf_dir).collect()
+    from spark_streaming_with_debezium_spark.llm.cluster import (
+        clusters_ml_rows,
+    )
+
+    faces = {
+        "dedup_clusters": lambda: QUERIES["dedup_clusters"].fn(spark, sf_dir),
+        "clusters_ml_rows": lambda: clusters_ml_rows(spark, sf_dir),
+    }
+    for qname, face in faces.items():
+        clusters = face().collect()
         member_to_canon = {}
         for c in clusters:
             for m in c.members.split(","):
