@@ -4,11 +4,7 @@ mirrored locally)."""
 import pytest
 
 from spark_streaming_with_debezium_spark.registry import load_all
-from tests.oracle_harness import (
-    assert_driver_safe_schema,
-    compare_query,
-    driver_faithful_canon,
-)
+from tests.oracle_harness import compare_query
 
 QUERIES = load_all()
 WITH_ORACLE = sorted(n for n, q in QUERIES.items() if q.oracle is not None)
@@ -20,13 +16,15 @@ def test_oracle_match(spark, sf_dir, name):
     compare_query(spark, QUERIES[name], sf_dir)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_runs(spark, sf_dir, name):
-    """Rows-only queries still pass through the driver's canonicalizer
-    (round 1: agg_approx_percentile crashed it despite having no
-    oracle), so they get the same non-scalar-column gate."""
-    df = QUERIES[name].fn(spark, sf_dir)
-    assert_driver_safe_schema(name, df)
-    rows = [tuple(r) for r in df.collect()]
-    driver_faithful_canon(df.columns, rows)
-    assert len(df.columns) > 0
+def test_no_rows_only_queries_remain():
+    """Round 9 promoted the last rows-only face (dedup_clusters_ml):
+    EVERY registered query now carries a DuckDB oracle. This gate keeps
+    it that way — a new rows-only registration must be a conscious
+    decision (delete this test and restore the old rows-only
+    canonicalizer check from git history if one ever becomes
+    legitimately necessary)."""
+    assert ROWS_ONLY == [], (
+        f"rows-only queries reappeared: {ROWS_ONLY} — give them an "
+        "oracle (bound-check pattern if approximate) or consciously "
+        "revert this gate"
+    )
