@@ -72,6 +72,17 @@ def apply_starting_offsets(
     The filter is a plain pushdown-friendly predicate on the envelope's
     (partition, offset) columns — at scale it reaches the parquet/JSON
     scan, so a mid-log restart reads only the tail.
+
+    ADVICE r9 caveat — ``"latest"`` (and per-partition ``-1``) is only
+    meaningful for BOUNDED reads of the file-backed source (batch /
+    ``availableNow`` drains): the filter is static, so on a continuous
+    streaming DataFrame over a growing directory it would drop FUTURE
+    micro-batch rows too, where real Kafka's ``latest`` skips only the
+    backlog and then consumes new records. The top-level ``"latest"``
+    therefore RAISES on a streaming DataFrame rather than silently
+    consuming nothing; per-partition ``-1`` entries are accepted (a
+    bounded window spec composes them with ``apply_ending_offsets``)
+    but carry the same bounded-read-only meaning.
     """
     import json as _json
 
@@ -79,6 +90,14 @@ def apply_starting_offsets(
     if s == "earliest":
         return df
     if s == "latest":
+        if df.isStreaming:
+            raise ValueError(
+                'startingOffsets="latest" on the file-backed source is a '
+                "static filter: a continuous stream would silently drop "
+                "future micro-batch rows as well as the backlog. Use a "
+                "bounded (batch / availableNow) read, or a per-partition "
+                "JSON spec for a closed replay window."
+            )
         return df.filter(F.lit(False))
     spec = _json.loads(s)
     if topic is None:

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_streaming_with_debezium_spark.llm.similarity import TOP_K as _TOP_K
 from spark_streaming_with_debezium_spark.registry import query
 from spark_streaming_with_debezium_spark.sources.tables import load_table
 
@@ -164,7 +165,7 @@ def brp_topk_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("query_id") != F.col("vec_id"))
         .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= 5)
+        .filter(F.col("_rk") <= _TOP_K)
         .drop("_rk")
     )
 
@@ -179,9 +180,12 @@ BRP_RECALL_NUM, BRP_RECALL_DEN = 3, 5
 
 @query(
     "ann_brp_ml",
-    oracle="""
+    # ADVICE r9: interpolate {TOP_K} like the ann_ivf_topk oracle —
+    # both gate against ann_cosine_topk's TOP_K, so a hardcoded 5 here
+    # would desynchronize n_exact if TOP_K ever changes.
+    oracle=f"""
     SELECT CAST(vec_id AS BIGINT) AS query_id,
-           CAST(LEAST(5, (SELECT COUNT(*) FROM embeddings) - 1)
+           CAST(LEAST({_TOP_K}, (SELECT COUNT(*) FROM embeddings) - 1)
                 AS BIGINT) AS n_exact,
            CAST(1 AS BIGINT) AS recall_ok
     FROM embeddings WHERE vec_id < 8

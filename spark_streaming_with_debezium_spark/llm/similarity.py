@@ -454,7 +454,11 @@ def train_centroids(
             dataset_fingerprint,
         )
 
-        ck = (dataset_fingerprint(cache_key), k, train_cap, seed)
+        # ADVICE r9: fold id_col/vec_col into the key — two callers over
+        # the same sf_dir but different vector sources/transforms must
+        # not share cached centroids (callers applying a transform
+        # should additionally tag via the `sf_dir|tag` convention).
+        ck = (dataset_fingerprint(cache_key), id_col, vec_col, k, train_cap, seed)
         if ck in _CENTROID_CACHE:
             cents = spark.createDataFrame(
                 _CENTROID_CACHE[ck], "cent_id INT, ce ARRAY<DOUBLE>"

@@ -1573,11 +1573,16 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
+    # VERDICT r9 item 6: one cached aggregate — totals + each top-N
+    # branch re-ran the corpus explode+groupBy otherwise (the dominant
+    # cost at scale, recomputed len(NS)+1 times). Bounded cache: one
+    # (tok, cnt) row per vocabulary entry, map-side-combined.
     counts = (
         d.select(F.explode(F.split(normalize_text("text"), " ")).alias("tok"))
         .filter(F.col("tok") != "")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
     totals = counts.agg(
         F.sum("cnt").cast("long").alias("total"),

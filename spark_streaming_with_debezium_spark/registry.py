@@ -109,73 +109,70 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: agg_count_distinct, agg_filtered, distinct_rows, sort_limit_topk,
 #: and (continuation, to make room for the dedup_clusters_ml coverage
 #: gate that also needs a fresh hash row) agg_cube.
+#: Round-10 rotation (VERDICT r9 item 1). After r9's all-green window
+#: the ledger queue is exactly: 3 never-driver-checked r9 faces, the 5
+#: r04-stale names displaced in r9, all 41 r05-stale names, and then
+#: the r06 cohort. 3 + 5 + 41 = 49, so one r06 name
+#: (agg_mode_per_group, first in ledger order) fills the 50th slot.
+#: Nothing is displaced from the queue head this round; the round-11
+#: queue head is the remaining 44 r06-stale names (ledger order).
 _PRIORITY = (
-    # --- round-9 driver window (50) ---
-    # 8 never-driver-checked (r8-new operators)
-    "agg_weighted_median",
-    "events_theilsen_trend",
-    "dedup_cdc_chunks",
-    "graph_connected_components",
-    "dedup_neardup_components",
-    "dedup_containment",
-    "sketch_cms_heavy_hitters",
-    "sample_systematic_pps",
-    # 5 faces rewritten this round (rows-only promotions)
-    "ann_ivf_topk",
-    "dedup_semdedup_cells",
-    "dedup_minhash_ml",
-    "ann_brp_ml",
-    "dedup_clusters_ml",
-    # 14 TPC-H displaced from the r8 window (stale at r03)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_region_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q22_global_sales_opportunity",
-    # remaining r03-stale names
-    "text_token_rarity",
-    "window_dense_ntile",
-    "window_dist_functions",
-    "window_lww_compaction",
-    "window_rank_topk_per_group",
-    # r04-stale names (18 of 23)
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "agg_rollup",
-    "agg_stats",
-    "dedup_edit_distance",
-    "dedup_exact_groups",
-    "embedding_label_cohesion",
-    "events_cumulative_users",
-    "events_sessionize_gap",
-    "multimodal_frame_sample",
-    "sql_correlated_exists",
-    "sql_in_subquery",
-    "sql_scalar_subquery",
-    "stream_dedup",
-    "stream_session_window",
-    "stream_sliding_window",
-    "stream_tumbling_window",
-    "text_keywords_tfidf",
-    # --- 50-query prefix boundary (round-9 driver window) ---
-    # Displaced r04-stale names: round-10 queue head, together with
-    # the three r9-NEW queries registered below the boundary in module
-    # order (ann_matryoshka_recall, sample_temperature_mix,
-    # text_vocab_coverage — never driver-checked, local 3-SF green).
+    # --- round-10 driver window (50) ---
+    # 3 never-driver-checked (r9-new operators)
+    "ann_matryoshka_recall",
+    "sample_temperature_mix",
+    "text_vocab_coverage",
+    # 5 r04-stale names displaced from the r9 window
     "agg_count_distinct",
     "agg_cube",
     "agg_filtered",
     "distinct_rows",
     "sort_limit_topk",
+    # all 41 r05-stale names (ledger order)
+    "ab_welch_ttest",
+    "agg_collect_sorted",
+    "agg_corr_exact",
+    "agg_histogram",
+    "agg_linreg_exact",
+    "agg_max_by",
+    "agg_pivot",
+    "ann_cosine_topk",
+    "basket_part_affinity",
+    "cdc_scd2_history",
+    "decontaminate_train_ngram",
+    "dedup_exact_keep_canonical",
+    "dedup_ngram_jaccard",
+    "dq_orders_reconcile",
+    "events_anomaly_zscore",
+    "events_daily_filled",
+    "events_dau_wau_stickiness",
+    "events_markov_transitions",
+    "events_pareto_concentration",
+    "fn_arrays",
+    "fn_bitwise",
+    "fn_datetime_arith",
+    "fn_json_typed_parse",
+    "fn_maps",
+    "fn_split_part",
+    "fn_string_split_explode",
+    "fn_strings",
+    "fn_try_family",
+    "multimodal_metadata_stats",
+    "parts_abc_classification",
+    "retrieval_rrf_hybrid",
+    "revenue_growth_mom_yoy",
+    "set_ops",
+    "split_train_eval",
+    "text_bm25_topk",
+    "text_zipf_fit",
+    "union_positional",
+    "unpivot_melt",
+    "window_first_last",
+    "window_lag_lead",
+    "window_time_range_rolling",
+    # stalest r06 name fills the 50th slot
+    "agg_mode_per_group",
+    # --- 50-query prefix boundary (round-10 driver window) ---
 )
 
 

@@ -9,9 +9,13 @@ the only deterministic one for tests.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_LOG = logging.getLogger(__name__)
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -787,6 +791,15 @@ def run_cms_token_stream(
     swap (shared :func:`_recover_swapped_state` crash recovery), so
     counters and fence can never diverge.
 
+    ADVICE r9: the state also records the checkpoint's stable query id
+    (``run_id``). Batch ids restart at 0 when a stream is pointed at
+    existing state with a FRESH checkpoint directory, so the fence
+    still skips (re-drains of the same source must stay idempotent) —
+    but a fenced batch whose run identity differs from the state's is
+    logged as a loud warning: if the fresh-checkpoint stream carries
+    genuinely new data, that skip is data loss and the operator must
+    either reuse the original checkpoint or reset the state table.
+
     State is d×w longs (16 KiB) forever — any token's running count is
     served from state alone via :func:`cms_token_estimates`, no
     document history kept. At 100 TB the per-batch sketch build is one
@@ -805,15 +818,49 @@ def run_cms_token_stream(
 
     spark = docs.sparkSession
 
+    def _checkpoint_query_id() -> str:
+        """Stable per-checkpoint stream identity — Structured Streaming
+        writes ``<checkpoint>/metadata`` ({"id": uuid}) once at stream
+        start and reuses it on every restart of the same checkpoint."""
+        import json as _json
+
+        try:
+            with open(os.path.join(checkpoint_dir, "metadata")) as f:
+                return str(_json.load(f).get("id", ""))
+        except (OSError, ValueError):
+            return ""
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return  # P3 empty-batch guard
         _recover_swapped_state(state_dir)
+        run_id = _checkpoint_query_id()
         have_state = os.path.isdir(state_dir)
         if have_state:
             state = spark.read.parquet(state_dir)
             last = state.agg(F.max("last_batch_id")).collect()[0][0]
             if last is not None and batch_id <= last:
+                prev_run = (
+                    state.agg(F.max("run_id")).collect()[0][0]
+                    if "run_id" in state.columns
+                    else None
+                )
+                if prev_run and run_id and prev_run != run_id:
+                    _LOG.warning(
+                        "cms fence: batch %d <= committed %d but the "
+                        "stream identity changed (%s -> %s) — a fresh "
+                        "checkpoint was pointed at existing CMS state. "
+                        "Skipping keeps re-drains idempotent; if this "
+                        "stream carries NEW data the skip is data loss: "
+                        "reuse the original checkpoint or reset the "
+                        "state table.",
+                        batch_id, last, prev_run, run_id,
+                    )
+                else:
+                    _LOG.warning(
+                        "cms fence: skipping replayed batch %d "
+                        "(last committed %d)", batch_id, last,
+                    )
                 return  # fenced: this batch already committed
         toks = batch_df.select(
             F.explode(F.split(normalize_text("text"), " ")).alias("tok")
@@ -847,7 +894,7 @@ def run_cms_token_stream(
             merged = delta.select("i", "bucket", F.col("dc").alias("c"))
         out = merged.withColumn(
             "last_batch_id", F.lit(int(batch_id)).cast("long")
-        )
+        ).withColumn("run_id", F.lit(run_id))
         tmp, old = state_dir + "_tmp", state_dir + "_old"
         out.write.mode("overwrite").parquet(tmp)
         if os.path.isdir(state_dir):

@@ -1263,6 +1263,9 @@ def test_partition_interleave_order_independence(spark, tmp_path):
     # file order inverted — in-batch LWW by (partition, offset) must
     # still pick each key's final image.
     assert drain([list(reversed(p0 + p1 + p2))]) == golden
+
+
+def test_trending_topk_replay_idempotent(spark, tmp_path):
     """ADVICE r7: a replayed batch must not duplicate closed-window
     rows — the sink overwrites its window_start partitions dynamically,
     so draining the SAME input twice (no checkpoint = full replay)
