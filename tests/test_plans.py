@@ -478,6 +478,11 @@ def test_extended_plan_census(spark, sf_dir):
         "agg_weighted_median": 12,
         "dedup_containment": 10,
         "dedup_cdc_chunks": 7,
+        # r10 two-pass prefix-pruned rewrite: the cached corpus is
+        # repartitioned once (its exchange recurs TEXTUALLY under the
+        # cache's many scans; runtime reads the cache) and each pass
+        # ends in a map-side-combinable aggregate exchange.
+        "embedding_hard_negatives": 10,
     }
     # 1-row scalar-total broadcasts (corpus n_docs/avgdl etc.) — the
     # audited crossJoin sites from the r5 review, not data-data loops.
