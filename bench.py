@@ -199,9 +199,17 @@ def main() -> None:
     def bench_set(names):
         timings: dict[str, float] = {}
         spreads: dict[str, float] = {}
+        first_run: dict[str, float] = {}
         for name in names:
             q = queries[name]
-            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+            # The first (warm-up) run is recorded separately: for the
+            # fingerprint-cached serving faces (IVF/Lloyd/PQ consumers)
+            # it carries the COLD build, so cold-vs-warm is visible per
+            # row (VERDICT r9 item 4) instead of vanishing into a
+            # discarded warm-up.
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            first_run[name] = round(time.perf_counter() - t0, 3)
             runs = []
             for _ in range(n_runs):
                 t0 = time.perf_counter()
@@ -210,10 +218,31 @@ def main() -> None:
             runs.sort()
             timings[name] = round(runs[len(runs) // 2], 3)
             spreads[name] = round(runs[-1] - runs[0], 3)
-        return timings, spreads
+        return timings, spreads, first_run
 
-    timings, spreads = bench_set(HEADLINE)
-    ext_timings, ext_spreads = bench_set(EXTENDED)
+    timings, spreads, first_runs = bench_set(HEADLINE)
+    ext_timings, ext_spreads, ext_first_runs = bench_set(EXTENDED)
+
+    # Serving-cache visibility (VERDICT r9 item 4): which in-process
+    # fingerprint caches were populated during this bench, so a warm
+    # row that regressed can be distinguished from a cold build that
+    # was mislabelled warm.
+    from spark_streaming_with_debezium_spark.llm.cluster import _LLOYD_CACHE
+    from spark_streaming_with_debezium_spark.llm.similarity import _CENTROID_CACHE
+
+    serving_caches = {
+        "lloyd_cache_entries": len(_LLOYD_CACHE),
+        "centroid_cache_entries": len(_CENTROID_CACHE),
+    }
+
+    # Volume census for the most expensive extended row (VERDICT r9
+    # item 3): candidate pairs + verify rows, recorded next to the
+    # timing so wall-clock moves can be attributed to data volume.
+    from spark_streaming_with_debezium_spark.operators.more_relational import (
+        timeseries_similarity_census,
+    )
+
+    ts_census = timeseries_similarity_census(spark, sf_dir)
 
     # IVF amortization split: ann_ivf_topk above pays the KMeans fit
     # every run; a served index pays it ONCE. Time the persisted-index
@@ -368,6 +397,10 @@ def main() -> None:
                 "extended_queries": ext_timings,
                 "extended_spread": ext_spreads,
                 "extended_total": round(sum(ext_timings.values()), 3),
+                "first_run": first_runs,
+                "extended_first_run": ext_first_runs,
+                "serving_caches": serving_caches,
+                "timeseries_census": ts_census,
                 "runs_per_query": n_runs,
                 "ivf_index_build_sec": ivf_build,
                 "ivf_query_only_sec": ivf_query,
@@ -376,6 +409,8 @@ def main() -> None:
                     "events_per_sec_spread"
                 ],
                 "cdc_merge_n_events": cdc_tp["n_events"],
+                "cdc_merge_jobs": cdc_tp.get("merge_jobs"),
+                "cdc_state_bytes_written": cdc_tp.get("state_bytes_written"),
                 "zorder": zorder,
                 "calibration": calibration,
                 "sf": sf,

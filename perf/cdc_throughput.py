@@ -94,17 +94,34 @@ def measure(spark, n: int) -> dict:
         raw.write.mode("overwrite").parquet(src)
         raw_df = spark.read.parquet(src)
 
+        state_dir = os.path.join(workdir, "state")
         state = ParquetStateTable(
-            spark, os.path.join(workdir, "state"), key_cols=["id"], n_buckets=64
+            spark, state_dir, key_cols=["id"], n_buckets=64
         )
         state.init(
             spark.createDataFrame(
                 [], "id long, first_name string, last_name string, email string"
             )
         )
+        # Job + bytes census (VERDICT r9 item 5): the throughput number
+        # alone is hostage to this box's write latency; job count is a
+        # pure plan property and bytes-written sizes the write probe's
+        # share, so a slow round can be attributed line-item.
+        sc = spark.sparkContext
+        group = f"cdc_tp_{time.perf_counter_ns()}"
+        sc.setJobGroup(group, group)
         t0 = time.perf_counter()
-        batch_apply(raw_df, SPEC, state)
-        dt = time.perf_counter() - t0
+        try:
+            batch_apply(raw_df, SPEC, state)
+        finally:
+            dt = time.perf_counter() - t0
+            sc.setJobGroup("", "")
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+        state_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(state_dir)
+            for f in fs
+        )
         final_rows = state.read().count()
         return {
             "n_events": n,
@@ -112,6 +129,8 @@ def measure(spark, n: int) -> dict:
             "wall_sec": round(dt, 2),
             "events_per_sec": int(n / dt),
             "final_state_rows": final_rows,
+            "merge_jobs": n_jobs,
+            "state_bytes_written": state_bytes,
         }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

@@ -1484,6 +1484,35 @@ def _user_day_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MAX_DAY_BUCKET = 2048
 
 
+def timeseries_similarity_census(spark: SparkSession, sf_dir: str) -> dict:
+    """Volume census for ``timeseries_user_similarity`` (VERDICT r9
+    item 3): the two numbers that explain the query's cost — candidate
+    pairs out of the prefix join, and (pair, day) rows through the
+    verify join. Recorded by bench.py next to the timing so a wall
+    regression can be attributed to volume growth vs environment.
+
+    Measured at sf0.1: 1,124,120 candidates out of 1,124,250 possible
+    pairs (the synthetic corpus is DENSE — every user is active on the
+    same few hundred days, so prefix filtering cannot prune; on sparse
+    production data the same plan prunes to ~0) and 26.7M verify rows
+    ≈ Σ_pairs |shared days| — the exact-work floor of complete
+    pairwise-overlap correlation, which is why the verify join is
+    broadcast-only with one map-side-combined aggregate on top."""
+    ud = _user_day_series(spark, sf_dir)
+    cand = _similarity_candidates(ud, min_days=20)
+    n_cand = cand.count()
+    verify_rows = (
+        cand.join(ud.alias("a"), F.col("user_a") == F.col("a.user_id"))
+        .join(
+            ud.alias("b"),
+            (F.col("user_b") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day")),
+        )
+        .count()
+    )
+    return {"candidate_pairs": int(n_cand), "verify_rows": int(verify_rows)}
+
+
 def similarity_capped_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diagnostic face of the bucket guard: the prefix days (with
     their bucket sizes) that ``timeseries_user_similarity`` drops
