@@ -986,12 +986,36 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: ONE corpus pass scores every (query, dims) pair against the
     broadcast 8-vector query set (q·|dims|·n rows, q bounded — the
     serving-eval shape); per-(dims, query) top-k windows; the corpus
-    never shuffles."""
+    never shuffles. Prefix NORMS are per-VECTOR quantities, so they are
+    precomputed once per corpus row (and once per broadcast query)
+    BEFORE the pair join — computing them per pair tripled the
+    non-codegen higher-order-function work and made this the most
+    expensive extended row at sf0.1 (15.1 s → the per-pair cost is now
+    just the |dims| prefix dots). ``cosine_prenormed`` is bit-identical
+    to ``cosine`` (same expressions, same fold order), so the oracle
+    hash is unchanged by construction."""
     e = load_table(spark, sf_dir, "embeddings")
-    qs = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+
+    def _with_prefix_norms(df, vec_col: str, prefix: str):
+        return df.select(
+            "*",
+            *[
+                norm(F.slice(vec_col, 1, d)).alias(f"{prefix}{d}")
+                for d in MATRYOSHKA_DIMS
+            ],
+        )
+
+    corpus = _with_prefix_norms(
+        e.select("vec_id", "embedding"), "embedding", "en"
     )
-    pairs = e.join(
+    qs = _with_prefix_norms(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        ),
+        "qe",
+        "qn",
+    )
+    pairs = corpus.join(
         F.broadcast(qs), F.col("vec_id") != F.col("query_id")
     )
     scored = pairs.select(
@@ -1004,9 +1028,11 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit("dims"),
                         F.lit(d),
                         F.lit("cos"),
-                        cosine(
+                        cosine_prenormed(
                             F.slice("qe", 1, d),
                             F.slice("embedding", 1, d),
+                            F.col(f"qn{d}"),
+                            F.col(f"en{d}"),
                         ),
                     )
                     for d in MATRYOSHKA_DIMS
