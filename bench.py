@@ -411,6 +411,19 @@ def main() -> None:
                 "cdc_merge_n_events": cdc_tp["n_events"],
                 "cdc_merge_jobs": cdc_tp.get("merge_jobs"),
                 "cdc_state_bytes_written": cdc_tp.get("state_bytes_written"),
+                # Full per-run distribution: a big spread is only
+                # interpretable if each run's wall time is visible next
+                # to the (plan-stable) job count — e.g. 3 runs at 8 jobs
+                # with one 3× wall outlier is box noise, not a plan
+                # regression.
+                "cdc_merge_runs": [
+                    {
+                        "events_per_sec": r["events_per_sec"],
+                        "wall_sec": r["wall_sec"],
+                        "merge_jobs": r.get("merge_jobs"),
+                    }
+                    for r in cdc_runs
+                ],
                 "zorder": zorder,
                 "calibration": calibration,
                 "sf": sf,
