@@ -421,6 +421,7 @@ def main() -> None:
                         "events_per_sec": r["events_per_sec"],
                         "wall_sec": r["wall_sec"],
                         "merge_jobs": r.get("merge_jobs"),
+                        "probe_json_sec": r.get("probe_json_sec"),
                     }
                     for r in cdc_runs
                 ],
