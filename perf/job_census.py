@@ -30,6 +30,7 @@ from spark_streaming_with_debezium_spark.session import get_spark  # noqa: E402
 #: The many-small-jobs suspects: iterative / stateful / driver-loop
 #: queries whose wall time tracks per-job latency, not data volume.
 WATCH = (
+    "ann_matryoshka_recall",
     "embedding_hard_negatives",
     "dedup_neardup_components",
     "graph_connected_components",

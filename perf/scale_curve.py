@@ -59,8 +59,18 @@ _OFFSETS = {
     "vec_id": 10_000_000,
 }
 
-#: Vowel rotations: replica i applies translate(text, 'aeiou', rot[i]).
-_ROTS = ("aeiou", "eioua", "iouae", "ouaei", "uaeio", "aeiuo", "eiuoa", "iuoae")
+#: Vowel bijections: replica i applies translate(text, 'aeiou', _rot(i)).
+#: Any permutation of the vowels is a character bijection (within-
+#: replica pairwise relations exactly preserved); itertools order is
+#: deterministic and starts at the identity, giving 120 distinct
+#: replicas — enough for ×25 and beyond (the original 8-entry literal
+#: tuple made N>8 an IndexError).
+def _rot(i: int) -> str:
+    from itertools import islice, permutations
+
+    return "".join(
+        next(islice(permutations("aeiou"), i % 120, None))
+    )
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -98,7 +108,7 @@ def build_scaled(spark, src_dir: str, dst_dir: str, n: int) -> None:
                         rep = rep.withColumn(c, F.col(c) + F.lit(i * _OFFSETS[c]))
                 if t == "documents" and i > 0:
                     rep = rep.withColumn(
-                        "text", F.translate(F.col("text"), _ROTS[0], _ROTS[i])
+                        "text", F.translate(F.col("text"), "aeiou", _rot(i))
                     )
                 if t == "events" and i > 0:
                     # Disjoint 35-day window per replica: N× data means
