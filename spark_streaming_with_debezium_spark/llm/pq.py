@@ -141,31 +141,29 @@ def _sub_slices():
     ]
 
 
-def _sub_dist2(sv_col, cv: list[int]):
-    arr = F.array(*[F.lit(int(c)) for c in cv])
-    return F.aggregate(
-        F.zip_with(sv_col, arr, lambda x, c: (x - c) * (x - c)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+def _sub_dist2_sql(sv: str, cv: list[int]) -> str:
+    """Exact integer squared distance between subvector column ``sv``
+    and literal sub-centroid ``cv`` as ONE SQL string — same rationale
+    as ``cluster._km_dist2_sql``: per-element ``F.lit`` trees cost a
+    py4j round-trip per Column, and _pq_best assembles M·k of these
+    per call (and per training iteration); one JVM-side parse lowers
+    to the identical Catalyst plan."""
+    arr = ",".join(str(int(c)) for c in cv)
+    return (
+        f"aggregate(zip_with({sv}, array({arr}), (x, c) -> (x - c) * (x - c)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
 
 
 def _pq_best(m: int, books: list[list[list[int]]]):
     """argmin struct (d2, cluster) of subspace m against its codebook —
-    array_min over named structs, same pinned tie-break as the oracle."""
-    return F.array_min(
-        F.array(
-            *[
-                F.named_struct(
-                    F.lit("d2"),
-                    _sub_dist2(F.col(f"sv{m}"), cv),
-                    F.lit("cluster"),
-                    F.lit(j),
-                )
-                for j, cv in enumerate(books[m])
-            ]
-        )
+    array_min over named structs, same pinned tie-break as the oracle.
+    One F.expr parse (see _sub_dist2_sql for why not F.lit trees)."""
+    structs = ",".join(
+        f"named_struct('d2', {_sub_dist2_sql(f'sv{m}', cv)}, 'cluster', {j})"
+        for j, cv in enumerate(books[m])
     )
+    return F.expr(f"array_min(array({structs}))")
 
 
 #: Trained codebooks per sf_dir — safe to memoize for the same reason
