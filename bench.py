@@ -116,6 +116,7 @@ EXTENDED = (
     "events_theilsen_trend",  # robust pairwise-slope trend (r8)
     "dedup_containment",  # directed shingle containment (r8)
     "ann_matryoshka_recall",  # prefix-dim serving recall curve (r9)
+    "dedup_substring_spans",  # maximal duplicated-span coalescing (r10)
 )
 
 

@@ -854,6 +854,97 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_substring_spans",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS L FROM documents
+    ), grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(substr(text, CAST(i AS INT), 40)) AS h
+      FROM d, UNNEST(range(1, L - 40 + 2, 10)) AS t(i)
+      WHERE L >= 40
+    ), dup AS (
+      SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ), dpos AS (
+      SELECT DISTINCT g.doc_id, g.pos FROM grams g JOIN dup USING (h)
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) <= 40
+                  THEN 0 ELSE 1 END AS new_island
+      FROM dpos
+    ), islands AS (
+      SELECT doc_id, pos,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 39 AS e
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+           CAST(MAX(e - s + 1) AS BIGINT) AS max_span
+    FROM spans GROUP BY doc_id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL duplicated spans per document — the span-remover step
+    `dedup_exact_substring` names as the production follow-on: keep
+    the stride-window positions whose 40-char gram occurs verbatim in
+    some other document, then coalesce overlapping/adjacent windows
+    (gaps-and-islands: a window starting ≤ 40 chars after its
+    predecessor overlaps or touches it, since stride 10 < width 40)
+    into maximal character spans. A span-level excision policy (Lee
+    et al. 2021 drop duplicated spans, keep the unique remainder)
+    reads exactly this output: per doc, span count, total duplicated
+    chars, longest span.
+
+    Shape: the same O(chars/stride) gram explode and uniform-md5-key
+    shuffle as `dedup_exact_substring`; the islands pass is a per-doc
+    window over the doc's DUPLICATED positions only (bounded by
+    len/stride rows per doc — embarrassingly parallel across docs,
+    exactly the per-doc sort the sibling face's docstring promises).
+    Output is O(docs). All arithmetic exact integers."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    L = F.length("text")
+    pos = F.when(L >= 40, F.sequence(F.lit(1), L - 39, F.lit(10))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = d.select(
+        "doc_id", F.explode(pos).alias("pos"), "text"
+    ).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.md5(F.col("text").substr(F.col("pos"), F.lit(40))).alias("h"),
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dpos = (
+        grams.join(dup, "h", "left_semi").select("doc_id", "pos").distinct()
+    )
+    wlag = Window.partitionBy("doc_id").orderBy("pos")
+    wsum = wlag.rowsBetween(Window.unboundedPreceding, 0)
+    islands = dpos.withColumn(
+        "new_island",
+        F.when(F.col("pos") - F.lag("pos").over(wlag) <= 40, F.lit(0))
+        .otherwise(F.lit(1)),
+    ).withColumn("island", F.sum("new_island").over(wsum))
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + 39).alias("e")
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_chars"),
+        F.max(F.col("e") - F.col("s") + 1).cast("bigint").alias("max_span"),
+    )
+
+
 #: Content-defined chunking geometry: a boundary opens wherever the
 #: 60-bit hash of the W-char window divides D — average chunk ≈ D
 #: chars, and (the CDC property) boundaries depend only on LOCAL
