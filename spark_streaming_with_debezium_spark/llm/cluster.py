@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_streaming_with_debezium_spark.registry import query
@@ -240,6 +240,129 @@ def dedup_clusters_ml(spark, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("exact_groups_clustered"),
+    )
+
+
+def _keep_best_oracle() -> str:
+    from spark_streaming_with_debezium_spark.llm.dedup import (
+        minhash_pairs_ctes,
+    )
+
+    return f"""
+    WITH RECURSIVE {minhash_pairs_ctes()},
+    vp AS (SELECT doc_a, doc_b FROM verified WHERE jac >= 0.5),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM vp
+      UNION ALL SELECT doc_b, doc_a FROM vp
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS comp FROM reach GROUP BY node),
+    t AS (
+      SELECT doc_id, text,
+             string_split_regex(lower(trim(text)), '\\s+') AS words
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+             CAST((len(words) BETWEEN 5 AND 1000) AND
+                  (CAST(length(text) AS DOUBLE) / len(words))
+                    BETWEEN 3 AND 12 AS INT) AS passes
+      FROM t
+    ),
+    ranked AS (
+      SELECT c.comp, c.node, q.n_words, q.passes,
+             row_number() OVER (PARTITION BY c.comp
+               ORDER BY q.passes DESC, q.n_words DESC, c.node) AS rn
+      FROM comp c JOIN q ON q.doc_id = c.node
+    )
+    SELECT comp AS cluster_id,
+           CAST(MAX(CASE WHEN rn = 1 THEN node END) AS BIGINT) AS keep_doc,
+           CAST(MAX(CASE WHEN rn = 1 THEN n_words END) AS BIGINT)
+             AS keep_n_words,
+           CAST(MAX(CASE WHEN rn = 1 THEN passes END) AS BIGINT)
+             AS keep_passes,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped,
+           string_agg(CASE WHEN rn > 1 THEN CAST(node AS VARCHAR) END,
+                      ',' ORDER BY node) AS dropped_docs
+    FROM ranked GROUP BY comp HAVING COUNT(*) > 1
+    """
+
+
+@query("dedup_cluster_keep_best", oracle=_keep_best_oracle())
+def dedup_cluster_keep_best(spark, sf_dir: str) -> DataFrame:
+    """Quality-canonical dedup policy: within each near-dup cluster
+    (connected components over the MinHash-LSH verified pairs — the
+    same shared CC core as :func:`dedup_clusters`), KEEP the member
+    the C4/Gopher heuristic gate ranks best — (passes_quality DESC,
+    n_words DESC, doc_id ASC), all exact ints so the pinned order is
+    engine-portable — and emit the drop list. This is the policy
+    production pipelines actually apply (keep the highest-quality
+    representative), where `dedup_clusters`' lowest-id canonical is
+    the arbitrary-but-deterministic baseline.
+
+    Shape: everything up to components is the shared banded-LSH /
+    min-label CC machinery (each stage's scale story documented at its
+    face); the policy itself adds one broadcast-size join of component
+    rows to per-doc quality ints and one per-component window —
+    components are near-dup clusters, bounded by the LSH bucket cap.
+    Output is O(clusters)."""
+    from spark_streaming_with_debezium_spark.llm.dedup import (
+        dedup_minhash_lsh,
+    )
+    from spark_streaming_with_debezium_spark.llm.text_analysis import (
+        _words,
+    )
+    from spark_streaming_with_debezium_spark.sources.tables import load_table
+
+    comps = connected_components(dedup_minhash_lsh(spark, sf_dir))
+    d = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n_words = F.size(words).cast("bigint")
+    awl = F.length("text").cast("double") / F.size(words)
+    quality = d.select(
+        F.col("doc_id").alias("node"),
+        n_words.alias("n_words"),
+        (F.size(words).between(5, 1000) & awl.between(3, 12))
+        .cast("int")
+        .alias("passes"),
+    )
+    w = Window.partitionBy("comp").orderBy(
+        F.desc("passes"), F.desc("n_words"), F.asc("node")
+    )
+    ranked = comps.join(quality, "node").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        ranked.groupBy(F.col("comp").alias("cluster_id"))
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("node")))
+            .cast("bigint")
+            .alias("keep_doc"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_words")))
+            .cast("bigint")
+            .alias("keep_n_words"),
+            F.max(F.when(F.col("rn") == 1, F.col("passes")))
+            .cast("bigint")
+            .alias("keep_passes"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("rn") > 1, F.col("node"))
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("dropped_docs"),
+        )
+        .filter(F.col("n_dropped") >= 1)
     )
 
 
