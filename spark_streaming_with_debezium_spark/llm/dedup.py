@@ -650,19 +650,25 @@ def simhash60(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     tok = docs.select(F.col(id_col), tokens).withColumn(
         "h", _md5_60bit(F.col("tok"))
     )
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"v{b}")
+    # ±1-vote identity: v_b = ones_b − (n − ones_b) = 2·ones_b − n, so
+    # v_b > 0 ⟺ 2·ones_b > n. Summing the raw extracted bit (0/1) plus
+    # ONE shared row count replaces 60 branchy SUM(CASE ±1) aggregates
+    # with 60 branchless bit sums — ~30 % off the aggregate stage in
+    # isolation (end-to-end a wash at sf0.1, where the explode+md5
+    # scan dominates), bit-for-bit the same fingerprint. The DuckDB
+    # oracle keeps the ±1 formulation, so the hash match re-proves the
+    # identity on every run.
+    ones = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"o{b}")
         for b in range(60)
     ]
-    agg = tok.groupBy(id_col).agg(*votes)
+    agg = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"), *ones)
     sim = F.lit(0).cast("long")
     for b in range(60):
         bit = F.lit(1 << b).cast("long")  # max bit 59: stays positive
-        sim = sim + F.when(F.col(f"v{b}") > 0, bit).otherwise(F.lit(0).cast("long"))
+        sim = sim + F.when(
+            F.col(f"o{b}") * 2 > F.col("n"), bit
+        ).otherwise(F.lit(0).cast("long"))
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
