@@ -1579,7 +1579,7 @@ def test_rolling_hll_state_swap_crash_recovery(spark, tmp_path):
     assert replayed == baseline
 
 
-def test_cms_token_stream_exactly_once(spark, tmp_path):
+def test_cms_token_stream_exactly_once(spark, tmp_path, caplog):
     """Streaming CMS counter state (VERDICT/round-9 new face): unlike
     the idempotent HLL union, CMS cells merge by ADDITION, so replay
     safety needs the batch-id fence. Prove (a) two-batch incremental
@@ -1654,13 +1654,25 @@ def test_cms_token_stream_exactly_once(spark, tmp_path):
     }
 
     # (c) full re-drain on a FRESH checkpoint restarts batch ids at 0,
-    # which the fence rejects — counters must not double
-    run_cms_token_stream(
-        docs_file_stream(spark, str(src)), state, str(tmp_path / "ckpt2")
-    )
+    # which the fence rejects — counters must not double. ADVICE r9:
+    # this silent-skip can be DATA LOSS in operation (fresh checkpoint
+    # + genuinely new data), so the fence must also LOG the identity
+    # change loudly enough to be detectable.
+    import logging as _logging
+
+    with caplog.at_level(
+        _logging.WARNING,
+        logger="spark_streaming_with_debezium_spark.streaming.jobs",
+    ):
+        run_cms_token_stream(
+            docs_file_stream(spark, str(src)), state, str(tmp_path / "ckpt2")
+        )
     assert cells == {
         (r.i, r.bucket): r.c for r in spark.read.parquet(state).collect()
     }
+    assert any(
+        "stream identity changed" in rec.message for rec in caplog.records
+    ), "cross-identity fence must warn (checkpoint-reset detectability)"
 
     # (d) crash-window recovery: state renamed away with complete _tmp
     shutil.copytree(state, state + "_old")
