@@ -114,65 +114,74 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: r04-stale names displaced in r9, all 41 r05-stale names, and then
 #: the r06 cohort. 3 + 5 + 41 = 49, so one r06 name
 #: (agg_mode_per_group, first in ledger order) fills the 50th slot.
-#: Nothing is displaced from the queue head this round; the round-11
-#: queue head is the remaining 44 r06-stale names (ledger order).
+#: Round-11 rotation (VERDICT r10 item 1). After r10's all-green
+#: window the ledger queue is exactly: the 2 never-driver-checked r10
+#: faces (dedup_substring_spans, dedup_cluster_keep_best — registered
+#: after the r10 window so the prescribed queue ran untouched), then
+#: all 44 remaining r06-stale names (ledger order). 2 + 44 = 46, so
+#: the 4 stalest r07 names (ann_ivf_pq_topk, ann_lsh_topk,
+#: ann_nprobe_recall_curve, ann_pq_adc_topk — ledger order) fill the
+#: window to 50. ann_nprobe_recall_curve is additionally the face
+#: rewritten this round (shared ADC scan across the nprobe grid,
+#: VERDICT r10 item 6), so its fresh hash row is doubly needed.
+#: Nothing is displaced from the queue head; the round-12 queue head
+#: is the remaining r07 cohort from ann_recall_report onward.
 _PRIORITY = (
-    # --- round-10 driver window (50) ---
-    # 3 never-driver-checked (r9-new operators)
-    "ann_matryoshka_recall",
-    "sample_temperature_mix",
-    "text_vocab_coverage",
-    # 5 r04-stale names displaced from the r9 window
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_filtered",
-    "distinct_rows",
-    "sort_limit_topk",
-    # all 41 r05-stale names (ledger order)
-    "ab_welch_ttest",
-    "agg_collect_sorted",
-    "agg_corr_exact",
-    "agg_histogram",
-    "agg_linreg_exact",
-    "agg_max_by",
-    "agg_pivot",
-    "ann_cosine_topk",
-    "basket_part_affinity",
-    "cdc_scd2_history",
-    "decontaminate_train_ngram",
-    "dedup_exact_keep_canonical",
-    "dedup_ngram_jaccard",
-    "dq_orders_reconcile",
-    "events_anomaly_zscore",
-    "events_daily_filled",
-    "events_dau_wau_stickiness",
-    "events_markov_transitions",
-    "events_pareto_concentration",
-    "fn_arrays",
-    "fn_bitwise",
-    "fn_datetime_arith",
-    "fn_json_typed_parse",
-    "fn_maps",
-    "fn_split_part",
-    "fn_string_split_explode",
-    "fn_strings",
-    "fn_try_family",
-    "multimodal_metadata_stats",
-    "parts_abc_classification",
-    "retrieval_rrf_hybrid",
-    "revenue_growth_mom_yoy",
-    "set_ops",
-    "split_train_eval",
-    "text_bm25_topk",
-    "text_zipf_fit",
-    "union_positional",
-    "unpivot_melt",
-    "window_first_last",
-    "window_lag_lead",
-    "window_time_range_rolling",
-    # stalest r06 name fills the 50th slot
-    "agg_mode_per_group",
-    # --- 50-query prefix boundary (round-10 driver window) ---
+    # --- round-11 driver window (50) ---
+    # 2 never-driver-checked (r10-new operators)
+    "dedup_substring_spans",
+    "dedup_cluster_keep_best",
+    # all 44 remaining r06-stale names (ledger order)
+    "agg_skew_kurtosis_exact",
+    "ann_int8_rescore",
+    "cdc_incremental_agg",
+    "cdc_logical_types",
+    "cdc_temporal_pit_join",
+    "contamination_ngram_overlap",
+    "corpus_curation_funnel",
+    "curriculum_quality_tiers",
+    "customer_order_degree_distribution",
+    "dedup_exact_substring",
+    "dq_benford_first_digit",
+    "dq_profile_orders",
+    "dq_referential_integrity",
+    "events_anomaly_mad",
+    "events_autocorrelation",
+    "events_changepoint_cusum",
+    "events_concurrency_peak",
+    "events_entropy_profile",
+    "events_forecast_ewma",
+    "events_funnel",
+    "events_hourly_seasonality",
+    "events_path_trigrams",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "multimodal_fake_decode",
+    "multimodal_resize",
+    "orders_rfm_segments",
+    "orders_spend_drawdown",
+    "pack_sequences",
+    "q11_important_value_share",
+    "q20_dominant_supplier",
+    "q21_blamed_supplier",
+    "q2_min_cost_supplier",
+    "rag_chunk_documents",
+    "sample_hash_topk_per_group",
+    "sample_weights_by_source",
+    "stream_interval_join",
+    "stream_static_enrich",
+    "supplier_fulfillment_sla",
+    "text_boilerplate_ngrams",
+    "text_bpe_merges",
+    "text_heavy_hitter_tokens",
+    "timeseries_user_similarity",
+    "window_range_frame",
+    # 4 stalest r07 names fill slots 47-50 (ledger order)
+    "ann_ivf_pq_topk",
+    "ann_lsh_topk",
+    "ann_nprobe_recall_curve",
+    "ann_pq_adc_topk",
+    # --- 50-query prefix boundary (round-11 driver window) ---
 )
 
 
