@@ -423,6 +423,7 @@ def main() -> None:
                         "wall_sec": r["wall_sec"],
                         "merge_jobs": r.get("merge_jobs"),
                         "probe_json_sec": r.get("probe_json_sec"),
+                        "probe_write_sec": r.get("probe_write_sec"),
                     }
                     for r in cdc_runs
                 ],

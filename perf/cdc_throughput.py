@@ -110,12 +110,20 @@ def measure(spark, n: int) -> dict:
         # CPU-stall probe (VERDICT r9 item 5 closure): this sandbox
         # exhibits intermittent ~10× CPU stalls — the SAME warm 1M-row
         # from_json workload measured 0.49 s and 7.13 s back-to-back in
-        # one session. A fixed 100k-row from_json probe timed right
+        # one session. A fixed-size from_json probe timed right
         # before the measured merge attributes each run's swing to box
         # JSON-parse throughput (the pipeline's dominant CPU phase)
         # rather than to the merge plan, whose job count and bytes
         # written are recorded below and are run-invariant.
-        probe = raw_df.limit(100_000).select(
+        # Honesty notes (ADVICE r10): (a) the probe reads raw_df, so it
+        # warms the input parquet into the OS page cache — wall_sec is
+        # therefore a warm-input number from r10 onward and is NOT
+        # directly comparable to pre-r10 recordings; deliberate, since
+        # warm-input runs are also more comparable to EACH OTHER.
+        # (b) for n < 100k the probe times fewer rows than its nominal
+        # size, so the actual count is clamped and recorded.
+        probe_rows = min(100_000, n)
+        probe = raw_df.limit(probe_rows).select(
             F.from_json(
                 "key",
                 T.StructType(
@@ -131,6 +139,25 @@ def measure(spark, n: int) -> dict:
         tp0 = time.perf_counter()
         probe.select("k.payload.id").agg(F.sum("id")).collect()
         probe_json_sec = round(time.perf_counter() - tp0, 3)
+
+        # WRITE-path probe (VERDICT r10 item 2): the r10 evidence showed
+        # a 132.5 s solo run whose from_json probe was FAST (0.39 s) —
+        # i.e. that stall lived in the unprobed write leg. This probe
+        # times a fixed-shape 64-file parquet commit (the same file
+        # count as one bucketed state write) immediately before the
+        # measured merge, so every slow run is attributed line-item:
+        # slow parse probe => box CPU stall, slow write probe => box
+        # I/O/commit stall, both fast + slow wall => plan regression
+        # (which the run-invariant job count would also show).
+        probe_dir = os.path.join(workdir, "write_probe")
+        wp = spark.range(65_536).select(
+            F.col("id"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        ).repartition(64)
+        tw0 = time.perf_counter()
+        wp.write.mode("overwrite").parquet(probe_dir)
+        probe_write_sec = round(time.perf_counter() - tw0, 3)
+        shutil.rmtree(probe_dir, ignore_errors=True)
 
         sc = spark.sparkContext
         group = f"cdc_tp_{time.perf_counter_ns()}"
@@ -157,6 +184,8 @@ def measure(spark, n: int) -> dict:
             "merge_jobs": n_jobs,
             "state_bytes_written": state_bytes,
             "probe_json_sec": probe_json_sec,
+            "probe_json_rows": probe_rows,
+            "probe_write_sec": probe_write_sec,
         }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
