@@ -64,13 +64,19 @@ _OFFSETS = {
 #: replica pairwise relations exactly preserved); itertools order is
 #: deterministic and starts at the identity, giving 120 distinct
 #: replicas — enough for ×25 and beyond (the original 8-entry literal
-#: tuple made N>8 an IndexError).
+#: tuple made N>8 an IndexError). i >= 120 is a hard error (ADVICE
+#: r10): wrapping with % 120 would silently reuse an earlier bijection
+#: (replica 120 = identity), producing exact cross-replica duplicate
+#: texts that corrupt dedup-face scale measurements.
 def _rot(i: int) -> str:
     from itertools import islice, permutations
 
-    return "".join(
-        next(islice(permutations("aeiou"), i % 120, None))
-    )
+    if i >= 120:
+        raise ValueError(
+            f"replica {i}: only 120 distinct vowel bijections exist; "
+            "extend the bijection alphabet before scaling past x120"
+        )
+    return "".join(next(islice(permutations("aeiou"), i, None)))
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -127,21 +133,46 @@ def build_scaled(spark, src_dir: str, dst_dir: str, n: int) -> None:
         out.write.mode("overwrite").parquet(os.path.join(dst_dir, f"{t}.parquet"))
 
 
-def time_query(spark, q, sf_dir: str, runs: int = 2) -> float:
-    q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+def time_query(spark, fn, sf_dir: str, runs: int = 2) -> float:
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times.append(time.perf_counter() - t0)
     times.sort()
     return round(times[len(times) // 2], 3)
 
 
+def _occupancy_fn(name: str, n_rep: int):
+    """Fixed-occupancy (k ∝ n) variant of a quantizer-celled query
+    (VERDICT r10 item 3). Under the harness's replicate-as-is
+    semantics at FIXED k, the N copies of every vector land in the
+    SAME cell, so per-cell pair work grows N² — a harness artifact.
+    Production sizes the coarse quantizer so cell occupancy stays
+    bounded as the corpus grows (the `llm/ivf_index.py` cell-balance
+    invariant); this mode demonstrates that rule: k scales with the
+    replica count, occupancy stays ~constant, expected wall ≈ linear."""
+    if name == "embedding_hard_negatives":
+        from spark_streaming_with_debezium_spark.llm.cluster import (
+            _KM_K,
+            embedding_hard_negatives,
+        )
+
+        def fn(spark, sf_dir):
+            return embedding_hard_negatives(spark, sf_dir, k=_KM_K * n_rep)
+
+        return fn
+    raise KeyError(f"no occupancy-scaled variant for {name}")
+
+
 def main() -> None:
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "5"))
-    names = sys.argv[1:] or list(DEFAULT_QUERIES)
+    occupancy = "--occupancy" in sys.argv
+    names = [a for a in sys.argv[1:] if not a.startswith("--")] or list(
+        DEFAULT_QUERIES
+    )
     spark = get_spark("scale_curve")
     spark.sparkContext.setLogLevel("ERROR")
     queries = load_all()
@@ -153,9 +184,12 @@ def main() -> None:
         build_sec = round(time.perf_counter() - t0, 3)
         out = {}
         for name in names:
-            q = queries[name]
-            base = time_query(spark, q, src)
-            scaled = time_query(spark, q, dst)
+            if occupancy:
+                base_fn, scaled_fn = _occupancy_fn(name, 1), _occupancy_fn(name, n)
+            else:
+                base_fn = scaled_fn = queries[name].fn
+            base = time_query(spark, base_fn, src)
+            scaled = time_query(spark, scaled_fn, dst)
             out[name] = {
                 "x1_sec": base,
                 f"x{n}_sec": scaled,
@@ -165,6 +199,7 @@ def main() -> None:
             json.dumps(
                 {
                     "metric": "scale_curve",
+                    "mode": "occupancy_k_prop_n" if occupancy else "fixed_k",
                     "replicas": n,
                     "ideal_ratio": float(n),
                     "build_sec": build_sec,
