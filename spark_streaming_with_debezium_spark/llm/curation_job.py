@@ -136,6 +136,33 @@ def curate(docs: DataFrame) -> DataFrame:
     )
 
 
+def substring_dedup_report(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Both substring-dedup faces off ONE cached gram pass (VERDICT
+    r10 item 5): a curation pipeline that wants per-doc duplication
+    coverage (`dedup_exact_substring`) AND the maximal-span report
+    (`dedup_substring_spans`) pays the explode+md5 corpus scan — the
+    dominant stage of either face — once instead of twice. The shared
+    (doc_id, pos, h) frame is persisted; the first action materializes
+    it and the second reads the cache (the composition test asserts
+    the second plan scans InMemoryRelation, not the documents
+    parquet). Output rows are bit-identical to the standalone faces —
+    the same `stride_grams` expression feeds both."""
+    from spark_streaming_with_debezium_spark.llm.dedup import (
+        dedup_exact_substring,
+        dedup_substring_spans,
+        stride_grams,
+    )
+
+    grams = stride_grams(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).persist()
+    coverage = dedup_exact_substring(spark, sf_dir, grams=grams)
+    spans = dedup_substring_spans(spark, sf_dir, grams=grams)
+    return coverage, spans
+
+
 def run_curation_job(
     spark: SparkSession, sf_dir: str, out_path: str
 ) -> CurationStats:

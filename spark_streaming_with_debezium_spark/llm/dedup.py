@@ -769,6 +769,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("hamming") <= 6)
 
 
+def stride_grams(d: DataFrame) -> DataFrame:
+    """Stride-sampled fixed-width gram table shared by the two
+    substring-dedup faces: (doc_id, pos BIGINT, h md5-of-40-chars),
+    one row per stride-10 window of every doc with ≥ 40 chars. The
+    single most expensive stage of either face is exactly this
+    explode+md5 corpus scan, so a pipeline running both caches THIS
+    frame (see `llm.curation_job.substring_dedup_report`)."""
+    L = F.length("text")
+    pos = F.when(L >= 40, F.sequence(F.lit(1), L - 39, F.lit(10))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        d.select("doc_id", F.explode(pos).alias("pos"), "text")
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.md5(F.col("text").substr(F.col("pos"), F.lit(40))).alias("h"),
+        )
+    )
+
+
 @query(
     "dedup_exact_substring",
     oracle="""
@@ -793,7 +814,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tot t LEFT JOIN dp ON t.doc_id = dp.doc_id
     """,
 )
-def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_exact_substring(
+    spark: SparkSession, sf_dir: str, grams: DataFrame | None = None
+) -> DataFrame:
     """Exact-substring duplication coverage (the Lee et al. 2021
     "Deduplicating Training Data Makes Language Models Better" family):
     per document, what fraction of its 40-char windows (sampled at
@@ -815,18 +838,18 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-key shuffle; a production span-remover would keep gram
     *positions* alongside and coalesce adjacent duplicated windows
     into maximal spans (a per-doc sort — embarrassingly parallel after
-    this same candidate join)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    L = F.length("text")
-    pos = F.when(L >= 40, F.sequence(F.lit(1), L - 39, F.lit(10))).otherwise(
-        F.array().cast("array<int>")
-    )
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(pos, lambda i: F.md5(F.col("text").substr(i, F.lit(40))))
-        ).alias("h"),
-    )
+    this same candidate join).
+
+    ``grams`` lets a pipeline that runs BOTH substring faces (this one
+    and `dedup_substring_spans`) feed them from ONE shared — typically
+    cached — (doc_id, pos, h) gram frame (`stride_grams`), so the
+    explode+md5 corpus scan runs once instead of twice (VERDICT r10
+    item 5; `llm.curation_job.substring_dedup_report` is that
+    composition)."""
+    if grams is None:
+        grams = stride_grams(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
     # Collapse to (gram, doc) with a position count FIRST: every
     # downstream aggregate then reads this much smaller table, and all
     # three consumers hash-partition on the same (h, doc_id) exchange,
@@ -895,7 +918,9 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM spans GROUP BY doc_id
     """,
 )
-def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_substring_spans(
+    spark: SparkSession, sf_dir: str, grams: DataFrame | None = None
+) -> DataFrame:
     """MAXIMAL duplicated spans per document — the span-remover step
     `dedup_exact_substring` names as the production follow-on: keep
     the stride-window positions whose 40-char gram occurs verbatim in
@@ -912,19 +937,14 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the doc's DUPLICATED positions only (bounded by
     len/stride rows per doc — embarrassingly parallel across docs,
     exactly the per-doc sort the sibling face's docstring promises).
-    Output is O(docs). All arithmetic exact integers."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    L = F.length("text")
-    pos = F.when(L >= 40, F.sequence(F.lit(1), L - 39, F.lit(10))).otherwise(
-        F.array().cast("array<int>")
-    )
-    grams = d.select(
-        "doc_id", F.explode(pos).alias("pos"), "text"
-    ).select(
-        "doc_id",
-        F.col("pos").cast("bigint").alias("pos"),
-        F.md5(F.col("text").substr(F.col("pos"), F.lit(40))).alias("h"),
-    )
+    Output is O(docs). All arithmetic exact integers.
+
+    ``grams`` shares one (doc_id, pos, h) frame with the sibling face
+    (VERDICT r10 item 5) — see `stride_grams`."""
+    if grams is None:
+        grams = stride_grams(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
     dup = (
         grams.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))

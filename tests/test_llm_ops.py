@@ -460,6 +460,46 @@ def test_curation_job_end_to_end(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == stats.n_decontaminated
 
 
+def test_substring_report_shares_gram_pass(spark, sf_dir):
+    """`substring_dedup_report` must (a) return rows bit-identical to
+    the two standalone substring faces and (b) actually SHARE the
+    explode+md5 gram pass: after the first face materializes the
+    persisted gram frame, the second face's physical plan reads the
+    in-memory relation, not the documents parquet (VERDICT r10 item
+    5 — one corpus scan for both faces)."""
+    from spark_streaming_with_debezium_spark.llm.curation_job import (
+        substring_dedup_report,
+    )
+    from spark_streaming_with_debezium_spark.plans.explain import plan_text
+
+    coverage, spans = substring_dedup_report(spark, sf_dir)
+    try:
+        solo_cov = QUERIES["dedup_exact_substring"].fn(spark, sf_dir)
+        solo_spans = QUERIES["dedup_substring_spans"].fn(spark, sf_dir)
+        assert sorted(map(tuple, coverage.collect())) == sorted(
+            map(tuple, solo_cov.collect())
+        )
+        assert sorted(map(tuple, spans.collect())) == sorted(
+            map(tuple, solo_spans.collect())
+        )
+        # both composed plans read the shared cached gram frame — the
+        # corpus explode executes once, at cache materialization. In
+        # "simple" mode every InMemoryTableScan prints its CACHED child
+        # plan (a FileScan line) beneath it, so an honest "no uncached
+        # scan" check is count equality: a consumer that bypassed the
+        # cache would add a FileScan with no InMemoryTableScan parent.
+        for df in (coverage, spans):
+            txt = plan_text(df, "simple")
+            n_mem = txt.count("InMemoryTableScan")
+            n_file = txt.count("FileScan parquet")
+            assert n_mem >= 1, txt
+            assert n_mem == n_file, txt
+    finally:
+        # the report persists its shared gram frame; don't leak it
+        # into other tests' storage accounting
+        spark.catalog.clearCache()
+
+
 def test_heavy_hitter_candidates_superset(spark, sf_dir):
     """The Misra-Gries candidate phase must be a PROVABLE superset of
     every token with global frequency > N/k_mg (the mergeable-summary
