@@ -64,11 +64,16 @@ def scd2_apply(
     store. ``dim`` must be keyed ``key_cols + ['version']``."""
     keys = list(key_cols)
     w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_cols])
+    # One window pass computes EVERYTHING per-key-ordered the fold
+    # needs — next ts, last flag, version step, AND the batch's first
+    # ts per key (row_number() == 1 marks it; a separate groupBy would
+    # re-shuffle the same rows the window already key-partitioned).
     ch = (
         changes.withColumn("_ts", F.col(ts_col).cast("long"))
         .withColumn("_is_del", F.col(op_col) == F.lit("d"))
         .withColumn("_next_ts", F.lead("_ts").over(w))
         .withColumn("_last", F.lead("_ts").over(w).isNull())
+        .withColumn("_rn", F.row_number().over(w))
         .withColumn(
             "_vstep",
             F.sum(F.when(F.col("_is_del"), 0).otherwise(1)).over(
@@ -80,20 +85,35 @@ def scd2_apply(
     try:
         touched = ch.select(*keys).distinct()
         resident = dim.read().join(touched, keys, "left_semi")
-        base = resident.groupBy(*keys).agg(
+        # ONE aggregate over the resident history yields both facts the
+        # fold needs per key — the high-water version number and the
+        # currently-open row (≤ 1 per key by invariant, so max(when(
+        # is_current, struct)) IS that row). The previous shape read
+        # `resident` twice (a max-version groupBy AND an is_current
+        # filter+join), paying a second state scan + shuffle per
+        # increment — half the state-side AQE stages for the same rows.
+        res_agg = resident.groupBy(*keys).agg(
             F.max("version").alias("_v0"),
+            F.max(
+                F.when(
+                    F.col("is_current"),
+                    F.struct("version", "valid_from_ms", *data_cols),
+                )
+            ).alias("_open"),
         )
-        first_ts = ch.groupBy(*keys).agg(F.min("_ts").alias("_first_ts"))
+        first_ts = ch.filter(F.col("_rn") == 1).select(
+            *keys, F.col("_ts").alias("_first_ts")
+        )
         # 1) close the currently-open version (if any) at the batch's
         #    first event for that key
         closed_prev = (
-            resident.filter(F.col("is_current"))
+            res_agg.filter(F.col("_open").isNotNull())
             .join(first_ts, keys)
             .select(
                 *keys,
-                *data_cols,
-                "version",
-                "valid_from_ms",
+                *[F.col(f"_open.{c}").alias(c) for c in data_cols],
+                F.col("_open.version").alias("version"),
+                F.col("_open.valid_from_ms").alias("valid_from_ms"),
                 F.col("_first_ts").alias("valid_to_ms"),
                 F.lit(False).alias("is_current"),
             )
@@ -102,7 +122,7 @@ def scd2_apply(
         #    in THIS batch (deletes close too), NULL when last
         new_rows = (
             ch.filter(~F.col("_is_del"))
-            .join(base, keys, "left")
+            .join(res_agg.select(*keys, "_v0"), keys, "left")
             .select(
                 *keys,
                 *data_cols,

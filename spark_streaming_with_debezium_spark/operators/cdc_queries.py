@@ -728,9 +728,12 @@ def cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = table_column_max(sf_dir, "events", "event_id")
     if mid is None:
         mid = e.agg(F.max("offset")).collect()[0][0] or 0
+    # Bare-column comparisons (offset ≤ ⌊mid/2⌋ ⟺ offset·2 ≤ mid for
+    # integers) so each increment's predicate PUSHES DOWN to the
+    # parquet scan — the arithmetic form read every row group twice.
     for pred in (
-        F.col("offset") * 2 <= F.lit(mid),
-        F.col("offset") * 2 > F.lit(mid),
+        F.col("offset") <= F.lit(mid // 2),
+        F.col("offset") > F.lit(mid // 2),
     ):
         scd2_apply(
             dim,
