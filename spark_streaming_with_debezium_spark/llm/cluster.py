@@ -1240,6 +1240,59 @@ def ann_nprobe_recall_curve(spark, sf_dir: str) -> DataFrame:
 _RANGE_R2 = 1_450_000_000_000
 
 
+def _range_prune_table(spark, sf_dir: str):
+    """Driver-side exact cell pruning for :func:`ann_range_search`:
+    returns ``(allowed, q_rows, assigned)`` where ``allowed`` maps each
+    standing query id to the Lloyd cells whose ε-ball intersection
+    cannot be ruled out by the integer triangle-inequality certificate
+    (see the query docstring), ``q_rows`` are the collected query
+    vectors, and ``assigned`` is the cell-assigned corpus frame. Two
+    bounded collects (k cell radii + q query vectors); exposed
+    separately so the plan-census test can assert the prune BITES
+    without duplicating the certificate arithmetic."""
+    import math
+
+    e = _gridded_embeddings(spark, sf_dir).select("vec_id", "v")
+    cents = _lloyd_centroids(e, cache_key=sf_dir)
+    best = _km_best_struct(cents)
+    assigned = e.select(
+        "vec_id",
+        "v",
+        best["cluster"].alias("cell"),
+        best["d2"].alias("cd2"),
+    )
+    # bounded collect #1: per-cell covering radius² (k rows)
+    rad2 = {
+        int(r["cell"]): int(r["rad2"])
+        for r in assigned.groupBy("cell")
+        .agg(F.max("cd2").alias("rad2"))
+        .collect()
+    }
+    # bounded collect #2: the standing query vectors (q rows)
+    q_rows = (
+        e.filter(F.col("vec_id") < _RECALL_QUERIES).orderBy("vec_id").collect()
+    )
+
+    def d2_py(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    allowed: dict[int, list[int]] = {}
+    for r in q_rows:
+        qid, qv = int(r["vec_id"]), list(r["v"])
+        cells = []
+        for j in range(len(cents)):
+            a = d2_py(qv, cents[j])
+            b = rad2.get(j)
+            if b is None:
+                continue  # empty cell holds nothing to scan
+            # prune iff a > b + R² + 2·(isqrt(b·R²)+1)  (conservative)
+            if a > b + _RANGE_R2 + 2 * (math.isqrt(b * _RANGE_R2) + 1):
+                continue
+            cells.append(j)
+        allowed[qid] = cells
+    return allowed, q_rows, assigned
+
+
 def _range_search_oracle() -> str:
     d2 = _KM_D2.format(a="x.v", b="q.qv")
     return f"""
@@ -1281,46 +1334,7 @@ def ann_range_search(spark, sf_dir: str) -> DataFrame:
     surviving (row, query) pairs via a query_id-keyed CASE. At 100 TB
     the per-cell scan fraction is exactly the IVF nprobe story with a
     provable-exactness guarantee instead of a recall target."""
-    import math
-
-    e = _gridded_embeddings(spark, sf_dir).select("vec_id", "v")
-    cents = _lloyd_centroids(e, cache_key=sf_dir)
-    best = _km_best_struct(cents)
-    assigned = e.select(
-        "vec_id",
-        "v",
-        best["cluster"].alias("cell"),
-        best["d2"].alias("cd2"),
-    )
-    # bounded collect #1: per-cell covering radius² (k rows)
-    rad2 = {
-        int(r["cell"]): int(r["rad2"])
-        for r in assigned.groupBy("cell")
-        .agg(F.max("cd2").alias("rad2"))
-        .collect()
-    }
-    # bounded collect #2: the standing query vectors (q rows)
-    q_rows = (
-        e.filter(F.col("vec_id") < _RECALL_QUERIES).orderBy("vec_id").collect()
-    )
-
-    def d2_py(a, b):
-        return sum((x - y) * (x - y) for x, y in zip(a, b))
-
-    allowed: dict[int, list[int]] = {}
-    for r in q_rows:
-        qid, qv = int(r["vec_id"]), list(r["v"])
-        cells = []
-        for j in range(len(cents)):
-            a = d2_py(qv, cents[j])
-            b = rad2.get(j)
-            if b is None:
-                continue  # empty cell holds nothing to scan
-            # prune iff a > b + R² + 2·(isqrt(b·R²)+1)  (conservative)
-            if a > b + _RANGE_R2 + 2 * (math.isqrt(b * _RANGE_R2) + 1):
-                continue
-            cells.append(j)
-        allowed[qid] = cells
+    allowed, q_rows, assigned = _range_prune_table(spark, sf_dir)
     # constant (query, allowed-cells) literal array — filtered against
     # the row's cell BEFORE any 64-dim distance is evaluated
     qarr = F.array(

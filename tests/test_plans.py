@@ -635,3 +635,91 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(spark, sf_dir):
             spark.conf.set(k, v)
     plain, _ = plan_text()
     assert rows_bloom == {tuple(r) for r in plain.collect()}
+
+
+def test_range_search_stays_joinless_single_scan(spark, sf_dir):
+    """`ann_range_search` must never plan a cartesian/BNLJ — the q-way
+    fan-out is a constant-literal-array explode, not a join — and the
+    final serving pass reads the embeddings parquet at most once. On
+    the near-uniform synthetic corpus the triangle-inequality
+    certificate honestly CANNOT bite (every cell's covering radius
+    spans most of the space — the curse-of-dimensionality case), so
+    prune effectiveness is pinned on a planted clustered corpus in
+    test_range_search_certificate_bites_on_clustered_corpus."""
+    from spark_streaming_with_debezium_spark.plans.explain import _single_plan
+
+    df = QUERIES["ann_range_search"].fn(spark, sf_dir)
+    txt = _single_plan(df)
+    assert "CartesianProduct" not in txt, txt
+    assert "BroadcastNestedLoopJoin" not in txt, txt
+    assert txt.count("embeddings.parquet") <= 1, txt
+
+
+def test_range_search_certificate_bites_on_clustered_corpus(spark, tmp_path):
+    """On a corpus with REAL cluster structure (three tight clusters,
+    centers far beyond the ε radius) the integer triangle-inequality
+    certificate must (a) prune most (query, cell) pairs and (b) still
+    return EXACTLY the brute-force answer — pruning affects cost,
+    never the result. This is the planted-structure twin of the
+    plan-shape test above: it proves the certificate has teeth where
+    geometry allows, without pretending the uniform corpus prunes."""
+    from spark_streaming_with_debezium_spark.llm.cluster import (
+        _KM_GRID,
+        _KM_K,
+        _RANGE_R2,
+        _range_prune_table,
+        ann_range_search,
+    )
+
+    centers = [
+        [0.9] * 64,
+        [-0.9] * 64,
+        [0.9 if i % 2 else -0.9 for i in range(64)],
+    ]
+    rows, vid = [], 0
+    for ctr in centers:
+        for m in range(30):
+            v = [
+                ctr[i] + ((vid * 31 + i * 7 + m) % 7 - 3) * 0.001
+                for i in range(64)
+            ]
+            rows.append((vid, f"l{vid % 3}", v))
+            vid += 1
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    allowed, q_rows, _ = _range_prune_table(spark, sf_dir)
+    scanned = sum(len(cells) for cells in allowed.values())
+    assert scanned < len(q_rows) * _KM_K // 2, (
+        f"certificate never bit on clustered data: {scanned} of "
+        f"{len(q_rows) * _KM_K} (query, cell) pairs survived"
+    )
+
+    # brute-force expected set on the same 1e-6 grid, driver-side —
+    # through float32 first, because the parquet column is
+    # array<float> and the engine grids the f32-rounded value
+    import math
+
+    import numpy as np
+
+    grid = {
+        r[0]: [math.floor(float(np.float32(x)) * _KM_GRID) for x in r[2]]
+        for r in rows
+    }
+    expected = set()
+    for qid in range(8):
+        qv = grid[qid]
+        for vid2, v in grid.items():
+            if vid2 == qid:
+                continue
+            d2 = sum((a - b) * (a - b) for a, b in zip(qv, v))
+            if d2 <= _RANGE_R2:
+                expected.add((qid, vid2, d2))
+    got = {
+        (r.query_id, r.vec_id, r.d2)
+        for r in ann_range_search(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert expected, "planted clusters produced an empty ball — bad geometry"
