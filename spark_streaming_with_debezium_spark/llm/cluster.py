@@ -637,18 +637,51 @@ def dataset_fingerprint(cache_key: str) -> str:
     return f"{cache_key}#{'|'.join(parts)}"
 
 
+#: FAISS-convention training-sample cap: the coarse quantizer trains
+#: on at most this many points PER CENTROID (a deterministic
+#: md5-ordered subsample), so the Lloyd assignment cost is
+#: O(k · min(n, cap·k)) = O(k²·cap) instead of O(k·n) — the guard
+#: that keeps k ∝ n quantizer sizing from turning the TRAIN leg
+#: quadratic at corpus scale. Inactive below cap·k points (every
+#: sf≤0.1 face trains on the full corpus, so oracles are unaffected).
+_TRAIN_POINTS_PER_CENTROID = 256
+
+
 def _lloyd_centroids(
-    e: DataFrame, cache_key: str | None = None, k: int = _KM_K
+    e: DataFrame,
+    cache_key: str | None = None,
+    k: int = _KM_K,
+    train_cap: int | None = None,
 ) -> list[list[int]]:
     """Run the ``_KM_ITERS``-round Lloyd loop and return the final
     centroid coordinate lists (exact integers). ``k`` defaults to the
     oracle-pinned ``_KM_K``; the scale harness passes k ∝ corpus size
     to hold CELL OCCUPANCY constant (the production quantizer-sizing
-    invariant ``llm/ivf_index.py`` monitors)."""
+    invariant ``llm/ivf_index.py`` monitors). ``train_cap`` (rows)
+    bounds the TRAINING subsample — deterministic md5-order prefix, the
+    same uniform-hash ordering the seeds use — so train cost stops
+    growing with n once n exceeds the cap (pass
+    ``_TRAIN_POINTS_PER_CENTROID * k`` for the FAISS convention). The
+    final ASSIGNMENT consumers always see every row; only the centroid
+    fit subsamples. Oracled faces pass no cap (bit-exact full-corpus
+    fixpoint, matching the SQL oracle chain)."""
     if cache_key is not None:
-        cache_key = dataset_fingerprint(f"{cache_key}|k{k}")
+        cap_tag = f"|cap{train_cap}" if train_cap else ""
+        cache_key = dataset_fingerprint(f"{cache_key}|k{k}{cap_tag}")
     if cache_key is not None and cache_key in _LLOYD_CACHE:
         return _LLOYD_CACHE[cache_key]
+    if train_cap is not None:
+        # deterministic uniform subsample: md5-order prefix (the seed
+        # ordering, extended) — bounded TakeOrderedAndProject, and the
+        # first k sample rows ARE the seeds, so seeding is unchanged
+        e = (
+            e.select(
+                "vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("h")
+            )
+            .orderBy("h", "vec_id")
+            .limit(max(train_cap, k))
+            .drop("h")
+        )
     # Seeds: global top-k by (md5, vec_id) — TakeOrderedAndProject, an
     # O(n) scan returning k rows (the bounded collect every iterative
     # ML driver makes; pyspark.ml's KMeans init does the same shape).
