@@ -463,6 +463,8 @@ def main() -> None:
                         "merge_jobs": r.get("merge_jobs"),
                         "probe_json_sec": r.get("probe_json_sec"),
                         "probe_write_sec": r.get("probe_write_sec"),
+                        "probe_json_post_sec": r.get("probe_json_post_sec"),
+                        "probe_write_post_sec": r.get("probe_write_post_sec"),
                     }
                     for r in cdc_runs
                 ],

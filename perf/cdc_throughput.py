@@ -169,6 +169,20 @@ def measure(spark, n: int) -> dict:
             dt = time.perf_counter() - t0
             sc.setJobGroup("", "")
         n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+        # POST-run probes: the pre-run pair only attributes stalls
+        # already in progress when the merge starts — a stall that
+        # BEGINS mid-merge (observed: 62.9 s wall, 0.44/1.04 s pre-
+        # probes, 8 jobs — identical plan) escapes them. Fast-pre +
+        # slow-post brackets such a run as box-stall; fast/fast with a
+        # slow wall and a stable job count leaves plan regression as
+        # the only open hypothesis worth chasing.
+        tp1 = time.perf_counter()
+        probe.select("k.payload.id").agg(F.sum("id")).collect()
+        probe_json_post_sec = round(time.perf_counter() - tp1, 3)
+        tw1 = time.perf_counter()
+        wp.write.mode("overwrite").parquet(probe_dir)
+        probe_write_post_sec = round(time.perf_counter() - tw1, 3)
+        shutil.rmtree(probe_dir, ignore_errors=True)
         state_bytes = sum(
             os.path.getsize(os.path.join(dp, f))
             for dp, _, fs in os.walk(state_dir)
@@ -186,6 +200,8 @@ def measure(spark, n: int) -> dict:
             "probe_json_sec": probe_json_sec,
             "probe_json_rows": probe_rows,
             "probe_write_sec": probe_write_sec,
+            "probe_json_post_sec": probe_json_post_sec,
+            "probe_write_post_sec": probe_write_post_sec,
         }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
