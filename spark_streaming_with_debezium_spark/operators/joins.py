@@ -383,6 +383,110 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Max staleness for the bounded as-of join, in days. The synthetic
+#: corpus puts events in 2024 and orders in 1995-2001, so every match
+#: is ~8200-8800 days stale; 8400 sits at the median and exercises
+#: BOTH branches (kept + tolerance-dropped) at every SF — 355/1000,
+#: 5570/10000, 55533/100000 kept at sf0.001/0.01/0.1. A production
+#: feature store would set this to its actual staleness SLA (e.g. 30).
+_ASOF_TOLERANCE_DAYS = 8400
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             o.o_orderkey, o.o_totalprice, o.o_orderdate,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+             ) AS rn
+      FROM events e LEFT JOIN orders o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN o_orderkey IS NOT NULL
+                 AND date_diff('day', o_orderdate, CAST(ts AS DATE))
+                     <= {_ASOF_TOLERANCE_DAYS}
+                THEN o_orderkey ELSE -1 END AS o_orderkey,
+           CASE WHEN o_orderkey IS NOT NULL
+                 AND date_diff('day', o_orderdate, CAST(ts AS DATE))
+                     <= {_ASOF_TOLERANCE_DAYS}
+                THEN date_diff('day', o_orderdate, CAST(ts AS DATE))
+                ELSE -1 END AS staleness_days
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 bounded-staleness face: the backward as-of join of
+    `join_asof` with a MAX-TOLERANCE knob — a match older than
+    ``_ASOF_TOLERANCE_DAYS`` at the event's time is dropped (sentinel
+    -1), exactly pandas ``merge_asof(tolerance=...)`` / a feature
+    store's staleness SLA ("use the latest balance, but never one
+    older than 30 days"). Tie-breaks pinned as in `join_asof`
+    (same-date orders → highest orderkey); sentinels instead of NULLs
+    so the nullable-int64→float64 pandas fetch cannot smear the hash.
+
+    Same scale shape as `join_asof`: union+window carry — tag both
+    sides, ONE shuffle on the key, carry the latest order row forward
+    as a struct (its date rides along, which is what the tolerance
+    check needs), filter to event rows, then a stateless projection
+    applies the staleness gate. No second join, no range BNLJ; the
+    tolerance is a post-carry filter, so the plan is IDENTICAL to the
+    unbounded face plus one whole-stage-codegen expression."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    left = e.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None)
+        .cast("struct<od:timestamp,ok:bigint>")
+        .alias("m"),
+    )
+    right = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderdate").alias("od"), F.col("o_orderkey").alias("ok")
+        ).alias("m"),
+    )
+    u = left.unionByName(right)
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t"), F.col("is_event"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.select(
+        "k",
+        "t",
+        "is_event",
+        "event_id",
+        F.last("m", ignorenulls=True).over(w).alias("m"),
+    ).filter(F.col("is_event") == 1)
+    stale = F.datediff(F.to_date("t"), F.to_date("m.od"))
+    within = F.col("m").isNotNull() & (stale <= _ASOF_TOLERANCE_DAYS)
+    return carried.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("t").alias("ts"),
+        F.when(within, F.col("m.ok"))
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("o_orderkey"),
+        F.when(within, stale)
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("staleness_days"),
+    )
+
+
 @query(
     "join_asof_nearest",
     oracle="""
