@@ -125,7 +125,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: rewritten this round (shared ADC scan across the nprobe grid,
 #: VERDICT r10 item 6), so its fresh hash row is doubly needed.
 #: Nothing is displaced from the queue head; the round-12 queue head
-#: is the remaining r07 cohort from ann_recall_report onward.
+#: is the 2 r11-new faces (ann_range_search, join_asof_tolerance —
+#: registered AFTER the prefix so this window ran exactly as
+#: prescribed), then the remaining r07 cohort from ann_recall_report
+#: onward.
 _PRIORITY = (
     # --- round-11 driver window (50) ---
     # 2 never-driver-checked (r10-new operators)
