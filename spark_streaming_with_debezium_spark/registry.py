@@ -129,62 +129,72 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: registered AFTER the prefix so this window ran exactly as
 #: prescribed), then the remaining r07 cohort from ann_recall_report
 #: onward.
+#: Round-12 rotation (VERDICT r11 item 1). After r11's all-green
+#: window the ledger queue is exactly: the 2 never-driver-checked r11
+#: faces (join_asof_tolerance, ann_range_search — registered after
+#: the r11 prefix so that window ran exactly as prescribed), then all
+#: 46 remaining r07-stale names (ledger order, ann_recall_report
+#: onward). 2 + 46 = 48, so the 2 stalest r08 names
+#: (agg_approx_percentile, approx_count_distinct — ledger order) fill
+#: the window to 50. Nothing is displaced from the queue head; the
+#: round-13 queue head is any r12-new faces (registered AFTER this
+#: prefix), then the r08 cohort from cdc_history_per_key onward.
 _PRIORITY = (
-    # --- round-11 driver window (50) ---
-    # 2 never-driver-checked (r10-new operators)
-    "dedup_substring_spans",
-    "dedup_cluster_keep_best",
-    # all 44 remaining r06-stale names (ledger order)
-    "agg_skew_kurtosis_exact",
-    "ann_int8_rescore",
-    "cdc_incremental_agg",
-    "cdc_logical_types",
-    "cdc_temporal_pit_join",
-    "contamination_ngram_overlap",
-    "corpus_curation_funnel",
-    "curriculum_quality_tiers",
-    "customer_order_degree_distribution",
-    "dedup_exact_substring",
-    "dq_benford_first_digit",
-    "dq_profile_orders",
-    "dq_referential_integrity",
-    "events_anomaly_mad",
-    "events_autocorrelation",
-    "events_changepoint_cusum",
-    "events_concurrency_peak",
-    "events_entropy_profile",
-    "events_forecast_ewma",
-    "events_funnel",
-    "events_hourly_seasonality",
-    "events_path_trigrams",
-    "graph_pagerank",
-    "graph_triangle_count",
-    "multimodal_fake_decode",
-    "multimodal_resize",
-    "orders_rfm_segments",
-    "orders_spend_drawdown",
-    "pack_sequences",
-    "q11_important_value_share",
-    "q20_dominant_supplier",
-    "q21_blamed_supplier",
-    "q2_min_cost_supplier",
-    "rag_chunk_documents",
-    "sample_hash_topk_per_group",
-    "sample_weights_by_source",
-    "stream_interval_join",
-    "stream_static_enrich",
-    "supplier_fulfillment_sla",
-    "text_boilerplate_ngrams",
-    "text_bpe_merges",
-    "text_heavy_hitter_tokens",
-    "timeseries_user_similarity",
-    "window_range_frame",
-    # 4 stalest r07 names fill slots 47-50 (ledger order)
-    "ann_ivf_pq_topk",
-    "ann_lsh_topk",
-    "ann_nprobe_recall_curve",
-    "ann_pq_adc_topk",
-    # --- 50-query prefix boundary (round-11 driver window) ---
+    # --- round-12 driver window (50) ---
+    # 2 never-driver-checked (r11-new operators, VERDICT-named)
+    "join_asof_tolerance",
+    "ann_range_search",
+    # all 46 remaining r07-stale names (ledger order)
+    "ann_recall_report",
+    "cdc_change_feed",
+    "cdc_current_state",
+    "cdc_envelope_roundtrip",
+    "cdc_scd2_incremental",
+    "cdc_state_rollup",
+    "contamination_cross_source",
+    "corpus_token_budget_mix",
+    "decontaminate_bitmap_prefilter",
+    "decontaminate_fuzzy_minhash",
+    "decontaminate_semantic_cosine",
+    "dedup_minhash_lsh",
+    "embedding_drift_cells",
+    "embedding_hard_negatives",
+    "embedding_kmeans_lloyd",
+    "embedding_pca_power",
+    "embedding_pq_codes",
+    "events_attribution_last_touch",
+    "events_drift_psi",
+    "events_funnel_time_constrained",
+    "events_lifecycle_accounting",
+    "events_pattern_decline_rebound",
+    "events_power_users_gini",
+    "events_survival_km",
+    "events_time_to_convert",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "multimodal_audio_features",
+    "multimodal_decode_audio",
+    "multimodal_decode_image",
+    "multimodal_decode_png",
+    "multimodal_image_features",
+    "orders_cohort_ltv",
+    "orders_open_backlog_daily",
+    "pack_efficiency_report",
+    "quality_perplexity_filter",
+    "rag_rerank_mmr",
+    "sample_balanced_classes",
+    "sample_importance_dsir",
+    "shuffle_shard_manifest",
+    "split_leakage_safe_groups",
+    "stream_trending_topk",
+    "supplier_pareto_frontier",
+    "text_bpe_encode",
+    "text_keyphrase_rake",
+    "text_pmi_collocations",
+    # 2 stalest r08 names fill slots 49-50 (ledger order)
+    "agg_approx_percentile",
+    "approx_count_distinct",
+    # --- 50-query prefix boundary (round-12 driver window) ---
 )
 
 
