@@ -124,7 +124,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
-    spark = get_spark("bench")
+    # retainedJobs raised so statusTracker().getJobIdsForGroup can never
+    # silently truncate a per-query job count (ADVICE r11): the
+    # AppStatusStore drops jobs past spark.ui.retainedJobs (default
+    # 1000) even with the UI disabled, and a truncated count would
+    # corrupt the "job count is a pure plan property" attribution.
+    spark = get_spark("bench", extra_conf={"spark.ui.retainedJobs": "1000000"})
     spark.sparkContext.setLogLevel("ERROR")
     queries = load_all()
 
@@ -277,11 +282,22 @@ def main() -> None:
 
     idx_dir = tempfile.mkdtemp(prefix="ivf_bench_")
     try:
+        # Bracketing probes (VERDICT r11 item 3): the IVF build/serve
+        # scalars are single measurements (not query-set rows with
+        # their own calibration neighbors), so a mid-measurement box
+        # stall was previously attributable only by inference. Same
+        # pattern that vindicated the CDC merge rows in r11: sample
+        # per-job scheduling latency and small-write latency
+        # immediately before and after, so any driver-vs-solo gap ≥ 2×
+        # is attributable from the artifact alone.
+        ivf_probe_job_pre, _ = _median_timed(_calib_job, runs=1)
+        ivf_probe_write_pre, _ = _median_timed(_calib_write, runs=1)
         idx = IvfIndex(spark, idx_dir)
         emb = load_table(spark, sf_dir, "embeddings")
         t0 = time.perf_counter()
         idx.build(emb)
         ivf_build = round(time.perf_counter() - t0, 3)
+        ivf_probe_job_mid, _ = _median_timed(_calib_job, runs=1)
         qs = emb.filter(emb.vec_id < N_QUERIES)
         idx.search(qs).write.format("noop").mode("overwrite").save()  # warm
         runs = []
@@ -291,6 +307,15 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         runs.sort()
         ivf_query = round(runs[len(runs) // 2], 3)
+        ivf_probe_job_post, _ = _median_timed(_calib_job, runs=1)
+        ivf_probe_write_post, _ = _median_timed(_calib_write, runs=1)
+        ivf_probes = {
+            "job_ms_pre": round(ivf_probe_job_pre * 100, 1),
+            "job_ms_mid": round(ivf_probe_job_mid * 100, 1),
+            "job_ms_post": round(ivf_probe_job_post * 100, 1),
+            "write_pre_sec": ivf_probe_write_pre,
+            "write_post_sec": ivf_probe_write_post,
+        }
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
@@ -423,9 +448,29 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
+    # Guard the job counts against status-store truncation (ADVICE
+    # r11): with retainedJobs at 1e6 this cannot fire, but if someone
+    # lowers the conf the undercount must be loud, not silent.
+    retained = int(spark.conf.get("spark.ui.retainedJobs"))
+    worst_jobs = max([*head_jobs.values(), *ext_jobs.values()])
+    assert worst_jobs < retained // 2, (
+        f"per-query job count {worst_jobs} approaches "
+        f"spark.ui.retainedJobs={retained}; counts may be truncated"
+    )
     payload = {
                 "metric": "headline_queries_total_wall",
                 "value": total,
+                # Contention-free duals of the wall totals (VERDICT r11
+                # item 4): jobs × measured per-job latency summed over
+                # the same query sets, so the 2x gate can be judged on
+                # a number box stalls cannot inflate, without
+                # reconstructing it from the per-query columns.
+                "headline_predicted_total": round(
+                    sum(head_predicted.values()), 3
+                ),
+                "extended_predicted_total": round(
+                    sum(ext_predicted.values()), 3
+                ),
                 "unit": "sec",
                 "queries": timings,
                 "spread": spreads,
@@ -444,6 +489,7 @@ def main() -> None:
                 "runs_per_query": n_runs,
                 "ivf_index_build_sec": ivf_build,
                 "ivf_query_only_sec": ivf_query,
+                "ivf_probes": ivf_probes,
                 "cdc_merge_events_per_sec": cdc_tp["events_per_sec"],
                 "cdc_merge_events_per_sec_spread": cdc_tp[
                     "events_per_sec_spread"

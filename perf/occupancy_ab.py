@@ -41,6 +41,12 @@ def timed(fn) -> float:
 def main() -> None:
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ns = [int(a) for a in sys.argv[1:]] or [5, 25]
+    # n == 1 would collide the 'x1' and f'x{n}' round keys and compare
+    # a timing with itself (ADVICE r11); the ratio is only meaningful
+    # for a genuinely scaled leg.
+    bad = [n for n in ns if n <= 1]
+    if bad:
+        raise SystemExit(f"scale factors must be > 1, got {bad}")
     spark = get_spark("occupancy_ab")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -1252,7 +1252,7 @@ def ann_nprobe_recall_curve(spark, sf_dir: str) -> DataFrame:
         .groupBy("nprobe", "query_id")
         .agg(F.count("t_vec").alias("n_hit"))
     )
-    return hits.groupBy("nprobe").agg(
+    curve = hits.groupBy("nprobe").agg(
         F.sum("n_hit").cast("long").alias("n_hits"),
         F.round(
             F.sum("n_hit").cast("double")
@@ -1263,6 +1263,16 @@ def ann_nprobe_recall_curve(spark, sf_dir: str) -> DataFrame:
             "min_recall"
         ),
     )
+    # Materialize the |_NPROBE_GRID|-row curve eagerly, then release
+    # the q×n scored frame (ADVICE r11): the persist otherwise held
+    # executor memory for the session, and Spark's plan-keyed cache
+    # (no path fingerprint, unlike _LLOYD_CACHE) could serve stale
+    # scores to a later call if the dataset were regenerated at the
+    # same path in-process. After the checkpoint the returned frame no
+    # longer references `dist`, so the unpersist costs nothing.
+    curve = curve.localCheckpoint(eager=True)
+    dist.unpersist()
+    return curve
 
 
 #: ε-ball radius² on the 1e-6 integer grid: ≈ the 1st percentile of

@@ -25,6 +25,7 @@ Scale/idempotence properties (tested in test_llm_ops.py):
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -138,7 +139,7 @@ def curate(docs: DataFrame) -> DataFrame:
 
 def substring_dedup_report(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, Callable[[], None]]:
     """Both substring-dedup faces off ONE cached gram pass (VERDICT
     r10 item 5): a curation pipeline that wants per-doc duplication
     coverage (`dedup_exact_substring`) AND the maximal-span report
@@ -148,7 +149,14 @@ def substring_dedup_report(
     it and the second reads the cache (the composition test asserts
     the second plan scans InMemoryRelation, not the documents
     parquet). Output rows are bit-identical to the standalone faces —
-    the same `stride_grams` expression feeds both."""
+    the same `stride_grams` expression feeds both.
+
+    Returns ``(coverage, spans, release)``. The gram cache lives until
+    ``release()`` is called — the CALLER owns that obligation (ADVICE
+    r11): call it after the last action on either frame, and the
+    executor memory is returned deterministically instead of at
+    session end. Actions run after ``release()`` stay correct (the
+    lineage recomputes), they just lose the sharing."""
     from spark_streaming_with_debezium_spark.llm.dedup import (
         dedup_exact_substring,
         dedup_substring_spans,
@@ -160,7 +168,11 @@ def substring_dedup_report(
     ).persist()
     coverage = dedup_exact_substring(spark, sf_dir, grams=grams)
     spans = dedup_substring_spans(spark, sf_dir, grams=grams)
-    return coverage, spans
+
+    def release() -> None:
+        grams.unpersist()
+
+    return coverage, spans, release
 
 
 def run_curation_job(

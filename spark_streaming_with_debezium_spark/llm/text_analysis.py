@@ -1120,9 +1120,25 @@ def _bpe_oracle() -> str:
 def _learn_bpe(spark: SparkSession, sf_dir: str):
     """Run the BPE induction loop (see :func:`text_bpe_merges` for the
     algorithm and scale discussion). Returns ``(rules, seqs)``: the
-    learned merge rules and the final distinct-word histogram with all
-    merges applied — i.e. the word → encoded-symbol-sequence vocabulary
-    the APPLY step (:func:`text_bpe_encode`) joins against."""
+    learned merge rules as a lazy (merge_rank, pair, new_symbol,
+    pair_count) DataFrame and the final distinct-word histogram with
+    all merges applied — i.e. the word → encoded-symbol-sequence
+    vocabulary the APPLY step (:func:`text_bpe_encode`) joins against.
+
+    One Spark job per merge round (VERDICT r11 item 5 — the loop was
+    scheduling-bound at ~3 jobs/round): each round's winning pair is a
+    single-row min-of-struct aggregate ((-n, pair) — exactly the
+    count-desc/pair-asc tie-break) crossJoin-broadcast onto the
+    histogram (the 1-row scalar pattern), so argmax selection AND
+    merge application materialize in the ONE localCheckpoint job; no
+    per-round driver collect. The winner additionally RIDES the
+    checkpointed frame as constant (pair, n) columns, so the returned
+    rules frame is a union of limit(1)s over already-materialized
+    checkpoints — collecting it later costs no re-aggregation and no
+    corpus rescan. An exhausted round (no pairs left) yields a null
+    winner: the histogram passes through unchanged and the round
+    contributes no rule row — same fixpoint the old early-break
+    reached."""
     from spark_streaming_with_debezium_spark.llm.corpus_rules import (
         normalize_text,
     )
@@ -1139,7 +1155,7 @@ def _learn_bpe(spark: SparkSession, sf_dir: str):
     seqs = words.select(
         F.array_join(F.split("w", ""), "  ").alias("seq"), "cnt"
     ).localCheckpoint(eager=True)
-    rules = []
+    rule_frames = []
     for r in range(1, N_BPE_MERGES + 1):
         arr = F.split("seq", "  ")
         idx = F.when(
@@ -1156,22 +1172,58 @@ def _learn_bpe(spark: SparkSession, sf_dir: str):
                 )
             ).alias("pair"),
         )
+        # exactly-one-row argmax: min over (-n, pair) = (count desc,
+        # pair asc); null struct when no pairs remain
         top = (
             pairs.groupBy("pair")
             .agg(F.sum("cnt").alias("n"))
-            .orderBy(F.col("n").desc(), "pair")
-            .limit(1)
-            .collect()
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("n")).alias("neg_n"), F.col("pair").alias("pair")
+                    )
+                ).alias("s")
+            )
+            .select(
+                F.col("s.pair").alias("pair"),
+                (-F.col("s.neg_n")).cast("long").alias("n"),
+            )
         )
-        if not top:
-            break
-        pair, n = top[0]["pair"], int(top[0]["n"])
-        a, b = pair.split(" ")
-        rules.append((r, pair, a + b, n))
-        seqs = seqs.select(
-            F.regexp_replace("seq", rf"\b{a}  {b}\b", a + b).alias("seq"),
-            "cnt",
-        ).localCheckpoint(eager=True)
+        pat = F.concat(
+            F.lit("\\b"),
+            F.regexp_replace("pair", " ", "  "),
+            F.lit("\\b"),
+        )
+        seqs = (
+            seqs.crossJoin(F.broadcast(top))
+            .select(
+                F.when(F.col("pair").isNull(), F.col("seq"))
+                .otherwise(
+                    F.regexp_replace(
+                        "seq", pat, F.regexp_replace("pair", " ", "")
+                    )
+                )
+                .alias("seq"),
+                "cnt",
+                "pair",
+                "n",
+            )
+            .localCheckpoint(eager=True)
+        )
+        rule_frames.append(
+            seqs.filter(F.col("pair").isNotNull())
+            .select(
+                F.lit(r).cast("long").alias("merge_rank"),
+                "pair",
+                F.regexp_replace("pair", " ", "").alias("new_symbol"),
+                F.col("n").alias("pair_count"),
+            )
+            .limit(1)
+        )
+        seqs = seqs.select("seq", "cnt")
+    rules = rule_frames[0]
+    for rf_ in rule_frames[1:]:
+        rules = rules.unionAll(rf_)
     return rules, seqs
 
 
@@ -1194,15 +1246,22 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     'a a a' and 'xa b').
 
     Scale: per round = one explode+groupBy over the histogram (symbol
-    pairs, uniform keys) and ONE driver-collected row (the argmax —
-    bounded, K rows total across the loop, same bounded-collect
-    discipline as the MG heavy hitters). The corpus itself is touched
-    exactly once; production BPE trainers sample the histogram the
-    same way. localCheckpoint per round cuts the K-deep lineage."""
+    pairs, uniform keys) folded WITH the merge application into a
+    single checkpointed job — the winning pair is a 1-row aggregate
+    broadcast back onto the histogram, never a driver collect
+    (VERDICT r11 item 5: the old collect-per-round loop paid ~3
+    scheduling slots per merge; the winner rides the checkpointed
+    frame as constant columns so emitting the rules is a limit(1) on
+    already-materialized data, not a re-aggregation). The corpus
+    itself is touched exactly once; production BPE trainers sample
+    the histogram the same way. localCheckpoint per round cuts the
+    K-deep lineage."""
     rules, _seqs = _learn_bpe(spark, sf_dir)
-    return spark.createDataFrame(
-        rules,
-        "merge_rank bigint, pair string, new_symbol string, pair_count bigint",
+    return rules.select(
+        "merge_rank",
+        "pair",
+        "new_symbol",
+        F.col("pair_count").cast("long").alias("pair_count"),
     )
 
 

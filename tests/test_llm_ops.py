@@ -472,7 +472,7 @@ def test_substring_report_shares_gram_pass(spark, sf_dir):
     )
     from spark_streaming_with_debezium_spark.plans.explain import plan_text
 
-    coverage, spans = substring_dedup_report(spark, sf_dir)
+    coverage, spans, release = substring_dedup_report(spark, sf_dir)
     try:
         solo_cov = QUERIES["dedup_exact_substring"].fn(spark, sf_dir)
         solo_spans = QUERIES["dedup_substring_spans"].fn(spark, sf_dir)
@@ -495,8 +495,9 @@ def test_substring_report_shares_gram_pass(spark, sf_dir):
             assert n_mem >= 1, txt
             assert n_mem == n_file, txt
     finally:
-        # the report persists its shared gram frame; don't leak it
-        # into other tests' storage accounting
+        # the report's contract: the CALLER releases the shared gram
+        # cache after the last action on either frame
+        release()
         spark.catalog.clearCache()
 
 
