@@ -1283,7 +1283,22 @@ def ann_nprobe_recall_curve(spark, sf_dir: str) -> DataFrame:
 _RANGE_R2 = 1_450_000_000_000
 
 
-def _range_prune_table(spark, sf_dir: str):
+#: Above this many standing queries the per-query literal machinery
+#: (q-branch CASE for the exact distance + per-query allowed-cell
+#: literal arrays) stops being the right plan: both are O(q)
+#: DRIVER-BUILT expression trees, fine at q=8, a multi-second py4j /
+#: Catalyst-analysis stall well before q=10⁴. Past the threshold
+#: `ann_range_search` switches to the join formulation: the (query_id,
+#: qv, cell) fan-out becomes a broadcast TABLE equi-joined on the cell
+#: id, and the exact distance is one zip_with/aggregate over the two
+#: array COLUMNS — data-sized state instead of plan-sized state. 64 is
+#: comfortably inside the measured-safe literal band (the nprobe face
+#: builds 8 such CASEs today) while keeping the serving-latency win of
+#: whole-stage-codegen'd literal arithmetic for small standing sets.
+_RANGE_LITERAL_Q_MAX = 64
+
+
+def _range_prune_table(spark, sf_dir: str, n_queries: int = _RECALL_QUERIES):
     """Driver-side exact cell pruning for :func:`ann_range_search`:
     returns ``(allowed, q_rows, assigned)`` where ``allowed`` maps each
     standing query id to the Lloyd cells whose ε-ball intersection
@@ -1313,7 +1328,7 @@ def _range_prune_table(spark, sf_dir: str):
     }
     # bounded collect #2: the standing query vectors (q rows)
     q_rows = (
-        e.filter(F.col("vec_id") < _RECALL_QUERIES).orderBy("vec_id").collect()
+        e.filter(F.col("vec_id") < n_queries).orderBy("vec_id").collect()
     )
 
     def d2_py(a, b):
@@ -1376,8 +1391,19 @@ def ann_range_search(spark, sf_dir: str) -> DataFrame:
     distance is computed), and pay the 64-dim exact distance only for
     surviving (row, query) pairs via a query_id-keyed CASE. At 100 TB
     the per-cell scan fraction is exactly the IVF nprobe story with a
-    provable-exactness guarantee instead of a recall target."""
-    allowed, q_rows, assigned = _range_prune_table(spark, sf_dir)
+    provable-exactness guarantee instead of a recall target.
+
+    Large standing sets (q > ``_RANGE_LITERAL_Q_MAX``) switch to the
+    join formulation in :func:`_range_search_join_path` — same prune
+    certificate, same output, data-sized instead of plan-sized query
+    state (see the constant's comment)."""
+    return _range_search_impl(spark, sf_dir, _RECALL_QUERIES)
+
+
+def _range_search_impl(spark, sf_dir: str, n_queries: int) -> DataFrame:
+    allowed, q_rows, assigned = _range_prune_table(spark, sf_dir, n_queries)
+    if n_queries > _RANGE_LITERAL_Q_MAX:
+        return _range_search_join_path(spark, allowed, q_rows, assigned)
     # constant (query, allowed-cells) literal array — filtered against
     # the row's cell BEFORE any 64-dim distance is evaluated
     qarr = F.array(
@@ -1412,5 +1438,46 @@ def ann_range_search(spark, sf_dir: str) -> DataFrame:
         surviving.select(
             "query_id", "vec_id", d2_case.cast("long").alias("d2")
         )
+        .filter(F.col("d2") <= _RANGE_R2)
+    )
+
+
+def _range_search_join_path(spark, allowed, q_rows, assigned) -> DataFrame:
+    """Large-q serving path for :func:`ann_range_search`: the same
+    prune certificate, delivered as DATA instead of expression trees.
+    The (query_id, qv, allowed cell) fan-out — one row per surviving
+    (query, cell) pair, exactly what the literal path encodes in its
+    per-query arrays — ships to executors as a broadcast TABLE (Arrow
+    createDataFrame, which scales to 10⁵+ rows where a q-branch CASE
+    stalls Catalyst analysis), equi-joined on the int cell id; the
+    exact distance is one zip_with/aggregate over the two array
+    columns. Joined row count = the certificate's surviving pairs —
+    identical work set to the literal path, so the exactness argument
+    carries over verbatim. HOF arithmetic is interpreted (slower per
+    pair than the codegen'd literal CASE — the measured trade in
+    perf/AB_VERDICTS.md), which is why small standing sets keep the
+    literal plan; past ``_RANGE_LITERAL_Q_MAX`` the driver-side
+    expression build dominates and the join path wins. At true
+    production q the query set would arrive as a table already —
+    this path needs only the prune loop (O(q·k) driver ints) changed
+    to a distributed min over a broadcast centroid table."""
+    qv_by_id = {int(r["vec_id"]): [int(x) for x in r["v"]] for r in q_rows}
+    fan = [
+        (qid, qv_by_id[qid], int(c))
+        for qid, cs in sorted(allowed.items())
+        for c in cs
+    ]
+    qtab = spark.createDataFrame(
+        fan, "query_id long, qv array<bigint>, cell int"
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        assigned.join(F.broadcast(qtab), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", d2.cast("long").alias("d2"))
         .filter(F.col("d2") <= _RANGE_R2)
     )

@@ -723,3 +723,59 @@ def test_range_search_certificate_bites_on_clustered_corpus(spark, tmp_path):
     }
     assert got == expected
     assert expected, "planted clusters produced an empty ball — bad geometry"
+
+
+def test_asof_family_single_exchange_no_join(spark, sf_dir):
+    """All four as-of faces must keep the union+window shape: exactly
+    ONE exchange (the hash partition on the user key) and ZERO join
+    operators — the documented skew fix (SCALING.md "As-of join hot-key
+    story") replaces the carry window with a salted two-pass prefix
+    scan and must NOT silently regress to a range join (BNLJ/cartesian
+    blow-up) or add a second shuffle."""
+    from spark_streaming_with_debezium_spark.plans.explain import _single_plan
+
+    for name in (
+        "join_asof",
+        "join_asof_forward",
+        "join_asof_nearest",
+        "join_asof_tolerance",
+    ):
+        txt = _single_plan(QUERIES[name].fn(spark, sf_dir))
+        n_exchange = txt.count("Exchange")
+        assert n_exchange == 1, f"{name}: {n_exchange} exchanges\n{txt}"
+        assert "Join" not in txt, f"{name} plans a join:\n{txt}"
+        assert "CartesianProduct" not in txt, txt
+
+
+def test_range_search_join_path_matches_literal_and_broadcasts(
+    spark, sf_dir
+):
+    """The large-q branch of `ann_range_search`
+    (`_range_search_join_path`) must (a) return EXACTLY the literal
+    path's rows — same certificate, same exact re-check, different
+    delivery — and (b) plan the query fan-out as a broadcast HASH join
+    on the int cell id (data-sized query state), never a
+    BNLJ/cartesian. Forced here by calling the impl with the standard
+    q=8 standing set through the join branch."""
+    from spark_streaming_with_debezium_spark.llm.cluster import (
+        _RECALL_QUERIES,
+        _range_prune_table,
+        _range_search_join_path,
+    )
+    from spark_streaming_with_debezium_spark.plans.explain import (
+        _single_plan,
+        broadcast_join_count,
+    )
+
+    literal = QUERIES["ann_range_search"].fn(spark, sf_dir)
+    allowed, q_rows, assigned = _range_prune_table(
+        spark, sf_dir, _RECALL_QUERIES
+    )
+    joined = _range_search_join_path(spark, allowed, q_rows, assigned)
+    assert sorted(map(tuple, joined.collect())) == sorted(
+        map(tuple, literal.collect())
+    )
+    txt = _single_plan(joined)
+    assert broadcast_join_count(joined) >= 1, txt
+    assert "CartesianProduct" not in txt, txt
+    assert "BroadcastNestedLoopJoin" not in txt, txt
