@@ -1481,3 +1481,92 @@ def _range_search_join_path(spark, allowed, q_rows, assigned) -> DataFrame:
         .select("query_id", "vec_id", d2.cast("long").alias("d2"))
         .filter(F.col("d2") <= _RANGE_R2)
     )
+
+
+def _filtered_topk_oracle() -> str:
+    d2 = _KM_D2.format(a="x.v", b="q.qv")
+    return f"""
+    WITH xi AS (
+      SELECT vec_id, label, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_GRID}) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM xi
+          WHERE vec_id < {_RECALL_QUERIES}),
+    ranked AS (
+      SELECT q.query_id, x.vec_id, CAST({d2} AS BIGINT) AS d2,
+             row_number() OVER (
+               PARTITION BY q.query_id ORDER BY {d2}, x.vec_id
+             ) AS rank
+      FROM xi x JOIN q
+        ON x.label = q.qlabel AND x.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, d2, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_RECALL_K}
+    """
+
+
+@query("ann_filtered_topk", oracle=_filtered_topk_oracle())
+def ann_filtered_topk(spark, sf_dir: str) -> DataFrame:
+    """FILTERED nearest-neighbor serving — exact top-k restricted to a
+    metadata predicate (here: candidates sharing the query's label,
+    the "recommend within category" shape). Filtered ANN is its own
+    serving problem: post-filtering a plain top-k under-fills when the
+    predicate is selective, so production systems PRE-filter — the
+    predicate must reach the scan, not run after the distance math.
+
+    Shape: one corpus pass. The standing labels land in the plan as
+    an `isin` on the label COLUMN — pushed to the parquet footer
+    (census test asserts `PushedFilters: [In(label, …)]`), so at
+    100 TB only row groups containing candidate labels are read at
+    all. Per-row work after the scan: explode only the standing
+    queries whose label equals the row's (a q-literal array filter —
+    same bounded-q discipline as `ann_range_search`; past
+    `_RANGE_LITERAL_Q_MAX` the same broadcast-table join path
+    applies), then the qid-keyed exact integer distance CASE and a
+    per-query top-k window over (d2, vec_id) — pinned tie-breaks,
+    value-hash-oracled against the DuckDB brute force."""
+    from pyspark.sql import Window
+
+    e = _gridded_embeddings(spark, sf_dir)
+    q_rows = (
+        e.filter(F.col("vec_id") < _RECALL_QUERIES).orderBy("vec_id").collect()
+    )
+    labels = sorted({int(r["label"]) for r in q_rows})
+    qarr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["vec_id"])).cast("long").alias("qid"),
+                F.lit(int(r["label"])).alias("qlabel"),
+            )
+            for r in q_rows
+        ]
+    )
+    cand = e.filter(F.col("label").isin(labels)).select(
+        "vec_id",
+        "label",
+        "v",
+        F.explode(
+            F.transform(
+                F.filter(qarr, lambda s: s["qlabel"] == F.col("label")),
+                lambda s: s["qid"],
+            )
+        ).alias("query_id"),
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    d2_case = None
+    for r in q_rows:
+        qid, qv = int(r["vec_id"]), list(r["v"])
+        expr = _km_dist2("v", qv)
+        d2_case = (
+            F.when(F.col("query_id") == qid, expr)
+            if d2_case is None
+            else d2_case.when(F.col("query_id") == qid, expr)
+        )
+    w = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    return (
+        cand.select(
+            "query_id", "vec_id", d2_case.cast("long").alias("d2")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _RECALL_K)
+    )

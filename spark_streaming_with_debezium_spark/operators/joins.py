@@ -584,3 +584,124 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(choose_b, db).otherwise(df_).cast("long"), F.lit(-1)
         ).alias("delta_us"),
     )
+
+
+@query(
+    "join_asof_salted",
+    oracle="""
+    WITH ranked AS (
+      SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+             ) AS rn
+      FROM events e
+      LEFT JOIN orders o
+        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    )
+    SELECT event_id, user_id, ts, o_orderkey, o_totalprice
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 skew-hardened face: the SAME backward as-of semantics as
+    `join_asof` (identical oracle, identical output), computed with
+    the salted two-pass prefix-scan decomposition SCALING.md's
+    round-12 section documents — the plan a deployment switches to
+    when one pathological hot key would serialize the single-key
+    carry window through one task.
+
+    The running `last(..., ignorenulls)` carry is ASSOCIATIVE, so it
+    decomposes exactly like a parallel prefix scan:
+
+    1. salt every row by a fixed time grid (180-day buckets of `t` —
+       data-independent, so no pre-pass) and run the union+window
+       carry partitioned by (key, salt): a hot key's timeline now
+       parallelizes across its buckets;
+    2. per (key, salt), the bucket's FINAL order state is one
+       `max(struct(t, o_orderkey, …))` aggregate (bucket = time range,
+       so later bucket ⇒ strictly later t — the max IS the carry-out);
+    3. a window over the TINY bucket-summary table (partitioned by
+       key, ordered by salt, rows up to -1) gives each bucket its
+       carry-IN from all prior buckets;
+    4. event rows patch `coalesce(local_carry, carry_in)` via a
+       broadcast join on (key, salt).
+
+    Tie-breaks are pinned exactly as in `join_asof` (order row sorts
+    before an equal-time event; same-time orders resolve to the
+    highest orderkey — step 2's struct max agrees because o_orderkey
+    is the struct's second field). The fact table shuffles ONCE (the
+    (k, salt) window exchange); everything after step 2 is
+    bucket-summary-sized. `test_asof_salted_*` pins output equality
+    with `join_asof` and the no-cartesian/no-BNLJ shape."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    left = e.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    right = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    u = left.unionByName(right).withColumn(
+        "salt",
+        F.floor(F.unix_timestamp("t") / F.lit(180 * 86400)).cast("long"),
+    )
+    # pass 1: bucket-local carry (same ordering contract as join_asof)
+    w_local = (
+        Window.partitionBy("k", "salt")
+        .orderBy(F.col("t"), F.col("is_event"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = u.select(
+        "k",
+        "salt",
+        "t",
+        "is_event",
+        "event_id",
+        F.last("o_orderkey", ignorenulls=True).over(w_local).alias("lk"),
+        F.last("o_totalprice", ignorenulls=True).over(w_local).alias("lp"),
+    ).filter(F.col("is_event") == 1)
+    # pass 2: carry-out per populated bucket (order rows only)
+    summ = (
+        u.filter(F.col("is_event") == 0)
+        .groupBy("k", "salt")
+        .agg(
+            F.max(
+                F.struct("t", "o_orderkey", "o_totalprice")
+            ).alias("s")
+        )
+    )
+    # pass 3: carry-in per bucket over the summary + event buckets
+    buckets = u.select("k", "salt").distinct()
+    w_prev = (
+        Window.partitionBy("k")
+        .orderBy("salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = buckets.join(summ, ["k", "salt"], "left").select(
+        "k",
+        "salt",
+        F.last("s", ignorenulls=True).over(w_prev).alias("prev"),
+    )
+    # pass 4: patch event rows whose bucket-local window saw no order.
+    # LEFT join: a null-key event never equi-matches its own bucket
+    # row, but the oracle's LEFT JOIN keeps it (with null order cols) —
+    # an inner join would silently drop it.
+    patched = local.join(F.broadcast(carry), ["k", "salt"], "left")
+    return patched.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("t").alias("ts"),
+        F.coalesce("lk", F.col("prev.o_orderkey")).alias("o_orderkey"),
+        F.coalesce("lp", F.col("prev.o_totalprice")).alias("o_totalprice"),
+    )

@@ -779,3 +779,50 @@ def test_range_search_join_path_matches_literal_and_broadcasts(
     assert broadcast_join_count(joined) >= 1, txt
     assert "CartesianProduct" not in txt, txt
     assert "BroadcastNestedLoopJoin" not in txt, txt
+
+
+def test_asof_salted_matches_plain_and_single_fact_exchange(spark, sf_dir):
+    """`join_asof_salted` must return exactly `join_asof`'s rows (same
+    semantics, skew-decomposed plan) and keep the documented shape:
+    the FACT union shuffles once — hash on (k, salt) — the patch is a
+    broadcast hash join, and nothing plans a cartesian/BNLJ. A null-
+    key event must survive the patch join (left, not inner)."""
+    from spark_streaming_with_debezium_spark.plans.explain import _single_plan
+
+    plain = QUERIES["join_asof"].fn(spark, sf_dir)
+    salted = QUERIES["join_asof_salted"].fn(spark, sf_dir)
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    txt = _single_plan(salted)
+    assert "CartesianProduct" not in txt, txt
+    assert "BroadcastNestedLoopJoin" not in txt, txt
+    assert "BroadcastHashJoin" in txt, txt
+    # every join stays broadcast (the patch side is bucket-summary-
+    # sized); a SortMergeJoin here means the summaries stopped fitting
+    # the broadcast pattern and the fact is re-shuffling for a join
+    assert "SortMergeJoin" not in txt, txt
+    # exchange budget: fact window (k, salt) + buckets distinct
+    # (k, salt — map-side-combined to bucket cardinality) + summary
+    # agg + carry window (k) + 2 broadcasts (summary onto buckets,
+    # carry onto events); a 7th exchange means the fact re-shuffled
+    assert txt.count("Exchange") <= 6, txt
+
+
+def test_filtered_topk_label_predicate_pushed_to_scan(spark, sf_dir):
+    """`ann_filtered_topk` is a PRE-filter: the standing labels must
+    reach the embeddings parquet scan as an In() pushed filter (at
+    100 TB that's the difference between reading candidate row groups
+    and reading the corpus), the plan stays joinless (q-literal
+    fan-out), and the top-k window is the only shuffle consumer."""
+    from spark_streaming_with_debezium_spark.plans.explain import _single_plan
+
+    df = QUERIES["ann_filtered_topk"].fn(spark, sf_dir)
+    txt = _single_plan(df)
+    assert "PushedFilters: [" in txt, txt
+    import re
+
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", txt).group(1)
+    assert "In(label" in pushed or "EqualTo(label" in pushed, pushed
+    assert "Join" not in txt, txt
+    assert txt.count("embeddings.parquet") == 1, txt
