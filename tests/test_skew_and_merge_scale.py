@@ -295,3 +295,65 @@ def test_init_preserves_bucket_meta_after_rebucket(spark, tmp_path):
     st2.init(spark.createDataFrame([], "id long, v long"))
     reader2 = ParquetStateTable(spark, path, ["id"], n_buckets=4)
     assert reader2.n_buckets == 16
+
+
+def test_asof_salted_hot_key_boundaries(spark, tmp_path):
+    """`join_asof_salted` must agree with `join_asof` on a PLANTED
+    hot-key corpus hitting every decomposition boundary the sf data
+    may never exercise: one user owning events across many salt
+    buckets (the skew case the face exists for), events BEFORE any
+    order (null carry-in), empty buckets between orders (carry-in must
+    skip them), an order exactly AT an event's timestamp (>= match),
+    two same-date orders (highest orderkey wins), and a user with
+    orders but no events."""
+    import datetime as dt
+
+    from spark_streaming_with_debezium_spark.operators.joins import (
+        join_asof,
+        join_asof_salted,
+    )
+
+    day = dt.datetime(2000, 1, 1)
+
+    def ts(days):
+        return day + dt.timedelta(days=days)
+
+    # hot user 7: events every 30 days over ~6 years (12+ salt buckets)
+    events = [
+        (100 + i, ts(30 * i), 7, "view", 1.0) for i in range(72)
+    ]
+    # cold user 8: one event before its only order, one exactly at it
+    events += [(900, ts(10), 8, "view", 1.0), (901, ts(400), 8, "view", 1.0)]
+    # user 7's orders: sparse — none before day 200 (null carry-in for
+    # early events), then gaps > 1 bucket, two same-date orders at 700
+    orders = [
+        (1, 7, ts(200), 10.0),
+        (2, 7, ts(700), 20.0),
+        (3, 7, ts(700), 30.0),  # same date: orderkey 3 must win
+        (4, 7, ts(1900), 40.0),
+    ]
+    # user 8: one order exactly at event 901's timestamp (>= matches)
+    orders += [(5, 8, ts(400), 50.0)]
+    # user 9: orders, no events (must not surface anywhere)
+    orders += [(6, 9, ts(100), 60.0)]
+    spark.createDataFrame(
+        events, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_totalprice double",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    plain = sorted(map(tuple, join_asof(spark, str(tmp_path)).collect()))
+    salted = sorted(
+        map(tuple, join_asof_salted(spark, str(tmp_path)).collect())
+    )
+    assert salted == plain
+    by_event = {r[0]: r for r in salted}
+    assert by_event[100][3] is None  # before any order: null carry
+    assert by_event[901][3] == 5  # order exactly at ts matches
+    # after the same-date pair, the higher orderkey (3) is carried
+    first_after_700 = min(k for k in by_event if by_event[k][2] >= ts(700) and by_event[k][1] == 7)
+    assert by_event[first_after_700][3] == 3
