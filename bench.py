@@ -117,6 +117,10 @@ EXTENDED = (
     "dedup_containment",  # directed shingle containment (r8)
     "ann_matryoshka_recall",  # prefix-dim serving recall curve (r9)
     "dedup_substring_spans",  # maximal duplicated-span coalescing (r10)
+    "join_asof_tolerance",  # bounded-staleness as-of join (r11)
+    "ann_range_search",  # cell-pruned exact eps-ball retrieval (r11)
+    "join_asof_salted",  # skew-decomposed as-of, two-pass prefix scan (r12)
+    "ann_filtered_topk",  # predicate-pushed filtered ANN serving (r12)
 )
 
 
