@@ -1138,7 +1138,16 @@ def _learn_bpe(spark: SparkSession, sf_dir: str):
     corpus rescan. An exhausted round (no pairs left) yields a null
     winner: the histogram passes through unchanged and the round
     contributes no rule row — same fixpoint the old early-break
-    reached."""
+    reached.
+
+    AQE is pinned OFF for the induction actions (restored in
+    finally): on the word HISTOGRAM — thousands of rows after the one
+    corpus aggregation — every adaptive stage materialization is a
+    separate scheduled job (~3-4/round measured, 29 total), pure
+    overhead at any scale since the loop's exchanges are
+    histogram-sized by construction. With AQE off each round is its
+    checkpoint's single job. Results are plan-identical (the loop has
+    no join to re-strategize — the 1-row broadcast is explicit)."""
     from spark_streaming_with_debezium_spark.llm.corpus_rules import (
         normalize_text,
     )
@@ -1152,6 +1161,21 @@ def _learn_bpe(spark: SparkSession, sf_dir: str):
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        rule_frames, seqs = _bpe_rounds(words)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    rules = rule_frames[0]
+    for rf_ in rule_frames[1:]:
+        rules = rules.unionAll(rf_)
+    return rules, seqs
+
+
+def _bpe_rounds(words: DataFrame):
+    """The checkpointed merge loop of :func:`_learn_bpe` — split out so
+    the AQE toggle wraps exactly the eager actions."""
     seqs = words.select(
         F.array_join(F.split("w", ""), "  ").alias("seq"), "cnt"
     ).localCheckpoint(eager=True)
@@ -1221,10 +1245,7 @@ def _learn_bpe(spark: SparkSession, sf_dir: str):
             .limit(1)
         )
         seqs = seqs.select("seq", "cnt")
-    rules = rule_frames[0]
-    for rf_ in rule_frames[1:]:
-        rules = rules.unionAll(rf_)
-    return rules, seqs
+    return rule_frames, seqs
 
 
 @query("text_bpe_merges", oracle=_bpe_oracle())
