@@ -1315,3 +1315,161 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n_a").cast("long").alias("n_shingles_a"),
     )
+
+
+#: Band-count ablation grid for the LSH tuning curve (rows/band fixed
+#: at 4, the shipped banding): recall at b bands ≈ 1-(1-s^4)^b for
+#: true Jaccard s, so the curve is the MEASURED version of the
+#: S-curve every LSH deployment tunes against.
+LSH_CURVE_BANDS = (1, 2, 4, 8)
+
+
+def _lsh_recall_curve_oracle() -> str:
+    levels = ", ".join(f"({b})" for b in LSH_CURVE_BANDS)
+    return f"""
+    WITH {minhash_banded_ctes()},
+    pmb AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             MIN(a.band) AS mb
+      FROM kept a JOIN kept b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    dsh AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh),
+    meta AS (SELECT doc_id, lang, n_chars FROM documents),
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM dsh a JOIN dsh b ON a.doc_id < b.doc_id
+      JOIN meta ma ON ma.doc_id = a.doc_id
+      JOIN meta mb ON mb.doc_id = b.doc_id
+      WHERE ma.lang = mb.lang AND abs(ma.n_chars - mb.n_chars) <= 30
+        AND 3 * len(list_intersect(a.sset, b.sset))
+            >= len(a.sset) + len(b.sset)
+    ),
+    th AS (
+      SELECT t.doc_a, t.doc_b, p.mb
+      FROM truth t LEFT JOIN pmb p
+        ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+    ),
+    lv(b) AS (VALUES {levels})
+    SELECT CAST(lv.b AS BIGINT) AS bands,
+           CAST((SELECT COUNT(*) FROM pmb WHERE mb < lv.b) AS BIGINT)
+             AS n_candidates,
+           CAST((SELECT COUNT(*) FROM th WHERE mb < lv.b) AS BIGINT)
+             AS n_hits,
+           CAST((SELECT COUNT(*) FROM th) AS BIGINT) AS n_truth,
+           round(CAST((SELECT COUNT(*) FROM th WHERE mb < lv.b) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM th), 6) AS recall
+    FROM lv
+    """
+
+
+@query("dedup_lsh_recall_curve", oracle=_lsh_recall_curve_oracle())
+def dedup_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH banding tuning curve — measured recall of b ∈ {1,2,4,8}
+    signature bands (4 rows each) against an INDEPENDENT truth set:
+    blocked exact shingle-Jaccard ≥ 0.5 pairs (the same
+    (lang, |Δn_chars| ≤ 30) blocking `dedup_ngram_jaccard` uses, so
+    the truth generator shares no machinery with the hash family it
+    judges). The dedup twin of `ann_nprobe_recall_curve`: "measure,
+    don't guess" for the b×r banding knob — theory says recall ≈
+    1-(1-s⁴)^b; this face reports what the shipped corpus actually
+    gets, plus the candidate volume each extra band costs.
+
+    Shape: signatures and banding come from the shared single-consumer
+    pipeline (`minhash_signatures`/`banded_rows`, one shuffle on
+    (band, bucket) with the same bucket-size guard as production);
+    per-pair MIN first-discovering band makes every curve level a
+    conditional count over ONE pair frame — no per-level re-banding.
+    The truth join is the blocked equi-join on lang with the length
+    band as residual — candidate cost O(n · block width), never
+    all-pairs; the threshold is exact integer arithmetic
+    (3·|∩| ≥ |A|+|B|). Output is 4 rows of integers + a rounded
+    ratio, fully value-hash-oracled cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    banded = banded_rows(sigs).drop("sig")
+    wb = Window.partitionBy("band", "bucket")
+    bucketed = (
+        banded.repartition(F.col("band"), F.col("bucket"))
+        .withColumn("bsize", F.count(F.lit(1)).over(wb))
+        .filter(F.col("bsize") <= 64)
+    )
+    grouped = bucketed.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("ids")
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    pmb = (
+        grouped.select("band", F.explode(pairs_arr).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.min("band").alias("mb"))
+    )
+    dsh = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.array_distinct(word_shingles(F.col("text"))).alias("sset"),
+    )
+    a, b = dsh.alias("a"), dsh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sset"), F.col("b.sset")))
+    truth = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (
+            F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= F.lit(30)
+        ),
+    ).filter(
+        3 * inter >= F.size(F.col("a.sset")) + F.size(F.col("b.sset"))
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    th = truth.join(pmb, ["doc_a", "doc_b"], "left")
+    cand_agg = pmb.agg(
+        *[
+            F.sum((F.col("mb") < b_).cast("long")).alias(f"c{b_}")
+            for b_ in LSH_CURVE_BANDS
+        ]
+    )
+    hit_agg = th.agg(
+        F.count(F.lit(1)).alias("nt"),
+        *[
+            F.sum((F.col("mb") < b_).cast("long")).alias(f"h{b_}")
+            for b_ in LSH_CURVE_BANDS
+        ],
+    )
+    # two 1-row aggregates -> the audited scalar crossJoin pattern
+    curve = cand_agg.crossJoin(hit_agg).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b_).cast("long").alias("bands"),
+                        F.coalesce(F.col(f"c{b_}"), F.lit(0)).alias(
+                            "n_candidates"
+                        ),
+                        F.coalesce(F.col(f"h{b_}"), F.lit(0)).alias("n_hits"),
+                        F.col("nt").cast("long").alias("n_truth"),
+                    )
+                    for b_ in LSH_CURVE_BANDS
+                ]
+            )
+        ).alias("z")
+    )
+    return curve.select(
+        "z.bands",
+        "z.n_candidates",
+        "z.n_hits",
+        "z.n_truth",
+        F.round(
+            F.col("z.n_hits").cast("double") / F.col("z.n_truth"), 6
+        ).alias("recall"),
+    )

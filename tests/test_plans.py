@@ -826,3 +826,24 @@ def test_filtered_topk_label_predicate_pushed_to_scan(spark, sf_dir):
     assert "In(label" in pushed or "EqualTo(label" in pushed, pushed
     assert "Join" not in txt, txt
     assert txt.count("embeddings.parquet") == 1, txt
+
+
+def test_lsh_recall_curve_blocked_truth_no_cartesian(spark, sf_dir):
+    """`dedup_lsh_recall_curve`'s truth generator must stay the
+    blocked equi-join on lang (length band as residual) — never a
+    cartesian/BNLJ all-pairs — and the banding side must shuffle on
+    (band, bucket) exactly once. The final 4-row assembly is the
+    audited 1-row-aggregate crossJoin scalar pattern, which plans as
+    a BNLJ over two single-row aggregates, not a data-data loop."""
+    from spark_streaming_with_debezium_spark.plans.explain import _single_plan
+
+    txt = _single_plan(QUERIES["dedup_lsh_recall_curve"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in txt, txt
+    # the pair frame is consumed by both the candidate and hit
+    # aggregates, so its (band, bucket) exchange recurs TEXTUALLY in
+    # the explain (runtime reuses it); more than 2 means a third
+    # banding pass appeared
+    assert 1 <= txt.count("hashpartitioning(band") <= 2, txt
+    # the lang-blocked truth join must be a real equi-join: SMJ or
+    # broadcast HASH join keyed on lang, with the length band residual
+    assert ("SortMergeJoin" in txt) or ("BroadcastHashJoin" in txt), txt
