@@ -566,6 +566,9 @@ def test_repo_wide_cartesian_and_bnlj_census(spark, sf_dir):
         "ann_matryoshka_recall",  # 8-query + top-k truth broadcasts
         "ann_brp_ml",  # composes the audited exact ANN face (recall gate)
         "dedup_minhash_ml",  # 1-row x 1-row count-tolerance crossJoin
+        # 1-row candidate-agg x 1-row hit-agg crossJoin assembling the
+        # 4-level curve (r12)
+        "dedup_lsh_recall_curve",
         # the intentional cross-join demo over tiny dims
         "join_cross",
     }
