@@ -3207,3 +3207,70 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_per_day",
         )
     )
+
+
+@query(
+    "dq_duplicate_payments",
+    oracle="""
+    WITH lagged AS (
+      SELECT o_custkey, o_totalprice, o_orderkey, o_orderdate,
+             lag(o_orderkey) OVER w AS prev_orderkey,
+             lag(o_orderdate) OVER w AS prev_orderdate,
+             lag(o_totalprice) OVER w AS prev_amount
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey AS custkey,
+           prev_orderkey, o_orderkey AS orderkey,
+           round(prev_amount, 2) AS prev_amount,
+           round(o_totalprice, 2) AS amount,
+           CAST(date_diff('day', prev_orderdate, o_orderdate) AS BIGINT)
+             AS gap_days
+    FROM lagged
+    WHERE prev_orderkey IS NOT NULL
+      AND date_diff('day', prev_orderdate, o_orderdate) <= 30
+      AND 100 * abs(o_totalprice - prev_amount) <= o_totalprice
+    """,
+)
+def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ audit: suspected duplicate charges — consecutive orders by
+    the SAME customer within 30 days whose amounts agree to 1%
+    (100·|Δ| ≤ amount), the double-charge / double-entry detector every
+    payments pipeline runs (amount-EXACT duplicates simply don't occur
+    in this corpus — the 1% band is what real audits use to catch
+    re-submissions with fee/rounding drift). Consecutive-pair
+    formulation via one lag window per customer, ordered by
+    (date, orderkey) with the orderkey pinning same-day determinism —
+    a run of k repeat charges reports k-1 adjacent pairs, not
+    k·(k-1)/2.
+
+    Scale shape: ONE hash exchange on custkey — uniform keys, no join,
+    no self-pairing; the window partition is one customer's order
+    history. The 100 TB plan is identical; the same window also feeds
+    the refund matcher (negative amounts) for free."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    lagged = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("amt"),
+        F.col("o_orderkey").alias("orderkey"),
+        "o_orderdate",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lag("o_orderdate").over(w).alias("prev_orderdate"),
+        F.lag("o_totalprice").over(w).alias("prev_amt"),
+    )
+    return lagged.filter(
+        F.col("prev_orderkey").isNotNull()
+        & (F.datediff("o_orderdate", "prev_orderdate") <= 30)
+        & (100 * F.abs(F.col("amt") - F.col("prev_amt")) <= F.col("amt"))
+    ).select(
+        "custkey",
+        "prev_orderkey",
+        "orderkey",
+        F.round("prev_amt", 2).alias("prev_amount"),
+        F.round("amt", 2).alias("amount"),
+        F.datediff("o_orderdate", "prev_orderdate")
+        .cast("long")
+        .alias("gap_days"),
+    )
