@@ -139,7 +139,74 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: the window to 50. Nothing is displaced from the queue head; the
 #: round-13 queue head is any r12-new faces (registered AFTER this
 #: prefix), then the r08 cohort from cdc_history_per_key onward.
+#: Round-13 rotation (VERDICT r12 item 1). After r12's all-green
+#: window the ledger queue is exactly: the 4 never-driver-checked r12
+#: faces (dq_duplicate_payments, join_asof_salted,
+#: dedup_lsh_recall_curve, ann_filtered_topk — registered after the
+#: r12 prefix so that window ran exactly as prescribed), then all 46
+#: r08-stale names (ledger order, cdc_history_per_key onward).
+#: 4 + 46 = 50 exactly — nothing displaced, no filler needed; the
+#: round-14 queue head is any r13-new faces (registered AFTER this
+#: prefix), then the r09 cohort from agg_grouping_sets onward.
 _PRIORITY = (
+    # --- round-13 driver window (50) ---
+    # 4 never-driver-checked (r12-new operators, VERDICT-named)
+    "dq_duplicate_payments",
+    "join_asof_salted",
+    "dedup_lsh_recall_curve",
+    "ann_filtered_topk",
+    # all 46 r08-stale names (ledger order)
+    "cdc_history_per_key",
+    "dedup_clusters",
+    "dedup_simhash",
+    "embedding_cosine_neardup",
+    "embedding_normalize",
+    "embedding_quantize_int8",
+    "events_retention_cohorts",
+    "filter_predicates",
+    "fn_array_agg_decimal",
+    "fn_arrays_extended",
+    "fn_casts",
+    "fn_conditionals_nulls",
+    "fn_datetime",
+    "fn_datetime_parts",
+    "fn_hashes",
+    "fn_json_extract",
+    "fn_map_higher_order",
+    "fn_math",
+    "fn_strings_extended",
+    "join_asof",
+    "join_broadcast_dims",
+    "join_cross",
+    "join_full_outer",
+    "join_inner_equi",
+    "join_left_anti",
+    "join_left_outer",
+    "join_left_semi",
+    "join_range_band",
+    "q10_returned_items",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_ratio",
+    "sample_stratified",
+    "sketch_hll_distinct_docs",
+    "sketch_hll_rolling_users",
+    "text_bigram_predictability",
+    "text_corpus_stats",
+    "text_fingerprint",
+    "text_idf",
+    "text_langid",
+    "text_quality",
+    "text_redact",
+    "text_repetition",
+    "text_similar_topk",
+    "text_token_counts",
+    "window_running_frames",
+    # --- 50-query prefix boundary (round-13 driver window) ---
+)
+
+#: Superseded round-12 window, kept for the displacement audit trail.
+_PRIORITY_R12 = (
     # --- round-12 driver window (50) ---
     # 2 never-driver-checked (r11-new operators, VERDICT-named)
     "join_asof_tolerance",
