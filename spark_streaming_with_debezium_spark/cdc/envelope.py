@@ -405,6 +405,7 @@ def parse_envelope(
     key_col: str = "key",
     seq_cols: tuple[str, ...] = (),
     include_before: bool = False,
+    pushdown_barrier: bool = False,
 ) -> DataFrame:
     """Parse raw Kafka records into typed change rows.
 
@@ -424,13 +425,47 @@ def parse_envelope(
     type and decoded here (Connect Decimal bytes → DecimalType, epoch
     days → DateType, epoch µs/ms → TimestampType) — still one Catalyst
     projection, no UDFs.
+
+    ``pushdown_barrier=True`` pins the ``from_json`` projection with a
+    non-deterministic (dropped) column so Catalyst's predicate pushdown
+    cannot substitute the parse expression into the trailing
+    ``op IS NOT NULL`` filter. For real sources (Kafka, files) the
+    envelope columns are stored attributes and pushdown is free and
+    desirable — leave this off. For SYNTHESIZED envelopes (the
+    ``value`` column is itself a ``to_json`` expression, as in the
+    logical-type fixture queries) pushdown duplicates the whole
+    encode+parse chain into the filter, tripling per-row work; the
+    barrier keeps the chain evaluated exactly once.
     """
     val_schema = envelope_value_schema(spec.wire_schema)
     key_schema = envelope_key_schema(_key_schema_of(spec))
 
     df = raw.filter(F.col(value_col).isNotNull())
-    df = df.withColumn("_v", F.from_json(F.col(value_col).cast("string"), val_schema))
-    df = df.withColumn("_k", F.from_json(F.col(key_col).cast("string"), key_schema))
+    if pushdown_barrier:
+        # Taint the parse input with a non-deterministic identity (an
+        # always-empty string gated on rand), making the _v/_k aliases
+        # non-substitutable: Spark 4 pushes a filter through a Project
+        # whenever the SUBSTITUTED condition is deterministic, so a
+        # plain non-deterministic sibling column does not protect an
+        # expensive deterministic alias from being duplicated into the
+        # trailing filters. The taint never changes the parsed bytes.
+        nd_empty = F.when(F.spark_partition_id() >= 0, F.lit("")).otherwise(F.lit(None))
+        df = df.select(
+            "*",
+            F.from_json(
+                F.concat(F.col(value_col).cast("string"), nd_empty), val_schema
+            ).alias("_v"),
+            F.from_json(
+                F.concat(F.col(key_col).cast("string"), nd_empty), key_schema
+            ).alias("_k"),
+        )
+    else:
+        df = df.withColumn(
+            "_v", F.from_json(F.col(value_col).cast("string"), val_schema)
+        )
+        df = df.withColumn(
+            "_k", F.from_json(F.col(key_col).cast("string"), key_schema)
+        )
 
     def key_expr(k: str) -> Column:
         # Key envelope wins; fall back to after (upserts) then before

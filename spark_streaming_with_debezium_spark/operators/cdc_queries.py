@@ -155,6 +155,15 @@ def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (schema, tombstone handling, op mapping, null discipline) breaks
     the hash match. Also the honest benchmark of the vectorized parse
     path that replaces DebeziumDeltaFormatter's driver loop.
+
+    Synthetic-envelope plan discipline (same as cdc_logical_types):
+    the sf0.1 events file is a single split, so the scan is
+    repartitioned before the encode projection, and both the encode
+    and parse aliases carry the non-deterministic identity taint
+    (``pushdown_barrier=True``) so Catalyst cannot duplicate the
+    to_json/from_json chains into parse_envelope's trailing filters
+    (interleaved A/B at sf0.1: 1.88 s → 0.74 s median). Real sources
+    store the envelope columns; neither pin applies there.
     """
     from pyspark.sql import types as T
 
@@ -163,7 +172,9 @@ def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_envelope,
     )
 
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     is_del = F.col("event_type") == "error"
     after = F.when(
         ~is_del,
@@ -171,14 +182,17 @@ def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw = e.select(
         F.to_json(F.struct(F.struct(F.col("user_id").alias("id")).alias("payload"))).alias("key"),
-        F.to_json(
-            F.struct(
+        F.concat(
+            F.to_json(
                 F.struct(
-                    after.alias("after"),
-                    F.when(is_del, F.lit("d")).otherwise(F.lit("u")).alias("op"),
-                    (F.unix_timestamp("ts") * 1000).alias("ts_ms"),
-                ).alias("payload")
-            )
+                    F.struct(
+                        after.alias("after"),
+                        F.when(is_del, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+                        (F.unix_timestamp("ts") * 1000).alias("ts_ms"),
+                    ).alias("payload")
+                )
+            ),
+            F.when(F.spark_partition_id() >= 0, F.lit("")).otherwise(F.lit(None)),
         ).alias("value"),
     )
     spec = TableSpec(
@@ -188,7 +202,7 @@ def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             [T.StructField("id", T.LongType()), T.StructField("val", T.DoubleType())]
         ),
     )
-    parsed = parse_envelope(raw, spec)
+    parsed = parse_envelope(raw, spec, pushdown_barrier=True)
     return parsed.select("id", "val", "op", "deleted")
 
 
@@ -283,9 +297,22 @@ def cdc_logical_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver hashes unscaled decimal text; the exact-decimal face is
     pinned by tests/test_cdc_golden.py's logical-type goldens.
 
-    Whole plan: one scan → one codegen'd projection (encode) → one
-    codegen'd projection (from_json + decode). No shuffle, no UDF —
-    at 100 TB this is the same per-core parse throughput as the
+    Whole plan: one scan → round-robin repartition (the sf0.1 orders
+    file is a single split; without the exchange the whole encode+parse
+    chain runs on ONE core of 32) → one projection (encode, alias
+    tainted with a non-deterministic identity suffix) → cheap
+    attribute filter → one projection (from_json + decode, pinned via
+    ``pushdown_barrier=True``) → cheap attribute filter. The two pins
+    matter: both envelope columns are COMPUTED here, so Catalyst's
+    predicate pushdown would otherwise substitute the full encode+parse
+    chain into parse_envelope's trailing filters and evaluate it 2-3x
+    per row in the single-task scan stage. This was r12's unattributed
+    bench gap (4.75 s at 2 jobs vs 0.24 s predicted); interleaved
+    same-process A/B at sf0.1: old form 4.52 s median, repartition
+    alone 2.46 s, repartition+pins 1.34 s — each chain now evaluated
+    exactly once (plan-census-asserted in tests/test_plans.py). No UDF
+    — at 100 TB a real source stores the envelope columns, so neither
+    pin is needed there and per-core parse throughput equals the
     untyped envelope path."""
     from pyspark.sql import types as T
 
@@ -295,7 +322,9 @@ def cdc_logical_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_envelope,
     )
 
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     k = F.col("o_orderkey")
     after = F.struct(
         k.alias("o_orderkey"),
@@ -308,14 +337,23 @@ def cdc_logical_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(
             F.struct(F.struct(k.alias("o_orderkey")).alias("payload"))
         ).alias("key"),
-        F.to_json(
-            F.struct(
+        # Non-deterministic identity taint (always-empty suffix): keeps
+        # parse_envelope's value-IS-NOT-NULL filter referencing the
+        # materialized `value` attribute instead of a substituted copy
+        # of the to_json chain pushed into the single-task scan stage
+        # (see docstring; Spark 4 pushes any filter whose SUBSTITUTED
+        # condition is deterministic).
+        F.concat(
+            F.to_json(
                 F.struct(
-                    after.alias("after"),
-                    F.lit("r").alias("op"),
-                    F.lit(0).cast("long").alias("ts_ms"),
-                ).alias("payload")
-            )
+                    F.struct(
+                        after.alias("after"),
+                        F.lit("r").alias("op"),
+                        F.lit(0).cast("long").alias("ts_ms"),
+                    ).alias("payload")
+                )
+            ),
+            F.when(F.spark_partition_id() >= 0, F.lit("")).otherwise(F.lit(None)),
         ).alias("value"),
     )
     spec = TableSpec(
@@ -337,7 +375,7 @@ def cdc_logical_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("created_at", "io.debezium.time.Timestamp"),
         ),
     )
-    parsed = parse_envelope(raw, spec)
+    parsed = parse_envelope(raw, spec, pushdown_barrier=True)
     return parsed.select(
         "o_orderkey",
         F.col("price").cast("double").alias("price"),

@@ -850,3 +850,62 @@ def test_lsh_recall_curve_blocked_truth_no_cartesian(spark, sf_dir):
     # the lang-blocked truth join must be a real equi-join: SMJ or
     # broadcast HASH join keyed on lang, with the length band residual
     assert ("SortMergeJoin" in txt) or ("BroadcastHashJoin" in txt), txt
+
+
+def test_synthetic_envelope_faces_evaluate_chains_once(spark, sf_dir):
+    """The two synthetic-envelope faces (cdc_logical_types,
+    cdc_envelope_roundtrip) COMPUTE their key/value columns, so
+    Catalyst's per-condition predicate pushdown would substitute the
+    whole to_json/from_json chain into parse_envelope's trailing
+    filters and run it 2-3x per row in the single-task scan stage
+    (r12's unattributed 4.75 s-vs-0.24 s bench gap). The non-
+    deterministic identity taints must keep each chain evaluated
+    EXACTLY once — both filters reduced to attribute references — and
+    the round-robin repartition must sit below the encode projection."""
+    for name, n_tojson in [("cdc_logical_types", 2), ("cdc_envelope_roundtrip", 2)]:
+        df = QUERIES[name].fn(spark, sf_dir)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        lines = opt.splitlines()
+        filters = [ln for ln in lines if ln.strip().startswith(("Filter", "+- Filter"))]
+        assert filters, opt
+        for ln in filters:
+            assert "from_json" not in ln and "StructsToJson" not in ln, (name, ln)
+        # one encode projection (key + value to_json) and one parse
+        # projection (_v + _k from_json) — no duplicated chains anywhere
+        assert opt.count("StructsToJson") == n_tojson, (name, opt.count("StructsToJson"))
+        assert opt.count("from_json") == 2, (name, opt.count("from_json"))
+        assert "Repartition" in opt, (name, opt)
+
+
+def test_filtered_topk_join_path_matches_literal_and_broadcasts(spark, sf_dir):
+    """The large-q branch of `ann_filtered_topk`
+    (`_filtered_topk_join_path`) must (a) return EXACTLY the literal
+    path's rows — same candidate set, same pinned (d2, vec_id)
+    tie-breaks, different delivery — (b) plan the standing-query
+    fan-out as a broadcast HASH join on the label column (never a
+    BNLJ/cartesian), and (c) KEEP the `isin` label pushdown on the
+    corpus scan so the parquet footer still prunes non-candidate row
+    groups before the join. Forced through the join branch with the
+    standard q=8 standing set."""
+    import re
+
+    from spark_streaming_with_debezium_spark.llm.cluster import (
+        _filtered_topk_impl,
+    )
+    from spark_streaming_with_debezium_spark.plans.explain import (
+        _single_plan,
+        broadcast_join_count,
+    )
+
+    literal = QUERIES["ann_filtered_topk"].fn(spark, sf_dir)
+    joined = _filtered_topk_impl(spark, sf_dir, force_join_path=True)
+    assert sorted(map(tuple, joined.collect())) == sorted(
+        map(tuple, literal.collect())
+    )
+    txt = _single_plan(joined)
+    assert broadcast_join_count(joined) >= 1, txt
+    assert "CartesianProduct" not in txt, txt
+    assert "BroadcastNestedLoopJoin" not in txt, txt
+    assert "PushedFilters: [" in txt, txt
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", txt).group(1)
+    assert "In(label" in pushed or "EqualTo(label" in pushed, pushed
