@@ -1521,52 +1521,101 @@ def ann_filtered_topk(spark, sf_dir: str) -> DataFrame:
     100 TB only row groups containing candidate labels are read at
     all. Per-row work after the scan: explode only the standing
     queries whose label equals the row's (a q-literal array filter —
-    same bounded-q discipline as `ann_range_search`; past
-    `_RANGE_LITERAL_Q_MAX` the same broadcast-table join path
-    applies), then the qid-keyed exact integer distance CASE and a
-    per-query top-k window over (d2, vec_id) — pinned tie-breaks,
-    value-hash-oracled against the DuckDB brute force."""
+    same bounded-q discipline as `ann_range_search`), then the
+    qid-keyed exact integer distance CASE and a per-query top-k
+    window over (d2, vec_id) — pinned tie-breaks, value-hash-oracled
+    against the DuckDB brute force. Past ``_RANGE_LITERAL_Q_MAX`` the
+    impl switches to :func:`_filtered_topk_join_path` — the same
+    broadcast-table delivery as `ann_range_search`'s large-q branch,
+    equi-joined on label with the isin pushdown kept (census test
+    `test_filtered_topk_join_path_matches_literal_and_broadcasts`
+    proves row-identical output on the standard standing set)."""
+    return _filtered_topk_impl(spark, sf_dir)
+
+
+def _filtered_topk_join_path(spark, e, q_rows) -> DataFrame:
+    """Large-q serving path for :func:`ann_filtered_topk`: the standing
+    (query_id, qlabel, qv) set ships as a broadcast TABLE (Arrow
+    createDataFrame — data-sized query state, no q-branch CASE to
+    stall Catalyst analysis past ~10² queries), equi-joined on the
+    label column with the `isin` label pushdown KEPT on the corpus
+    scan, so the parquet footer still prunes non-candidate row groups
+    before the join. The exact integer distance is one
+    zip_with/aggregate over the two array columns — interpreted HOF
+    arithmetic, slower per pair than the codegen'd literal CASE, which
+    is why small standing sets keep the literal plan (the same
+    measured trade as `_range_search_join_path`,
+    perf/AB_VERDICTS.md). Join row count equals the literal path's
+    exploded candidate count exactly, so the oracle argument carries
+    over verbatim."""
+    labels = sorted({int(r["label"]) for r in q_rows})
+    qtab = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), int(r["label"]), [int(x) for x in r["v"]])
+            for r in q_rows
+        ],
+        "query_id long, qlabel int, qv array<bigint>",
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.filter(F.col("label").isin(labels))
+        .join(F.broadcast(qtab), F.col("label") == F.col("qlabel"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", d2.cast("long").alias("d2"))
+    )
+
+
+def _filtered_topk_impl(
+    spark, sf_dir: str, force_join_path: bool = False
+) -> DataFrame:
     from pyspark.sql import Window
 
     e = _gridded_embeddings(spark, sf_dir)
     q_rows = (
         e.filter(F.col("vec_id") < _RECALL_QUERIES).orderBy("vec_id").collect()
     )
-    labels = sorted({int(r["label"]) for r in q_rows})
-    qarr = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["vec_id"])).cast("long").alias("qid"),
-                F.lit(int(r["label"])).alias("qlabel"),
+    if force_join_path or len(q_rows) > _RANGE_LITERAL_Q_MAX:
+        scored = _filtered_topk_join_path(spark, e, q_rows)
+    else:
+        labels = sorted({int(r["label"]) for r in q_rows})
+        qarr = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r["vec_id"])).cast("long").alias("qid"),
+                    F.lit(int(r["label"])).alias("qlabel"),
+                )
+                for r in q_rows
+            ]
+        )
+        cand = e.filter(F.col("label").isin(labels)).select(
+            "vec_id",
+            "label",
+            "v",
+            F.explode(
+                F.transform(
+                    F.filter(qarr, lambda s: s["qlabel"] == F.col("label")),
+                    lambda s: s["qid"],
+                )
+            ).alias("query_id"),
+        ).filter(F.col("vec_id") != F.col("query_id"))
+        d2_case = None
+        for r in q_rows:
+            qid, qv = int(r["vec_id"]), list(r["v"])
+            expr = _km_dist2("v", qv)
+            d2_case = (
+                F.when(F.col("query_id") == qid, expr)
+                if d2_case is None
+                else d2_case.when(F.col("query_id") == qid, expr)
             )
-            for r in q_rows
-        ]
-    )
-    cand = e.filter(F.col("label").isin(labels)).select(
-        "vec_id",
-        "label",
-        "v",
-        F.explode(
-            F.transform(
-                F.filter(qarr, lambda s: s["qlabel"] == F.col("label")),
-                lambda s: s["qid"],
-            )
-        ).alias("query_id"),
-    ).filter(F.col("vec_id") != F.col("query_id"))
-    d2_case = None
-    for r in q_rows:
-        qid, qv = int(r["vec_id"]), list(r["v"])
-        expr = _km_dist2("v", qv)
-        d2_case = (
-            F.when(F.col("query_id") == qid, expr)
-            if d2_case is None
-            else d2_case.when(F.col("query_id") == qid, expr)
+        scored = cand.select(
+            "query_id", "vec_id", d2_case.cast("long").alias("d2")
         )
     w = Window.partitionBy("query_id").orderBy("d2", "vec_id")
     return (
-        cand.select(
-            "query_id", "vec_id", d2_case.cast("long").alias("d2")
-        )
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= _RECALL_K)
     )
