@@ -98,8 +98,28 @@ DEFAULT_QUERIES = (
 )
 
 
-def build_scaled(spark, src_dir: str, dst_dir: str, n: int) -> None:
-    """Write the N×-replicated copy of ``src_dir`` into ``dst_dir``."""
+#: Planted hot key for ``--hotkey`` mode (a low id, inside every
+#: replica's un-offset key range) and the deterministic fraction of
+#: rows remapped onto it.
+_HOT_KEY = 1
+_HOT_MOD = 5  # 1-in-5 rows → 20 % of the fact lands on one key
+
+
+def build_scaled(
+    spark, src_dir: str, dst_dir: str, n: int, hotkey: bool = False
+) -> None:
+    """Write the N×-replicated copy of ``src_dir`` into ``dst_dir``.
+
+    ``hotkey=True`` additionally remaps a deterministic 1-in-
+    ``_HOT_MOD`` slice of every replica's events (by event_id) and
+    orders (by o_orderkey) onto the single key ``_HOT_KEY`` AFTER the
+    replica offsets — so at ×N one key owns 20 % of the whole fact
+    across the full N×35-day horizon. That is the pathology
+    `join_asof_salted` exists for: the plain single-key carry window
+    serializes that key's timeline through one task, while the salt
+    grid splits it across time buckets. Plant in EVERY replica
+    (including i=0) so a ×1-planted baseline isolates scaling from
+    planting."""
     os.makedirs(dst_dir, exist_ok=True)
     for t in TABLES:
         df = load_table(spark, src_dir, t)
@@ -112,6 +132,20 @@ def build_scaled(spark, src_dir: str, dst_dir: str, n: int) -> None:
                 for c in df.columns:
                     if c in _OFFSETS:
                         rep = rep.withColumn(c, F.col(c) + F.lit(i * _OFFSETS[c]))
+                if hotkey and t == "events":
+                    rep = rep.withColumn(
+                        "user_id",
+                        F.when(
+                            F.col("event_id") % _HOT_MOD == 0, F.lit(_HOT_KEY)
+                        ).otherwise(F.col("user_id")),
+                    )
+                if hotkey and t == "orders":
+                    rep = rep.withColumn(
+                        "o_custkey",
+                        F.when(
+                            F.col("o_orderkey") % _HOT_MOD == 0, F.lit(_HOT_KEY)
+                        ).otherwise(F.col("o_custkey")),
+                    )
                 if t == "documents" and i > 0:
                     rep = rep.withColumn(
                         "text", F.translate(F.col("text"), "aeiou", _rot(i))
@@ -193,17 +227,26 @@ def main() -> None:
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "5"))
     occupancy = "--occupancy" in sys.argv
-    names = [a for a in sys.argv[1:] if not a.startswith("--")] or list(
-        DEFAULT_QUERIES
+    hotkey = "--hotkey" in sys.argv
+    names = [a for a in sys.argv[1:] if not a.startswith("--")] or (
+        ["join_asof", "join_asof_salted"] if hotkey else list(DEFAULT_QUERIES)
     )
     spark = get_spark("scale_curve")
     spark.sparkContext.setLogLevel("ERROR")
     queries = load_all()
 
     dst = tempfile.mkdtemp(prefix=f"scale_x{n}_")
+    base_dir = src
+    base_tmp = None
     try:
         t0 = time.perf_counter()
-        build_scaled(spark, src, dst, n)
+        build_scaled(spark, src, dst, n, hotkey=hotkey)
+        if hotkey:
+            # ×1 baseline gets the SAME planted skew, so the ratio
+            # measures scaling, not planting.
+            base_tmp = tempfile.mkdtemp(prefix="scale_x1_hot_")
+            build_scaled(spark, src, base_tmp, 1, hotkey=True)
+            base_dir = base_tmp
         build_sec = round(time.perf_counter() - t0, 3)
         cpu_pre = calib_cpu(spark)
         out = {}
@@ -212,7 +255,7 @@ def main() -> None:
                 base_fn, scaled_fn = _occupancy_fn(name, 1), _occupancy_fn(name, n)
             else:
                 base_fn = scaled_fn = queries[name].fn
-            base_first, base, base_runs = time_query(spark, base_fn, src)
+            base_first, base, base_runs = time_query(spark, base_fn, base_dir)
             scaled_first, scaled, scaled_runs = time_query(spark, scaled_fn, dst)
             out[name] = {
                 "x1_sec": base,
@@ -224,23 +267,41 @@ def main() -> None:
                 "ratio": round(scaled / base, 2) if base > 0 else None,
             }
         cpu_post = calib_cpu(spark)
+        skew = None
+        if hotkey:
+            ev = load_table(spark, dst, "events")
+            hot = ev.filter(F.col("user_id") == _HOT_KEY).count()
+            total = ev.count()
+            skew = {
+                "hot_key": _HOT_KEY,
+                "hot_events": int(hot),
+                "total_events": int(total),
+                "hot_share": round(hot / total, 4),
+            }
         print(
             json.dumps(
                 {
                     "metric": "scale_curve",
-                    "mode": "occupancy_k_prop_n" if occupancy else "fixed_k",
+                    "mode": (
+                        "hotkey_planted"
+                        if hotkey
+                        else "occupancy_k_prop_n" if occupancy else "fixed_k"
+                    ),
+                    "hot_skew": skew,
                     "replicas": n,
                     "ideal_ratio": float(n),
                     "build_sec": build_sec,
                     "calib_cpu_pre_sec": cpu_pre,
                     "calib_cpu_post_sec": cpu_post,
                     "queries": out,
-                    "base_dir": src,
+                    "base_dir": base_dir,
                 }
             )
         )
     finally:
         shutil.rmtree(dst, ignore_errors=True)
+        if base_tmp:
+            shutil.rmtree(base_tmp, ignore_errors=True)
     spark.stop()
 
 

@@ -624,8 +624,13 @@ def join_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     3. a window over the TINY bucket-summary table (partitioned by
        key, ordered by salt, rows up to -1) gives each bucket its
        carry-IN from all prior buckets;
-    4. event rows patch `coalesce(local_carry, carry_in)` via a
-       broadcast join on (key, salt).
+    4. event rows patch `coalesce(local_carry, carry_in)` via an
+       equi-join on (key, salt) that REUSES the fact side's pass-1
+       window partitioning — no forced broadcast: the carry table is
+       keys × populated-salts rows (it grows with the key universe,
+       not the hot key), so AQE picks broadcast only when it truly
+       fits (the ×25 planted-hot-key run measured the forced form at
+       55× the ×1 wall from the driver-side relation build alone).
 
     Tie-breaks are pinned exactly as in `join_asof` (order row sorts
     before an equal-time event; same-time orders resolve to the
@@ -697,7 +702,17 @@ def join_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LEFT join: a null-key event never equi-matches its own bucket
     # row, but the oracle's LEFT JOIN keeps it (with null order cols) —
     # an inner join would silently drop it.
-    patched = local.join(F.broadcast(carry), ["k", "salt"], "left")
+    #
+    # NO forced broadcast (r13 fix, caught by the ×25 planted-hot-key
+    # scale run): `carry` is keys × populated-salts rows — "bucket-
+    # summary-sized" grows with the KEY UNIVERSE, not the hot key, so
+    # at ×25 a forced broadcast built a ~2M-row driver relation and
+    # went 55× over the ×1 wall (83-105 s vs plain join_asof's 2.9 s).
+    # The fact side is already hash-partitioned on (k, salt) by the
+    # pass-1 window, so a plain equi-join reuses that exchange and
+    # only carry shuffles; when carry IS small, AQE converts the join
+    # to broadcast at runtime anyway (the right call at every scale).
+    patched = local.join(carry, ["k", "salt"], "left")
     return patched.select(
         "event_id",
         F.col("k").alias("user_id"),
