@@ -356,3 +356,140 @@ def embedding_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_cos_centroid"),
     )
+
+
+@query(
+    "embedding_outlier_mahalanobis",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, i AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS x
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ), st AS (
+      SELECT label, pos,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                  AS BIGINT) AS q
+      FROM ex GROUP BY 1, 2
+    ), ratio AS (
+      SELECT ex.vec_id, ex.label,
+             CASE WHEN CAST(st.n AS DECIMAL(19,0)) * CAST(st.q AS DECIMAL(19,0))
+                       - CAST(st.s AS DECIMAL(19,0)) * CAST(st.s AS DECIMAL(19,0))
+                       = 0
+                  THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(CAST(ex.x * st.n - st.s AS DECIMAL(19,0))
+                            * CAST(ex.x * st.n - st.s AS DECIMAL(19,0))
+                            AS DOUBLE)
+                       / CAST(CAST(st.n AS DECIMAL(19,0))
+                              * CAST(st.q AS DECIMAL(19,0))
+                              - CAST(st.s AS DECIMAL(19,0))
+                              * CAST(st.s AS DECIMAL(19,0)) AS DOUBLE)
+             END AS r
+      FROM ex JOIN st ON ex.label = st.label AND ex.pos = st.pos
+    ), score AS (
+      SELECT vec_id, label,
+             CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE) AS m2
+      FROM ratio GROUP BY 1, 2
+    ), ranked AS (
+      SELECT vec_id, label, m2,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY m2 DESC, vec_id) AS rk
+      FROM score
+    )
+    SELECT label, CAST(rk AS BIGINT) AS rank, vec_id,
+           round(m2, 6) AS mahalanobis2
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection — the QA pass a curation
+    pipeline runs over a labeled/clustered corpus before training:
+    per label, the top-5 vectors by squared Mahalanobis distance under
+    a DIAGONAL covariance model (n·Σ-normalized per-dimension
+    z-scores). High scorers are mislabeled points, encoder glitches,
+    or genuine novelty — either way the rows a human reviews first.
+    Complements `embedding_label_cohesion` (cluster-level health
+    scalar) with a per-VECTOR ranking, and `embedding_drift_cells`
+    (population drift) with a point-anomaly view.
+
+    Exact fixed-point discipline (module convention): coordinates on
+    the 1e-6 floor grid; per-(label, dim) moment sums n/S/Q are exact
+    integers, and the per-dimension ratio is formed from the
+    INTEGER-EXACT identity (x·n − S)² / (n·Q − S²) — numerator and
+    denominator are exact decimals converted to double once, so the
+    only float ops are one division per dimension and the final sum,
+    accumulated in DECIMAL(38,12) (order-independent) before a single
+    cast back. A zero-variance dimension contributes exactly 0 (the
+    integer-exact guard), never NaN/Inf. Both engines therefore
+    compute bit-identical scores; round(6) absorbs nothing but
+    representation slack.
+
+    Scale shape: one posexplode aggregate builds labels × dims moment
+    rows (broadcast-sized for any corpus); the stats rejoin the fact
+    as BROADCAST arrays, so scoring is a single stateless pass over
+    the embeddings — no fact-side shuffle at all until the final
+    top-5-per-label window over per-vector scores, which shuffles one
+    64-byte row per vector on the label key (the bounded per-group
+    top-k pattern of `window_rank_topk_per_group`)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    ei = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1000000.0).cast("long")
+        ).alias("xi"),
+    )
+    st = (
+        ei.select("label", F.posexplode("xi").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("s"),
+            F.sum(dec(F.col("x")) * dec(F.col("x")))
+            .cast("long")
+            .alias("q"),
+        )
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "n", "s", "q"))).alias(
+                "ps"
+            )
+        )
+        .select(
+            "label",
+            F.transform("ps", lambda p: p["n"]).alias("nv"),
+            F.transform("ps", lambda p: p["s"]).alias("sv"),
+            F.transform("ps", lambda p: p["q"]).alias("qv"),
+        )
+    )
+    joined = ei.join(F.broadcast(st), "label")
+    z = F.arrays_zip("xi", "nv", "sv", "qv")
+    num = lambda t: dec(t["xi"] * t["nv"] - t["sv"]) * dec(  # noqa: E731
+        t["xi"] * t["nv"] - t["sv"]
+    )
+    den = lambda t: dec(t["nv"]) * dec(t["qv"]) - dec(t["sv"]) * dec(  # noqa: E731
+        t["sv"]
+    )
+    ratio = F.transform(
+        z,
+        lambda t: F.when(den(t) == 0, F.lit(0.0)).otherwise(
+            num(t).cast("double") / den(t).cast("double")
+        ),
+    )
+    m2 = F.aggregate(
+        ratio,
+        F.lit(0).cast("decimal(38,12)"),
+        lambda acc, r: (acc + r.cast("decimal(38,12)")).cast("decimal(38,12)"),
+    ).cast("double")
+    scored = joined.select("vec_id", "label", m2.alias("m2"))
+    w = Window.partitionBy("label").orderBy(F.desc("m2"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("label", "rank", "vec_id", F.round("m2", 6).alias("mahalanobis2"))
+    )

@@ -1024,3 +1024,69 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes_out",
         F.upper(F.hex("resized")).alias("resized_hex"),
     )
+
+
+@query(
+    "multimodal_dedup_exact",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, x, y
+      FROM d, UNNEST(range(0, w)) AS tx(x), UNNEST(range(0, h)) AS ty(y)
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(w AS BIGINT) AS width,
+             CAST(h AS BIGINT) AS height,
+             CAST(SUM((doc_id * 7 + 13 * x + 31 * y) % 256) AS BIGINT)
+               AS sum_r,
+             CAST(SUM((doc_id * 11 + 17 * x + 5 * y) % 256) AS BIGINT)
+               AS sum_g,
+             CAST(SUM((doc_id * 3 + 7 * x + 19 * y) % 256) AS BIGINT)
+               AS sum_b
+      FROM px GROUP BY doc_id, w, h
+    )
+    SELECT width, height, sum_r, sum_g, sum_b,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM fp
+    GROUP BY width, height, sum_r, sum_g, sum_b
+    HAVING COUNT(*) >= 2
+    """,
+)
+def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-IMAGE detection over decoded content — the multimodal
+    counterpart of `dedup_exact_groups`: synthesize each doc's real BMP
+    (headers, padding, bottom-up rows), decode it back through the
+    struct codec, fingerprint every image by its DECODED content
+    (dimensions + per-channel pixel sums — computed from the bytes,
+    never from doc_id), and group fingerprints shared by ≥ 2 docs into
+    duplicate clusters with a min-doc canonical. This is the "same
+    screenshot uploaded twice" pass a multimodal curation pipeline
+    runs after byte-level dedup misses re-encoded copies (same pixels,
+    different container/bytes — exactly what a decoded-content
+    fingerprint catches and a payload hash cannot). The oracle derives
+    the same fingerprints closed-form from the pixel function, so a
+    decode defect OR a grouping defect breaks the hash; the pixel
+    functions are periodic in doc_id (lcm of the w/h/channel moduli =
+    1280), so every corpus has true duplicate groups of known size.
+
+    Scale shape: decode is the Arrow-batched mapInPandas pass (bytes
+    never row-at-a-time through Python); the fingerprint groupBy is
+    one map-side-combinable hash aggregate on a 5-int key — the same
+    plan as exact text dedup. At 100 TB the decode pass dominates and
+    parallelizes per input split; nothing here collects or joins."""
+    d = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(d, "bmp")
+    feats = decode_media(media, fake=False)
+    return (
+        feats.groupBy("width", "height", "sum_r", "sum_g", "sum_b")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )

@@ -1408,10 +1408,25 @@ def timeseries_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     users — is bounded by the ``_MAX_DAY_BUCKET`` guard: oversized
     prefix buckets are dropped whole (mirrored in the oracle, logged
     by ``similarity_capped_days``), so the candidate join can never
-    go quadratic in corpus density. (A SAX/sketch bucket prefilter,
-    by contrast, lower-bounds
-    z-normalized distance on a COMMON window and cannot guarantee
-    recall for pairwise-complete overlap correlation.) Candidate
+    go quadratic in corpus density.
+
+    DECISION (r13, closes the r12 'SAX prefilter noted but
+    unimplemented' flag): prefix filtering + CAP² IS the intended
+    production bound; no SAX/sketch stage will be added. A SAX/PAA
+    bucket lower-bounds z-normalized distance on a COMMON fixed
+    window, but this query's correlation is computed over each pair's
+    OWN overlap days — a pair-dependent window no per-user sketch can
+    bound without the pair join it would exist to avoid — so a SAX
+    stage is either unsound (drops true pairs, breaking the exact
+    oracle hash) or a no-op. And the verify leg's volume,
+    Σ_pairs |shared days| (26.8 M rows at sf0.1, bench census), is
+    the information floor of exact pairwise-overlap correlation: on
+    this deliberately DENSE corpus 1,124,120 of 1,124,250 possible
+    pairs are true candidates, so no recall-preserving prefilter of
+    any kind can cut the verify set materially (the hoped-for 3× cut
+    is arithmetically unavailable — ≤ 0.01% of pairs are prunable).
+    On sparse production data the existing prefix filter is the stage
+    that delivers the cut. Candidate
     pairs are then verified exactly with INTEGER sufficient statistics
     (the series values are event COUNTS, so Σn, Σn², Σnₐn_b are exact
     long sums — order-independent like the decimal convention but at
@@ -3273,4 +3288,71 @@ def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff("o_orderdate", "prev_orderdate")
         .cast("long")
         .alias("gap_days"),
+    )
+
+
+@query(
+    "dq_freshness_sla",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+             ) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_us, 0.5) / 1e6, 6) AS p50_gap_s,
+           round(quantile_cont(gap_us, 0.95) / 1e6, 6) AS p95_gap_s,
+           round(MAX(gap_us) / 1e6, 6) AS max_gap_s,
+           CAST(COUNT(CASE WHEN gap_us > CAST(7200 AS BIGINT) * 1000000 THEN 1 END)
+                AS BIGINT) AS n_breaches
+    FROM g GROUP BY event_type
+    """,
+)
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLA monitor — the operational face of a streaming
+    ingest pipeline: per source stream (event_type), the inter-arrival
+    gap distribution (p50/p95/max, exact interpolated percentiles per
+    the `agg_percentiles` engine mapping) and the count of SLA
+    breaches (gaps over 2 hours — a stalled producer, a dropped Kafka
+    partition, a backfill hole). This is the check a pipeline runs
+    BEFORE trusting a day's data: `dq_profile_orders` profiles values,
+    this face profiles ARRIVAL; the reference's stack has no
+    equivalent (its monitoring is Superset dashboards over the merged
+    state, `/root/reference/README.md:34-40`).
+
+    Gaps are computed in exact integer epoch-MICROSECONDS (both
+    engines: lag over (ts, event_id) — event_id tie-break pins equal
+    timestamps) and divided by 1e6 only at the edge: every gap is an
+    exact integer < 2^53, so the double conversion and the percentile
+    interpolation arithmetic are bit-identical across engines.
+
+    Scale shape: ONE hash exchange on event_type for the window, then
+    a map-side-combined aggregate on the same key — no join, no
+    second shuffle (the window and the groupBy share partitioning).
+    Exact percentiles sort within each type's partition; at 100 TB
+    with few types that partition is the whole stream — swap to
+    approx_percentile + a per-(type, hour) pre-aggregate exactly as
+    `events_anomaly_mad` documents. The breach COUNT and max are
+    map-side-combinable either way."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+        ).alias("gap_us"),
+    )
+    us = F.col("gap_us")
+    return g.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.percentile("gap_us", F.lit(0.5)) / 1e6, 6).alias("p50_gap_s"),
+        F.round(F.percentile("gap_us", F.lit(0.95)) / 1e6, 6).alias(
+            "p95_gap_s"
+        ),
+        F.round(F.max("gap_us") / 1e6, 6).alias("max_gap_s"),
+        F.count(F.when(us > 7200 * 1_000_000, 1)).alias("n_breaches"),
     )

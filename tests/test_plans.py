@@ -909,3 +909,33 @@ def test_filtered_topk_join_path_matches_literal_and_broadcasts(spark, sf_dir):
     assert "PushedFilters: [" in txt, txt
     pushed = re.search(r"PushedFilters: \[([^\]]*)\]", txt).group(1)
     assert "In(label" in pushed or "EqualTo(label" in pushed, pushed
+
+
+def test_r13_new_faces_plan_census(spark, sf_dir):
+    """Plan-shape pins for the round-13 faces. `dq_freshness_sla`:
+    the window and the groupBy share ONE event_type exchange, no join
+    anywhere. `embedding_outlier_mahalanobis`: the moment stats rejoin
+    the fact as a BROADCAST (the fact is never re-shuffled for the
+    join); total exchanges = stats (label,pos → label) + the one
+    per-vector-score top-k window. `multimodal_dedup_exact`: decode is
+    Arrow-batched MapInPandas and the fingerprint groupBy is the only
+    exchange — same plan as exact text dedup."""
+    from spark_streaming_with_debezium_spark.plans.explain import _single_plan
+
+    txt = _single_plan(QUERIES["dq_freshness_sla"].fn(spark, sf_dir))
+    assert "Join" not in txt, txt
+    assert txt.count("Exchange") == 1, txt
+    assert "hashpartitioning(event_type" in txt, txt
+
+    txt = _single_plan(
+        QUERIES["embedding_outlier_mahalanobis"].fn(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in txt, txt
+    assert "SortMergeJoin" not in txt, txt
+    assert "CartesianProduct" not in txt, txt
+    assert txt.count("Exchange") <= 4, txt
+
+    txt = _single_plan(QUERIES["multimodal_dedup_exact"].fn(spark, sf_dir))
+    assert "MapInPandas" in txt, txt
+    assert "Join" not in txt, txt
+    assert txt.count("Exchange") == 1, txt
