@@ -939,3 +939,37 @@ def test_r13_new_faces_plan_census(spark, sf_dir):
     assert "MapInPandas" in txt, txt
     assert "Join" not in txt, txt
     assert txt.count("Exchange") == 1, txt
+
+
+def test_repo_wide_no_json_chains_in_filters(spark, sf_dir):
+    """Round-13 gate, from the cdc_logical_types diagnosis: NO
+    registered query may carry a JSON encode (StructsToJson) or parse
+    (from_json/JsonToStructs) expression inside a Filter node of its
+    optimized plan. Catalyst's per-condition predicate pushdown will
+    happily substitute a computed envelope chain into a trailing
+    filter and re-evaluate it per row — 2-3x the per-row work, and on
+    a single-split scan it lands on one core (the r12 unattributed
+    4.75s-vs-0.24s bench gap). Filters must reference materialized
+    attributes; synthetic-envelope faces get there via
+    parse_envelope(pushdown_barrier=True) + the identity taint."""
+    offenders = {}
+    for name, q in QUERIES.items():
+        try:
+            opt = (
+                q.fn(spark, sf_dir)
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .toString()
+            )
+        except Exception:
+            continue  # env-gated queries may not build
+        for line in opt.splitlines():
+            h = line.strip()
+            if "Filter" in h[:12] and (
+                "StructsToJson" in line
+                or "from_json" in line
+                or "JsonToStructs" in line
+            ):
+                offenders[name] = h[:120]
+                break
+    assert not offenders, offenders
