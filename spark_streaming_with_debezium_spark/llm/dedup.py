@@ -26,7 +26,10 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_streaming_with_debezium_spark.registry import query
-from spark_streaming_with_debezium_spark.sources.tables import load_table
+from spark_streaming_with_debezium_spark.sources.tables import (
+    load_table,
+    spread_small_scan,
+)
 
 #: Normalization used by exact dedup: casefold + collapse whitespace.
 from spark_streaming_with_debezium_spark.llm.corpus_rules import (
@@ -308,7 +311,12 @@ def minhash_signatures(
     # derived from the 60-bit value with modular arithmetic — k× cheaper
     # than k string hashes and statistically equivalent.
     coeffs = minhash_coeffs(num_hashes)
-    ex = docs.select(F.col(id_col), F.explode(shingles).alias("sh")).withColumn(
+    # Spread the (id, text) projection across the cores BEFORE the
+    # shingle explode + per-shingle md5 — on the single-row-group test
+    # files the whole hash pass would otherwise run in the one scan
+    # task (see spread_small_scan; no-op on multi-split scans).
+    base = spread_small_scan(docs.select(F.col(id_col), F.col(text_col)))
+    ex = base.select(F.col(id_col), F.explode(shingles).alias("sh")).withColumn(
         "b0", _md5_60bit(F.col("sh")) % F.lit(MINHASH_P)
     )
     mins = [
@@ -513,7 +521,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(d)
     pairs = lsh_candidate_pairs(sigs)
-    ws = d.select("doc_id", shingle_set(F.col("text")).alias("sh"))
+    # the verify-leg shingling is consumed once per join side (two
+    # lineage evaluations) — spread each off the single scan task
+    ws = spread_small_scan(d.select("doc_id", "text")).select(
+        "doc_id", shingle_set(F.col("text")).alias("sh")
+    )
     j = (
         pairs.join(ws.withColumnRenamed("doc_id", "doc_a").alias("wa"), "doc_a")
         .join(
@@ -611,7 +623,9 @@ def decontaminate_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("train_doc", "holdout_doc")
         .distinct()
     )
-    ws = d.select("doc_id", shingle_set(F.col("text")).alias("sh"))
+    ws = spread_small_scan(d.select("doc_id", "text")).select(
+        "doc_id", shingle_set(F.col("text")).alias("sh")
+    )
     j = (
         cand.join(
             ws.select(F.col("doc_id").alias("train_doc"), F.col("sh").alias("sa")),
@@ -647,6 +661,10 @@ def simhash60(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     bit-for-bit in DuckDB — the same promotion MinHash got: the query
     carries a full value-hash oracle instead of a rows-only check."""
     tokens = F.explode(F.split(F.lower(F.trim(F.col(text_col))), "\\s+")).alias("tok")
+    # NOT spread_small_scan-ed (r13 A/B): the per-token md5 pass is
+    # ~0.4 s single-core at sf0.1 — the round-robin exchange plus its
+    # AQE stage cost more than the parallelism buys (votes leg 1.19 s
+    # no-spread vs 1.32 s spread, interleaved medians).
     tok = docs.select(F.col(id_col), tokens).withColumn(
         "h", _md5_60bit(F.col("tok"))
     )
@@ -780,6 +798,10 @@ def stride_grams(d: DataFrame) -> DataFrame:
     pos = F.when(L >= 40, F.sequence(F.lit(1), L - 39, F.lit(10))).otherwise(
         F.array().cast("array<int>")
     )
+    # NOT spread_small_scan-ed (r13 A/B): the stride-40 window md5 pass
+    # is ~1 s single-core at sf0.1 and the round-robin exchange plus
+    # its AQE stage cost more than the parallelism buys (1.15 s spread
+    # vs 0.98 s no-spread, interleaved medians).
     return (
         d.select("doc_id", F.explode(pos).alias("pos"), "text")
         .select(
@@ -1043,8 +1065,14 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data operator per the brief, same family as
     `dedup_exact_substring`."""
     d = load_table(spark, sf_dir, "documents")
+    # The boundary detector hashes a 16-char window at EVERY character
+    # position — by far the heaviest per-row projection in the module.
+    # Spread it off the single scan task (interleaved A/B at sf0.1:
+    # 4.06 s → 1.22 s median; no-op on multi-split scans).
     base = (
-        d.select("doc_id", _NORM_SPARK(F.col("text")).alias("nt"))
+        spread_small_scan(
+            d.select("doc_id", _NORM_SPARK(F.col("text")).alias("nt"))
+        )
         .withColumn("l", F.length("nt"))
         .filter(F.col("l") > 0)
     )
@@ -1259,7 +1287,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference; beyond-reference training-data operator (SSJoin/
     AllPairs prefix filtering, Bayardo et al. 2007)."""
     d = load_table(spark, sf_dir, "documents")
-    dsh = d.select("doc_id", shingle_set(F.col("text")).alias("sset"))
+    # dsh's shingling is consumed three times (inverted index + both
+    # verify join sides) — spread it off the single scan task
+    dsh = spread_small_scan(d.select("doc_id", "text")).select(
+        "doc_id", shingle_set(F.col("text")).alias("sset")
+    )
     ex = dsh.select(
         "doc_id", F.size("sset").alias("n"), F.explode("sset").alias("s")
     )
@@ -1422,7 +1454,9 @@ def dedup_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # avoids per-element string hashing/compare. Bit-for-bit mirrored
     # in the oracle (same md5 scheme as the signature base hash);
     # a 60-bit collision would be needed to move a count.
-    dsh = docs.select(
+    dsh = spread_small_scan(
+        docs.select("doc_id", "lang", "n_chars", "text")
+    ).select(
         "doc_id",
         "lang",
         "n_chars",

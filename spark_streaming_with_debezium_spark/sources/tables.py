@@ -85,6 +85,37 @@ def table_column_max(sf_dir: str, name: str, col: str):
     return mx
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Fan a small single-split scan out to every core before heavy
+    per-row compute.
+
+    The local test tables are single-row-group parquet files, so each
+    scan plans as ONE input split and any expensive projection chained
+    onto it (shingle explode + md5, chunk-boundary hashing, JSON
+    encode/decode) runs on one core of local[N] — the input-skew
+    pattern of the optimization guide (§2.5/§6: a split can never be
+    finer than a row group). One round-robin exchange of the projected
+    columns costs a single pass over a few MB and buys N-way
+    parallelism for everything downstream (measured 3.3× on
+    dedup_cdc_chunks at sf0.1: 4.06 s → 1.22 s interleaved A/B).
+
+    Scale-adaptive by construction: when the scan already yields at
+    least ``defaultParallelism`` splits (any real deployment — many
+    files / many row groups), the exchange is skipped entirely, so
+    production plans are untouched. Apply AFTER the narrowest
+    projection so only needed columns cross the exchange (guide §2.3).
+    Only meaningful on scan-rooted frames; the partition probe plans
+    the scan but runs no job.
+    """
+    if df.isStreaming:
+        return df
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
 ) -> dict[str, DataFrame]:
