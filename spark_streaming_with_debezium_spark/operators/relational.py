@@ -48,11 +48,31 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Flagship aggregate of the delegated BI layer. Decimal-interior sums
     keep results order-independent (scale + oracle determinism).
     """
+    from spark_streaming_with_debezium_spark.sources.tables import (
+        spread_small_scan,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    # Spread the filtered, projected scan before the 8-aggregate
+    # decimal groupBy: the single-row-group local file pins the whole
+    # partial aggregation to one core otherwise (1.44-1.76 s ->
+    # 1.08-1.25 s interleaved A/B at sf0.1; no-op on multi-split
+    # scans, filter still pushed to the parquet footer).
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        spread_small_scan(
+            li.filter(
+                F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+            ).select(
+                "l_returnflag",
+                "l_linestatus",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+            )
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),

@@ -75,11 +75,42 @@ def global_ordered_running(
     prev_mins = dict(prev_mins or {})
     df2 = df.withColumn("_key", key.cast("double"))
     if boundaries is None:
-        boundaries = quantile_boundaries(df2, ["_key"], n_buckets)[0]
-    barr = F.array(*[F.lit(float(b)) for b in boundaries])
-    df3 = df2.withColumn(
-        "_bkt", F.size(F.filter(barr, lambda b: b < F.col("_key")))
-    )
+        # Boundaries INLINE in the plan (r13): the previous
+        # ``approxQuantile`` call was a SEPARATE Spark action, which
+        # executed the caller's whole input lineage once more per run
+        # (shuffle files are only reused within one query execution).
+        # One percentile_approx aggregate + a 1-row broadcast
+        # crossJoin keeps everything in a single action; boundary
+        # precision affects only bucket balance, never values
+        # (module docstring), so the approximation swap is value-free.
+        probs = F.array(
+            *[F.lit(i / n_buckets) for i in range(1, n_buckets)]
+        )
+        bounds = df2.agg(
+            F.sort_array(
+                F.array_distinct(
+                    F.percentile_approx("_key", probs, 10_000)
+                )
+            ).alias("_bounds")
+        )
+        df3 = (
+            df2.crossJoin(F.broadcast(bounds))
+            .withColumn(
+                "_bkt",
+                F.coalesce(
+                    F.size(
+                        F.filter("_bounds", lambda b: b < F.col("_key"))
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .drop("_bounds")
+        )
+    else:
+        barr = F.array(*[F.lit(float(b)) for b in boundaries])
+        df3 = df2.withColumn(
+            "_bkt", F.size(F.filter(barr, lambda b: b < F.col("_key")))
+        )
     w_rank = Window.partitionBy("_bkt").orderBy(*order_cols)
     w_run = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_prev = w_rank.rowsBetween(Window.unboundedPreceding, -1)

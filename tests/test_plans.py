@@ -569,6 +569,14 @@ def test_repo_wide_cartesian_and_bnlj_census(spark, sf_dir):
         # 1-row candidate-agg x 1-row hit-agg crossJoin assembling the
         # 4-level curve (r12)
         "dedup_lsh_recall_curve",
+        # three 1-row aggregates (stats x ecount x tri) assembled by
+        # scalar crossJoins — previously hidden behind the eager
+        # localCheckpoint the r13 lazy rewrite removed
+        "graph_triangle_count",
+        # 1-row inline quantile-boundaries broadcast (r13:
+        # global_ordered_running computes bucket bounds in-plan
+        # instead of a separate approxQuantile action)
+        "supplier_pareto_frontier",
         # the intentional cross-join demo over tiny dims
         "join_cross",
     }
