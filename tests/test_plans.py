@@ -478,11 +478,24 @@ def test_extended_plan_census(spark, sf_dir):
         "agg_weighted_median": 12,
         "dedup_containment": 10,
         "dedup_cdc_chunks": 7,
+        # r13 lazy census: with the persists/checkpoint gone, the
+        # shared edge/deg/oriented subtrees recur TEXTUALLY under
+        # every consumer (runtime: 17 jobs with ReusedExchange, see
+        # plans/r13/graph_triangle_count_after.txt); the textual
+        # count is a plan-shape constant, not a data-volume property.
+        "graph_triangle_count": 72,
         # r10 two-pass prefix-pruned rewrite: the cached corpus is
         # repartitioned once (its exchange recurs TEXTUALLY under the
         # cache's many scans; runtime reads the cache) and each pass
         # ends in a map-side-combinable aggregate exchange.
         "embedding_hard_negatives": 10,
+        # r13 inline quantile boundaries (global_ordered_running): the
+        # input lineage recurs textually under the 1-row bounds
+        # aggregate AND the probe side — one fewer ACTION per run
+        # (the separate approxQuantile pass is gone); runtime reuses
+        # the shared exchanges.
+        "events_power_users_gini": 8,
+        "supplier_pareto_frontier": 12,
     }
     # 1-row scalar-total broadcasts (corpus n_docs/avgdl etc.) — the
     # audited crossJoin sites from the r5 review, not data-data loops.
@@ -506,6 +519,11 @@ def test_extended_plan_census(spark, sf_dir):
         "sample_systematic_pps",  # 1-row corpus-total broadcast
         "events_theilsen_trend",  # O(days) aggregate self-pairing + 1-row total
         "ann_matryoshka_recall",  # 8-query + top-k truth broadcasts (r9)
+        # r13 lazy triangle census: stats x ecount x tri 1-row scalar
+        # crossJoins, previously hidden behind the removed localCheckpoint
+        "graph_triangle_count",
+        # r13 inline quantile boundaries: 1-row bounds broadcast
+        "supplier_pareto_frontier",
     }
     for name in bench.EXTENDED:
         txt = _single_plan(QUERIES[name].fn(spark, sf_dir))
