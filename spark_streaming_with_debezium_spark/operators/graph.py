@@ -246,89 +246,87 @@ def triangle_census(edges: DataFrame) -> DataFrame:
     arithmetic; the single double division rounds at 1e-6.
 
     Exactness is property-swept against a brute-force reference over
-    arbitrary graphs (tests/test_graph_ops.py).
-
-    Evaluation is fully LAZY (r13): the edge list and the oriented
-    frame each feed several consumers, but their dedup is left to
-    AQE's runtime exchange reuse — the identical shuffle subtrees
-    materialize once as shuffle files and every consumer reads those,
-    which beats memory-cache persist at any scale (no storage-memory
-    pressure, no cache write pass) and halves the local job count
-    (31 → 17 at sf0.1; interleaved medians 5.2-5.5 s → 4.7-4.8 s).
-    The previous persist + eager-localCheckpoint structure existed
-    only to keep released caches out of consumer lineage; with no
-    caches there is nothing to release."""
-    deg = (
-        edges.select(F.col("pa").alias("node"))
-        .union(edges.select("pb"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    e = (
-        edges.join(deg.withColumnsRenamed({"node": "pa", "deg": "da"}), "pa")
-        .join(deg.withColumnsRenamed({"node": "pb", "deg": "db"}), "pb")
-    )
-    lower_first = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
-    )
-    oriented = e.select(
-        F.when(lower_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
-        F.when(lower_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
-    )
-    adj = oriented.groupBy("src").agg(
-        F.array_sort(F.collect_list("dst")).alias("nbrs")
-    )
-    tri = (
-        oriented.join(
-            adj.withColumnsRenamed({"src": "a", "nbrs": "na"}),
-            F.col("src") == F.col("a"),
+    arbitrary graphs (tests/test_graph_ops.py)."""
+    edges = edges.persist()
+    try:
+        deg = (
+            edges.select(F.col("pa").alias("node"))
+            .union(edges.select("pb"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
         )
-        .join(
-            adj.withColumnsRenamed({"src": "b", "nbrs": "nb"}),
-            F.col("dst") == F.col("b"),
-            # inner would drop edges whose head has no out-edges;
-            # left keeps them contributing zero (nb NULL guarded
-            # by the coalesce)
-            "left",
+        e = (
+            edges.join(deg.withColumnsRenamed({"node": "pa", "deg": "da"}), "pa")
+            .join(deg.withColumnsRenamed({"node": "pb", "deg": "db"}), "pb")
         )
-        .select(
-            F.coalesce(
-                F.size(F.array_intersect("na", "nb")), F.lit(0)
-            ).alias("t")
+        lower_first = (F.col("da") < F.col("db")) | (
+            (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
         )
-        .agg(
-            F.coalesce(F.sum("t"), F.lit(0))
+        oriented = e.select(
+            F.when(lower_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+            F.when(lower_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+        ).persist()
+        adj = oriented.groupBy("src").agg(
+            F.array_sort(F.collect_list("dst")).alias("nbrs")
+        )
+        tri = (
+            oriented.join(
+                adj.withColumnsRenamed({"src": "a", "nbrs": "na"}),
+                F.col("src") == F.col("a"),
+            )
+            .join(
+                adj.withColumnsRenamed({"src": "b", "nbrs": "nb"}),
+                F.col("dst") == F.col("b"),
+                # inner would drop edges whose head has no out-edges;
+                # left keeps them contributing zero (nb NULL guarded
+                # by the coalesce)
+                "left",
+            )
+            .select(
+                F.coalesce(
+                    F.size(F.array_intersect("na", "nb")), F.lit(0)
+                ).alias("t")
+            )
+            .agg(
+                F.coalesce(F.sum("t"), F.lit(0))
+                .cast("bigint")
+                .alias("n_triangles")
+            )
+        )
+        stats = deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
             .cast("bigint")
-            .alias("n_triangles")
+            .alias("n_wedges"),
         )
-    )
-    stats = deg.agg(
-        F.count(F.lit(1)).alias("n_nodes"),
-        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
-        .cast("bigint")
-        .alias("n_wedges"),
-    )
-    ecount = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    # three 1-row aggregates -> scalar cross joins (census-exempt).
-    return (
-        stats.crossJoin(ecount)
-        .crossJoin(tri)
-        .select(
-            "n_nodes",
-            "n_edges",
-            "n_triangles",
-            "n_wedges",
-            # when(w>0): a wedge-free graph (isolated edges) has no
-            # defined clustering — NULL, not an ANSI 0/0 error
-            # (found by the Hypothesis brute-force sweep).
-            F.when(
-                F.col("n_wedges") > 0,
-                F.round(
-                    3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
-                ),
-            ).alias("global_clustering"),
+        ecount = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+        # three 1-row aggregates -> scalar cross joins (census-exempt).
+        out = (
+            stats.crossJoin(ecount)
+            .crossJoin(tri)
+            .select(
+                "n_nodes",
+                "n_edges",
+                "n_triangles",
+                "n_wedges",
+                # when(w>0): a wedge-free graph (isolated edges) has no
+                # defined clustering — NULL, not an ANSI 0/0 error
+                # (found by the Hypothesis brute-force sweep).
+                F.when(
+                    F.col("n_wedges") > 0,
+                    F.round(
+                        3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+                    ),
+                ).alias("global_clustering"),
+            )
         )
-    )
+        # Materialize while the edge/adjacency caches are live; every
+        # consumer then reads the 1-row checkpoint, never the lineage.
+        out = out.localCheckpoint(eager=True)
+    finally:
+        oriented.unpersist()
+        edges.unpersist()
+    return out
 
 
 @query("graph_triangle_count", oracle=_TRIANGLE_ORACLE)

@@ -478,12 +478,6 @@ def test_extended_plan_census(spark, sf_dir):
         "agg_weighted_median": 12,
         "dedup_containment": 10,
         "dedup_cdc_chunks": 7,
-        # r13 lazy census: with the persists/checkpoint gone, the
-        # shared edge/deg/oriented subtrees recur TEXTUALLY under
-        # every consumer (runtime: 17 jobs with ReusedExchange, see
-        # plans/r13/graph_triangle_count_after.txt); the textual
-        # count is a plan-shape constant, not a data-volume property.
-        "graph_triangle_count": 72,
         # r10 two-pass prefix-pruned rewrite: the cached corpus is
         # repartitioned once (its exchange recurs TEXTUALLY under the
         # cache's many scans; runtime reads the cache) and each pass
@@ -519,9 +513,6 @@ def test_extended_plan_census(spark, sf_dir):
         "sample_systematic_pps",  # 1-row corpus-total broadcast
         "events_theilsen_trend",  # O(days) aggregate self-pairing + 1-row total
         "ann_matryoshka_recall",  # 8-query + top-k truth broadcasts (r9)
-        # r13 lazy triangle census: stats x ecount x tri 1-row scalar
-        # crossJoins, previously hidden behind the removed localCheckpoint
-        "graph_triangle_count",
         # r13 inline quantile boundaries: 1-row bounds broadcast
         "supplier_pareto_frontier",
     }
@@ -587,10 +578,6 @@ def test_repo_wide_cartesian_and_bnlj_census(spark, sf_dir):
         # 1-row candidate-agg x 1-row hit-agg crossJoin assembling the
         # 4-level curve (r12)
         "dedup_lsh_recall_curve",
-        # three 1-row aggregates (stats x ecount x tri) assembled by
-        # scalar crossJoins — previously hidden behind the eager
-        # localCheckpoint the r13 lazy rewrite removed
-        "graph_triangle_count",
         # 1-row inline quantile-boundaries broadcast (r13:
         # global_ordered_running computes bucket bounds in-plan
         # instead of a separate approxQuantile action)
