@@ -206,6 +206,21 @@ def main() -> None:
     calib_write_pre, calib_write_pre_spread = _median_timed(_calib_write)
     calib_job_pre, _ = _median_timed(_calib_job)
 
+    # Per-row stall attribution (VERDICT r13 item 8): the slowest
+    # extended rows get the IVF bracket treatment — a per-job latency
+    # sample immediately before and after the row's timed runs, so a
+    # future verdict can separate box weather from regressions PER ROW
+    # (the session-start stall lands on whichever rows run first).
+    PROBED = {
+        "cdc_scd2_incremental",
+        "graph_triangle_count",
+        "graph_pagerank",
+        "dedup_neardup_components",
+        "timeseries_user_similarity",
+        "cdc_change_feed",
+    }
+    row_probes: dict[str, dict[str, float]] = {}
+
     def bench_set(names, group_prefix):
         timings: dict[str, float] = {}
         spreads: dict[str, float] = {}
@@ -213,6 +228,8 @@ def main() -> None:
         jobs: dict[str, int] = {}
         sc = spark.sparkContext
         for name in names:
+            if name in PROBED:
+                probe_pre, _ = _median_timed(_calib_job, runs=1)
             q = queries[name]
             # The first (warm-up) run is recorded separately: for the
             # fingerprint-cached serving faces (IVF/Lloyd/PQ consumers)
@@ -248,6 +265,12 @@ def main() -> None:
             runs.sort()
             timings[name] = round(runs[len(runs) // 2], 3)
             spreads[name] = round(runs[-1] - runs[0], 3)
+            if name in PROBED:
+                probe_post, _ = _median_timed(_calib_job, runs=1)
+                row_probes[name] = {
+                    "job_ms_pre": round(probe_pre * 100, 1),
+                    "job_ms_post": round(probe_post * 100, 1),
+                }
         return timings, spreads, first_run, jobs
 
     timings, spreads, first_runs, head_jobs = bench_set(HEADLINE, "bh")
@@ -488,6 +511,7 @@ def main() -> None:
                 "predicted_sec": head_predicted,
                 "extended_predicted_sec": ext_predicted,
                 "job_ms_used": round(job_ms, 1),
+                "row_probes": row_probes,
                 "serving_caches": serving_caches,
                 "timeseries_census": ts_census,
                 "runs_per_query": n_runs,
@@ -527,13 +551,22 @@ def main() -> None:
     # BENCH tails are sometimes truncated progress-bar noise, so the
     # canonical machine-readable record of each run lives on disk and
     # round-over-round deltas never need tail archaeology.
-    try:
-        out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "bench_out.json")
-        with open(out_path, "w") as f:
-            json.dump(payload, f)
-    except OSError:
-        pass  # a read-only checkout must not fail the bench
+    # $SPARK_GRAFT_BENCH_OUT lets the driver pick the recording path
+    # directly (VERDICT r13 item 4: the r12 BENCH capture parsed as
+    # null despite rc 0 — stdout capture of a ~10 KB single line is
+    # not a robust contract; a file is).
+    out_paths = [
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_out.json")
+    ]
+    if os.environ.get("SPARK_GRAFT_BENCH_OUT"):
+        out_paths.append(os.environ["SPARK_GRAFT_BENCH_OUT"])
+    for out_path in out_paths:
+        try:
+            with open(out_path, "w") as f:
+                json.dump(payload, f)
+        except OSError:
+            pass  # a read-only checkout must not fail the bench
     spark.stop()
 
 

@@ -265,6 +265,14 @@ def main() -> None:
                 "x1_runs": base_runs,
                 f"x{n}_runs": scaled_runs,
                 "ratio": round(scaled / base, 2) if base > 0 else None,
+                # spread_small_scan's scale contract, asserted on the
+                # REPLICATED (multi-file, multi-split) copy: the ×N
+                # plan must NOT carry the local-regime round-robin
+                # rebalance (VERDICT r13 item 9).
+                f"x{n}_plan_roundrobin": (
+                    "RoundRobinPartitioning"
+                    in scaled_fn(spark, dst)._jdf.queryExecution().toString()
+                ),
             }
         cpu_post = calib_cpu(spark)
         skew = None

@@ -555,6 +555,20 @@ def embedding_kmeans_lloyd(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def collect_standing_queries(e: DataFrame, bound: int) -> list:
+    """The bounded standing-query collect every ANN serving face makes
+    — ``vec_id < bound`` rows, ordered by vec_id. Collected UNSORTED
+    and sorted driver-side (r14): the previous in-plan
+    ``orderBy("vec_id")`` of ≤ 8 filtered rows planned a full
+    shuffle-sort that AQE executed as 3 scheduled jobs per invocation;
+    a bare filtered collect is one job and the Python sort of a
+    handful of rows is free. Same rows, same order."""
+    return sorted(
+        e.filter(F.col("vec_id") < bound).collect(),
+        key=lambda r: r["vec_id"],
+    )
+
+
 def _gridded_embeddings(spark, sf_dir: str) -> DataFrame:
     """(vec_id, label, v): coordinates on the exact integer grid."""
     from spark_streaming_with_debezium_spark.sources.tables import load_table
@@ -1161,9 +1175,7 @@ def ann_nprobe_recall_curve(spark, sf_dir: str) -> DataFrame:
     e = _gridded_embeddings(spark, sf_dir).select("vec_id", "v")
     cents = _lloyd_centroids(e, cache_key=sf_dir)
     cell = _km_best_struct(cents)["cluster"]
-    q_rows = (
-        e.filter(F.col("vec_id") < _RECALL_QUERIES).orderBy("vec_id").collect()
-    )
+    q_rows = collect_standing_queries(e, _RECALL_QUERIES)
 
     def d2(a, b):
         return sum((x - y) * (x - y) for x, y in zip(a, b))
@@ -1327,9 +1339,7 @@ def _range_prune_table(spark, sf_dir: str, n_queries: int = _RECALL_QUERIES):
         .collect()
     }
     # bounded collect #2: the standing query vectors (q rows)
-    q_rows = (
-        e.filter(F.col("vec_id") < n_queries).orderBy("vec_id").collect()
-    )
+    q_rows = collect_standing_queries(e, n_queries)
 
     def d2_py(a, b):
         return sum((x - y) * (x - y) for x, y in zip(a, b))
@@ -1575,9 +1585,7 @@ def _filtered_topk_impl(
     from pyspark.sql import Window
 
     e = _gridded_embeddings(spark, sf_dir)
-    q_rows = (
-        e.filter(F.col("vec_id") < _RECALL_QUERIES).orderBy("vec_id").collect()
-    )
+    q_rows = collect_standing_queries(e, _RECALL_QUERIES)
     if force_join_path or len(q_rows) > _RANGE_LITERAL_Q_MAX:
         scored = _filtered_topk_join_path(spark, e, q_rows)
     else:

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from spark_streaming_with_debezium_spark.llm.cluster import (
     _gridded_embeddings,
     _km_best_struct,
+    collect_standing_queries,
     _km_cte_chain,
     _KM_D2,
     _KM_ITERS,
@@ -388,9 +389,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # query-side lookup tables, exact ints, as ONE broadcast frame
     # keyed (query_id, m, code) — bounded: the standing query set
-    q_rows = (
-        e.filter(F.col("vec_id") < _ADC_QUERIES).orderBy("vec_id").collect()
-    )
+    q_rows = collect_standing_queries(e, _ADC_QUERIES)
     lut_rows = []
     qv_by_id = {}
     for r in q_rows:
@@ -637,9 +636,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-side query prep: probe sets + per-(query, cell) residual
     # LUTs — bounded q·nprobe·M·k exact ints, shipped as ONE broadcast
     # frame keyed (query_id, cell, m, code)
-    q_rows = (
-        e.filter(F.col("vec_id") < _ADC_QUERIES).orderBy("vec_id").collect()
-    )
+    q_rows = collect_standing_queries(e, _ADC_QUERIES)
 
     def d2(a, b):
         return sum((x - y) * (x - y) for x, y in zip(a, b))

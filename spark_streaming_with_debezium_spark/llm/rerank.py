@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from spark_streaming_with_debezium_spark.llm.cluster import (
     _gridded_embeddings,
+    collect_standing_queries,
 )
 from spark_streaming_with_debezium_spark.registry import query
 
@@ -135,9 +136,7 @@ def rag_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-stage scale argument. Fully value-hash-oracled against an
     unrolled greedy CTE dual."""
     e = _gridded_embeddings(spark, sf_dir).select("vec_id", "v")
-    q_rows = (
-        e.filter(F.col("vec_id") < _MMR_QUERIES).orderBy("vec_id").collect()
-    )
+    q_rows = collect_standing_queries(e, _MMR_QUERIES)
     qvs = {int(r["vec_id"]): list(r["v"]) for r in q_rows}
 
     def dot_lit(col, vec: list[int]):

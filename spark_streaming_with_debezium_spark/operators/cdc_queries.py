@@ -19,8 +19,19 @@ from spark_streaming_with_debezium_spark.functions.numeric import dsum, sql_dsum
 from spark_streaming_with_debezium_spark.registry import query
 from spark_streaming_with_debezium_spark.sources.tables import (
     load_table,
+    spread_small_scan,
     table_column_max,
 )
+
+#: Ceiling on the plan-statistics estimate of an iterative fold's WHOLE
+#: input below which AQE may be pinned off around the fold's actions
+#: (cdc_scd2_incremental). 256 MiB mirrors AQE's own skew-partition
+#: threshold default: under it no exchange the fold produces can be
+#: worth adaptive re-planning (each stage materialization is a
+#: scheduled job of pure overhead — 38 → 12 jobs at sf0.1); over it,
+#: AQE keeps its skew-split and broadcast-conversion rights.
+_AQE_PIN_MAX_BYTES = 256 << 20
+
 
 def _scratch_dir(prefix: str) -> str:
     """Per-invocation on-disk scratch for queries that build real state
@@ -172,9 +183,7 @@ def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_envelope,
     )
 
-    e = load_table(spark, sf_dir, "events").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = spread_small_scan(load_table(spark, sf_dir, "events"))
     is_del = F.col("event_type") == "error"
     after = F.when(
         ~is_del,
@@ -322,9 +331,7 @@ def cdc_logical_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_envelope,
     )
 
-    o = load_table(spark, sf_dir, "orders").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    o = spread_small_scan(load_table(spark, sf_dir, "orders"))
     k = F.col("o_orderkey")
     after = F.struct(
         k.alias("o_orderkey"),
@@ -778,8 +785,23 @@ def cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pure overhead. Measured at sf0.1: 38 → 12 jobs, wall 14.7 →
     # 12.5 s, hashes unchanged at 3 SFs — the r10-flagged scheduling
     # tail was AQE stage-materialization, not the fold itself.
+    #
+    # SIZE-GUARDED (r14, VERDICT r13 item 2): "increment-sized" is a
+    # property of the batch window, not a law of nature — a 100 TB
+    # replay can make one increment arbitrarily large, and then the
+    # pin would forfeit AQE's skew-split / broadcast conversion inside
+    # the fold (the same reasoning that rejected AQE-off for the
+    # triangle census's edge-sized exchanges). Pin only when the WHOLE
+    # source estimate (parquet-footer plan statistics, no job) is
+    # under _AQE_PIN_MAX_BYTES; past it, AQE stays on and its stage
+    # jobs are noise next to the increment work they adapt.
+    est_bytes = int(
+        str(e._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    pin_aqe = est_bytes <= _AQE_PIN_MAX_BYTES
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    if pin_aqe:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for pred in (
             F.col("offset") <= F.lit(mid // 2),
@@ -793,7 +815,8 @@ def cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 order_cols=("offset",),
             )
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        if pin_aqe:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     return dim.read().select(
         "user_id",
         "version",

@@ -37,11 +37,40 @@ way `llm/cluster.py` bounds its fixpoint loop.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_streaming_with_debezium_spark.registry import query
 from spark_streaming_with_debezium_spark.sources.tables import load_table
+
+
+@contextmanager
+def _aqe_pinned_off(spark: SparkSession, enabled: bool):
+    """Pin AQE off (restored on exit) around an iterative loop whose
+    every exchange is PROVABLY small — the scd2/BPE treatment with the
+    r13-verdict size guard built in as ``enabled``.
+
+    Callers pass the same smallness predicate that already gates their
+    broadcast hints (node/label vector ≤ 5M rows): under it the loop's
+    only exchanges are the O(V) aggregate output, the O(V) broadcast
+    builds and the O(V) checkpoint scans — the big persisted edge side
+    is broadcast-JOINED, never re-exchanged — so each adaptive stage
+    materialization is a separate scheduled job of pure overhead
+    (measured: 4-7 jobs per pagerank iteration → 2). Above the bound
+    the pin never engages and AQE keeps its skew-split and
+    broadcast-conversion rights, exactly like the triangle census,
+    whose edge-sized exchanges made AQE-off a 7× loss (r13 A/B)."""
+    if not enabled:
+        yield
+        return
+    before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", before)
 
 #: Fixed PageRank parameters — part of the query contract (the oracle
 #: hard-codes the same values); 3 iterations keeps the DuckDB dual a
@@ -101,35 +130,44 @@ def pagerank_fixed(
         ed = e.join(F.broadcast(deg) if broadcast_ranks else deg, "src").persist()
         cached.append(ed)
         ranks = nodes.withColumn("rank", F.lit(1.0))
-        for _ in range(n_iter):
-            rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
-            contribs = (
-                ed.join(rank_side, ed.src == rank_side.node)
-                .groupBy(F.col("dst").alias("node"))
-                .agg(
-                    F.sum((F.col("rank") / F.col("deg")).cast(_DEC))
-                    .cast("double")
-                    .alias("inflow")
+        # AQE pinned off for the loop actions when the rank vector is
+        # provably small (the SAME bound that turned the broadcast
+        # hints on): the join never exchanges the persisted edge side,
+        # so the loop's exchanges are all O(V) and every adaptive
+        # stage materialization was a scheduled job of pure overhead
+        # (r14 anatomy: 7/4/4 jobs per iteration → 2; wall 5.4 → 3.9 s
+        # at sf0.1). Above the bound AQE stays on (see _aqe_pinned_off).
+        with _aqe_pinned_off(edges.sparkSession, broadcast_ranks):
+            for _ in range(n_iter):
+                rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
+                contribs = (
+                    ed.join(rank_side, ed.src == rank_side.node)
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(
+                        F.sum((F.col("rank") / F.col("deg")).cast(_DEC))
+                        .cast("double")
+                        .alias("inflow")
+                    )
                 )
-            )
-            ranks = nodes.join(contribs, "node", "left").select(
-                "node",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            # EAGER localCheckpoint each iteration: materializes this
-            # round's O(V) rank vector (populating the edge/node caches
-            # on round 1) and CUTS the lineage, so iteration k never
-            # re-executes rounds 1..k-1 and the returned DataFrame
-            # reads stored rank partitions — not a 3-deep recompute
-            # through caches this function is about to release. This is
-            # the standard iterative-DataFrame discipline (same reason
-            # llm/cluster.py materializes per round via its convergence
-            # count); without it the noop-sink bench re-ran the whole
-            # edge build once per iteration (40 s → ~2 s at sf0.1).
-            ranks = ranks.localCheckpoint(eager=True)
+                ranks = nodes.join(contribs, "node", "left").select(
+                    "node",
+                    (
+                        F.lit(1.0 - damping)
+                        + F.lit(damping)
+                        * F.coalesce(F.col("inflow"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                # EAGER localCheckpoint each iteration: materializes this
+                # round's O(V) rank vector (populating the edge/node caches
+                # on round 1) and CUTS the lineage, so iteration k never
+                # re-executes rounds 1..k-1 and the returned DataFrame
+                # reads stored rank partitions — not a 3-deep recompute
+                # through caches this function is about to release. This is
+                # the standard iterative-DataFrame discipline (same reason
+                # llm/cluster.py materializes per round via its convergence
+                # count); without it the noop-sink bench re-ran the whole
+                # edge build once per iteration (40 s → ~2 s at sf0.1).
+                ranks = ranks.localCheckpoint(eager=True)
         return ranks
     finally:
         # Safe to release immediately: every consumer reads the
@@ -298,12 +336,17 @@ def triangle_census(edges: DataFrame) -> DataFrame:
             F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
             .cast("bigint")
             .alias("n_wedges"),
+            # Σdeg counts every DISTINCT canonical edge exactly twice,
+            # so n_edges = Σdeg >> 1 (exact: the sum is even) — folds
+            # the former edges.agg(count) pass and its crossJoin branch
+            # into the degree aggregate the census already pays for
+            # (r14: one fewer aggregate subtree, −2 scheduled stage
+            # jobs at sf0.1).
+            F.shiftright(F.sum("deg"), 1).alias("n_edges"),
         )
-        ecount = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-        # three 1-row aggregates -> scalar cross joins (census-exempt).
+        # two 1-row aggregates -> scalar cross joins (census-exempt).
         out = (
-            stats.crossJoin(ecount)
-            .crossJoin(tri)
+            stats.crossJoin(tri)
             .select(
                 "n_nodes",
                 "n_edges",
@@ -462,38 +505,51 @@ def cc_fixed(fwd: DataFrame, n_iter: int) -> DataFrame:
         )
         cached.append(edges)
         broadcast_labels = nodes.count() <= 5_000_000
-        # eager checkpoint of the INITIAL labels too: `prev` must
-        # survive the finally-unpersist of fwd/nodes when the loop
+        # eager checkpoint of the INITIAL labels too: the final labels
+        # must survive the finally-unpersist of fwd/nodes when the loop
         # exits after round 1 (already-converged graphs), or the final
-        # stable-join re-runs the whole upstream lineage at action time
-        labs = nodes.select("node", F.col("node").alias("lab")).localCheckpoint(
-            eager=True
+        # projection re-runs the whole upstream lineage at action time.
+        # `_moved` starts False: a graph that converges instantly is
+        # stable everywhere, matching the oracle's final-vs-previous
+        # comparison.
+        labs = (
+            nodes.select("node", F.col("node").alias("lab"))
+            .withColumn("_moved", F.lit(False))
+            .localCheckpoint(eager=True)
         )
-        prev = labs
-        for _ in range(n_iter):
-            prev = labs
-            lab_side = F.broadcast(labs) if broadcast_labels else labs
-            labs = (
-                edges.join(lab_side, edges.src == lab_side.node)
-                .groupBy(F.col("dst").alias("node"))
-                .agg(F.min("lab").alias("lab"))
-            ).localCheckpoint(eager=True)
-            changed = (
-                labs.join(
-                    prev.select("node", F.col("lab").alias("plab")), "node"
-                )
-                .filter(F.col("lab") != F.col("plab"))
-                .limit(1)
-                .count()
-            )
-            if changed == 0:
-                break
-        return labs.join(
-            prev.select(F.col("node"), F.col("lab").alias("prev_lab")), "node"
-        ).select(
+        # The did-my-label-move flag is computed IN the round's plan
+        # (one join against the previous checkpoint) instead of a
+        # separate probe join of two checkpoints per round, and the
+        # final stable-join is gone — the last round's `_moved` IS
+        # `NOT stable`. With AQE pinned off under the same ≤5M bound
+        # that gates the broadcasts (every loop exchange is O(V); see
+        # _aqe_pinned_off), a round costs 2 broadcast builds + 1
+        # checkpoint + 1 probe scan instead of 7 scheduled jobs
+        # (r14 anatomy: 27 → 15 jobs, wall 3.5 → 2.6 s at sf0.1).
+        with _aqe_pinned_off(fwd.sparkSession, broadcast_labels):
+            for _ in range(n_iter):
+                prev = labs.select("node", F.col("lab").alias("_plab"))
+                lab_side = F.broadcast(labs) if broadcast_labels else labs
+                prev_side = F.broadcast(prev) if broadcast_labels else prev
+                labs = (
+                    edges.join(lab_side, edges.src == lab_side.node)
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.min("lab").alias("lab"))
+                    .join(prev_side, "node")
+                    .select(
+                        "node",
+                        "lab",
+                        (F.col("lab") != F.col("_plab")).alias("_moved"),
+                    )
+                ).localCheckpoint(eager=True)
+                # convergence probe: one scan of the just-stored label
+                # partitions (no lineage, no second join)
+                if labs.filter("_moved").limit(1).count() == 0:
+                    break
+        return labs.select(
             "node",
             "lab",
-            (F.col("lab") == F.col("prev_lab")).cast("long").alias("stable"),
+            (~F.col("_moved")).cast("long").alias("stable"),
         )
     finally:
         for df in cached:

@@ -1439,7 +1439,8 @@ def timeseries_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation, as ``test_timeseries_prefilter_pair_equality``
     asserts."""
     ud = _user_day_series(spark, sf_dir)
-    cand = _similarity_candidates(ud, min_days=20)
+    spread, pack = _similarity_scale_flags(spark, sf_dir)
+    cand = _similarity_candidates(ud, min_days=20, spread=spread, pack_ids=pack)
     an, bn = F.col("a.n"), F.col("b.n")
     pairs = (
         cand.join(ud.alias("a"), F.col("user_a") == F.col("a.user_id"))
@@ -1472,6 +1473,35 @@ def timeseries_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_days_l").alias("n_days"),
         F.round(corr, 6).alias("activity_corr"),
     )
+
+
+def _similarity_scale_flags(
+    spark: SparkSession, sf_dir: str
+) -> tuple[bool, bool]:
+    """(spread, pack_ids) guards for ``_similarity_candidates``, both
+    derived without running a job:
+
+    - ``spread``: rebalance the candidate-join probe side only when the
+      events scan is the local single-split shape
+      (:func:`~..sources.tables.scan_is_small`) — the regime where the
+      prefix side broadcasts and the repartition buys fan-out balance;
+      on multi-split production inputs the day-keyed shuffle join
+      re-partitions the probe side anyway and the exchange would be
+      pure cost.
+    - ``pack_ids``: pack candidate pairs into one long for the dedup
+      exchange only when parquet footer stats PROVE user ids fit
+      unsigned 31-bit (0 ≤ min, max < 2³¹); past that width the
+      two-long form is the only bijective key.
+    """
+    from spark_streaming_with_debezium_spark.sources.tables import (
+        scan_is_small,
+        table_column_minmax,
+    )
+
+    spread = scan_is_small(load_table(spark, sf_dir, "events"))
+    mn, mx = table_column_minmax(sf_dir, "events", "user_id")
+    pack = mn is not None and mx is not None and mn >= 0 and mx < (1 << 31)
+    return spread, pack
 
 
 def _user_day_series(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1514,7 +1544,8 @@ def timeseries_similarity_census(spark: SparkSession, sf_dir: str) -> dict:
     pairwise-overlap correlation, which is why the verify join is
     broadcast-only with one map-side-combined aggregate on top."""
     ud = _user_day_series(spark, sf_dir)
-    cand = _similarity_candidates(ud, min_days=20)
+    spread, pack = _similarity_scale_flags(spark, sf_dir)
+    cand = _similarity_candidates(ud, min_days=20, spread=spread, pack_ids=pack)
     n_cand = cand.count()
     verify_rows = (
         cand.join(ud.alias("a"), F.col("user_a") == F.col("a.user_id"))
@@ -1566,7 +1597,11 @@ def _similarity_prefix(ud: DataFrame, min_days: int) -> DataFrame:
 
 
 def _similarity_candidates(
-    ud: DataFrame, min_days: int, max_bucket: int = _MAX_DAY_BUCKET
+    ud: DataFrame,
+    min_days: int,
+    max_bucket: int = _MAX_DAY_BUCKET,
+    spread: bool = True,
+    pack_ids: bool = False,
 ) -> DataFrame:
     """Distinct (user_a, user_b) candidates that can have ≥ ``min_days``
     overlapping days, via exact prefix filtering plus a bucket guard.
@@ -1608,22 +1643,51 @@ def _similarity_candidates(
     # fan-out and the map-side dedup of the distinct below across all
     # cores: join+distinct 3.9-5.5 s → 1.55 s interleaved A/B at
     # sf0.1. The broadcast build side keeps its day partitioning.
-    spread = prefix.repartition(
-        ud.sparkSession.sparkContext.defaultParallelism
+    #
+    # ``spread`` gates the rebalance (r14 advice): it only pays while
+    # the pb side auto-broadcasts. Past the broadcast threshold the
+    # planner falls back to a day-keyed shuffle join that re-partitions
+    # pa by day anyway, turning the extra exchange into pure cost — the
+    # query faces pass scan_is_small(events) so the spread self-
+    # disables on multi-split production inputs, mirroring
+    # spread_small_scan's contract.
+    pa = (
+        prefix.repartition(ud.sparkSession.sparkContext.defaultParallelism)
+        if spread
+        else prefix
     )
-    return (
-        spread.alias("pa")
-        .join(
-            prefix.alias("pb"),
-            (F.col("pa.day") == F.col("pb.day"))
-            & (F.col("pa.user_id") < F.col("pb.user_id")),
-        )
-        .select(
-            F.col("pa.user_id").alias("user_a"),
-            F.col("pb.user_id").alias("user_b"),
-        )
-        .distinct()
+    joined = pa.alias("pa").join(
+        prefix.alias("pb"),
+        (F.col("pa.day") == F.col("pb.day"))
+        & (F.col("pa.user_id") < F.col("pb.user_id")),
     )
+    if pack_ids:
+        # Candidate dedup over ONE packed long instead of two: the
+        # distinct is the heaviest exchange of the similarity pipeline
+        # (every (pair, shared-prefix-day) row crosses it), and with
+        # ids proven < 2³¹ by parquet footer stats (caller's guard,
+        # table_column_minmax) `a·2³² | b` is bijective, so the packed
+        # distinct dedups exactly the same pair set with ~⅓ fewer
+        # shuffle bytes per row (16-byte vs 24-byte UnsafeRow) and a
+        # single-word hash/compare. Unpacked right after — downstream
+        # sees identical (user_a, user_b) longs.
+        return (
+            joined.select(
+                (
+                    F.shiftleft(F.col("pa.user_id"), 32)
+                    + F.col("pb.user_id")
+                ).alias("_pk")
+            )
+            .distinct()
+            .select(
+                F.shiftright("_pk", 32).alias("user_a"),
+                (F.col("_pk") % F.lit(1 << 32)).alias("user_b"),
+            )
+        )
+    return joined.select(
+        F.col("pa.user_id").alias("user_a"),
+        F.col("pb.user_id").alias("user_b"),
+    ).distinct()
 
 
 @query(
@@ -2331,22 +2395,36 @@ def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
+    # Both ±1 boundary rows come out of ONE explode over the clipped
+    # session row (r14, VERDICT r13 item 6): the previous union of two
+    # sdays projections duplicated the whole sessionizer subtree
+    # (window + groupBy + day explode) at plan level and leaned on
+    # runtime exchange reuse to not pay it twice. Same rows, same
+    # types, one evaluation by construction.
     bounds = sdays.select(
         "day",
-        F.greatest("s_start", "day").alias("ts"),
-        F.lit(1).alias("delta"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.greatest("s_start", "day").alias("ts"),
+                    F.lit(1).alias("delta"),
+                ),
+                F.struct(
+                    F.least(
+                        F.col("s_end"), F.col("day") + F.expr("interval 1 day")
+                    ).alias("ts"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("_b"),
         "user_id",
         "session_idx",
-    ).unionByName(
-        sdays.select(
-            "day",
-            F.least(
-                F.col("s_end"), F.col("day") + F.expr("interval 1 day")
-            ).alias("ts"),
-            F.lit(-1).alias("delta"),
-            "user_id",
-            "session_idx",
-        )
+    ).select(
+        "day",
+        F.col("_b.ts").alias("ts"),
+        F.col("_b.delta").alias("delta"),
+        "user_id",
+        "session_idx",
     )
     run = grouped_ordered_running(
         bounds,

@@ -48,13 +48,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def table_column_max(sf_dir: str, name: str, col: str):
-    """Max of a numeric column from parquet FOOTER statistics — zero
-    data scan (row-group min/max stats are exact for int64). The
-    scale-honest way to pick a batch split point: the previous
-    formulation (`df.agg(max).collect()`) cost one extra full scan of
-    the table per query invocation. Falls back to None when stats are
-    absent (caller decides)."""
+def table_column_minmax(sf_dir: str, name: str, col: str):
+    """(min, max) of a numeric column from parquet FOOTER statistics —
+    zero data scan (row-group min/max stats are exact for int64). The
+    scale-honest way to pick a batch split point or prove an id-width
+    bound: an `agg(min, max).collect()` would cost one extra full scan
+    of the table per query invocation. Returns (None, None) when stats
+    are absent (caller decides)."""
     import glob as _glob
 
     import pyarrow.parquet as pq
@@ -65,7 +65,7 @@ def table_column_max(sf_dir: str, name: str, col: str):
         if os.path.isdir(path)
         else [path]
     )
-    mx = None
+    mn = mx = None
     for fp in files:
         meta = pq.ParquetFile(fp).metadata
         col_idx = next(
@@ -82,7 +82,61 @@ def table_column_max(sf_dir: str, name: str, col: str):
             st = meta.row_group(rg).column(col_idx).statistics
             if st is not None and st.has_min_max:
                 mx = st.max if mx is None else max(mx, st.max)
-    return mx
+                mn = st.min if mn is None else min(mn, st.min)
+    return mn, mx
+
+
+def table_column_max(sf_dir: str, name: str, col: str):
+    """Max-only face of :func:`table_column_minmax`."""
+    return table_column_minmax(sf_dir, name, col)[1]
+
+
+#: Logical node names allowed in a frame the partition probe may touch:
+#: bare relation scans plus narrow per-row operators. Anything else
+#: (Aggregate, Window, Join, Generate, ...) means ``Dataset.rdd`` would
+#: MATERIALIZE upstream query stages under AQE — a real job, executed
+#: eagerly and discarded — instead of merely planning file splits.
+_SCAN_ONLY_NODES = frozenset(
+    {"Project", "Filter", "LogicalRelation", "Relation", "RelationV2"}
+)
+
+
+def _leaf_scan_partitions(df: DataFrame) -> int | None:
+    """Input-split count of a SCAN-ROOTED frame, or ``None`` when the
+    frame is streaming or carries any non-trivial operator.
+
+    The guard is load-bearing (r13 advice): ``df.rdd`` on a frame with
+    a shuffle/window upstream executes those stages eagerly under AQE
+    — on the streaming CDC dedup path that silently ran the whole
+    parse+compact window once per micro-batch just to read a partition
+    count that was then discarded. Restricting the probe to plans made
+    of scan + project/filter keeps it a pure planning operation (file
+    splits are computed driver-side, no job)."""
+    if df.isStreaming:
+        return None
+    plan = df._jdf.queryExecution().optimizedPlan()
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() not in _SCAN_ONLY_NODES:
+            return None
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return df.rdd.getNumPartitions()
+
+
+def scan_is_small(df: DataFrame) -> bool:
+    """True iff ``df`` is a scan-rooted frame whose scan yields fewer
+    splits than ``defaultParallelism`` — the local single-row-group
+    regime where the spread/broadcast-friendly plan shapes apply. At
+    production data volumes (many files / row groups) this is False,
+    so callers' small-input fast paths self-disable."""
+    parts = _leaf_scan_partitions(df)
+    return (
+        parts is not None
+        and parts < df.sparkSession.sparkContext.defaultParallelism
+    )
 
 
 def spread_small_scan(df: DataFrame) -> DataFrame:
@@ -104,14 +158,16 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     files / many row groups), the exchange is skipped entirely, so
     production plans are untouched. Apply AFTER the narrowest
     projection so only needed columns cross the exchange (guide §2.3).
-    Only meaningful on scan-rooted frames; the partition probe plans
-    the scan but runs no job.
+    Only scan-rooted frames are probed (``_leaf_scan_partitions``):
+    for those the partition probe plans the scan but runs no job;
+    any other frame (e.g. the streaming dedup micro-batch, already
+    shuffle-partitioned upstream) is returned unchanged.
     """
-    if df.isStreaming:
+    parts = _leaf_scan_partitions(df)
+    if parts is None:
         return df
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if parts >= target:
         return df
     return df.repartition(target)
 
